@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable analytics query functions — the Spark-native equivalent of
+  * the reference's demographics analyzer
+  * (`dl/src/analytics/demographics_analyzer.py:16-235`).
+  *
+  * Every function is a pure `DataFrame => DataFrame` (lazy plan); nothing
+  * collects to the driver. All aggregations are hash-agg shaped so Spark
+  * plans partial (map-side) + final aggregation — the shape that scales:
+  * the shuffle carries one row per distinct group, not per input row.
+  */
+object Demographics {
+
+  /** Frequency table (pandas `value_counts`,
+    * `demographics_analyzer.py:89-90`): one shuffle keyed on `col`,
+    * map-side partial counts first.
+    */
+  def frequencyTable(df: DataFrame, col: String): DataFrame =
+    df.filter(expr(s"`$col`").isNotNull)
+      .groupBy(col)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(col))
+
+  /** Top-K frequency (`value_counts().head(k)`). Sort+limit plans as
+    * TakeOrderedAndProject — each partition keeps only k rows, the driver
+    * merges k·partitions rows; no global sort at 100 TB.
+    * Deterministic under ties via the secondary key.
+    */
+  def topK(df: DataFrame, col: String, k: Int): DataFrame =
+    frequencyTable(df, col).limit(k)
+
+  /** Group-size histogram (`demographics_analyzer.py:31-43`): row count
+    * per key, then bucketed counts in a single second-stage aggregate.
+    */
+  def groupSizeHistogram(df: DataFrame, key: String): DataFrame = {
+    val sizes = df.groupBy(key).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when($("n") === 1, 1L).otherwise(0L)).as("size_1"),
+      sum(when($("n") === 2, 1L).otherwise(0L)).as("size_2"),
+      sum(when($("n") === 3, 1L).otherwise(0L)).as("size_3"),
+      sum(when($("n") === 4, 1L).otherwise(0L)).as("size_4"),
+      sum(when($("n") >= 5, 1L).otherwise(0L)).as("size_5_plus"),
+      max($("n")).as("max_size"))
+  }
+
+  /** Column length statistics (`demographics_analyzer.py:58-62`).
+    * `avg(length)` is an exact integer sum divided once — bit-identical
+    * across engines and partition orders.
+    */
+  def lengthStats(df: DataFrame, col: String): DataFrame = {
+    val len = length(expr(s"`$col`"))
+    df.filter(expr(s"`$col`").isNotNull).agg(
+      round(avg(len), 6).as("avg_len"),
+      min(len).as("min_len"),
+      max(len).as("max_len"),
+      count(lit(1)).as("n"))
+  }
+
+  /** Conditional predicate counts in ONE pass
+    * (`demographics_analyzer.py:70-80,103-123,148-159`): each (name,
+    * predicate) becomes `sum(when(p,1))` in a single aggregate — one scan
+    * however many patterns, instead of the reference's pass-per-pattern.
+    */
+  def patternCounts(df: DataFrame, preds: Seq[(String, Column)]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      preds.map { case (name, p) =>
+        sum(when(p, 1L).otherwise(0L)).as(name)
+      }: _*)
+
+  /** Shannon entropy −Σ p·log2(p) over the value distribution of `col`
+    * (`demographics_analyzer.py:205-209`). Two-stage: hash-agg counts
+    * (shuffle = one row per distinct value) then a scalar fold. Rounded
+    * so the float sum is stable across summation orders.
+    */
+  def shannonEntropy(df: DataFrame, col: String): DataFrame = {
+    val counts = df.filter(expr(s"`$col`").isNotNull)
+      .groupBy(col).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(sum($("cnt")).as("tot"),
+           sum($("cnt") * log2($("cnt"))).as("wlog"))
+      // −Σ p·log2 p  ==  log2(tot) − (Σ cnt·log2 cnt)/tot : one float
+      // division/log at the end keeps the heavy math in exact integers.
+      .select(round(log2($("tot")) - $("wlog") / $("tot"), 6).as("entropy"),
+              $("tot").as("n"))
+  }
+
+  /** Gini–Simpson diversity 1 − Σ p² (`demographics_analyzer.py:211-215`). */
+  def giniSimpson(df: DataFrame, col: String): DataFrame = {
+    val counts = df.filter(expr(s"`$col`").isNotNull)
+      .groupBy(col).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(sum($("cnt")).as("tot"), sum($("cnt") * $("cnt")).as("sq"))
+      .select(round(lit(1.0) - $("sq") / ($("tot") * $("tot")), 6).as("gini_simpson"),
+              $("tot").as("n"))
+  }
+
+  /** Token mining (`demographics_analyzer.py:161-182`): tokenize, filter
+    * word-shaped tokens, global top-k. The explode multiplies rows but
+    * stays pipelined (no shuffle) until the count aggregation.
+    */
+  def tokenTopK(df: DataFrame, col: String, k: Int,
+                tokenPattern: String = "^[a-zA-Z]{3,}$"): DataFrame =
+    df.select(explode(split(expr(s"`$col`"), " ")).as("word"))
+      .filter($("word").rlike(tokenPattern))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(k)
+
+  /** Null/completeness profile per column
+    * (`ingestion_pipeline.py:54-74`): single-pass multi-aggregate.
+    */
+  def completenessProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c =>
+        val cc = expr(s"`$c`")
+        Seq(sum(when(cc.isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            round(avg(when(cc.isNull, 0.0).otherwise(1.0)) * 100, 4)
+              .as(s"${c}_completeness_pct"))
+      }: _*)
+
+  private def $(c: String): Column = org.apache.spark.sql.functions.col(c)
+}
