@@ -13,6 +13,9 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.analytics.AnalyticsQueries,
+    graft.operators.JoinQueries,
+    graft.operators.WindowQueries,
+    graft.operators.RelationalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.core.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-checkable queries for the join inventory (SURVEY.md §2.3). */
+object JoinQueries extends QueryPack {
+
+  private val dec = DecimalType(18, 2)
+
+  override def queries: Map[String, Q] = Map(
+    // J1: 3-way equi join, dims broadcast. Revenue per market segment:
+    // lineitem ⋈ orders shuffles on orderkey; customer (small side) is
+    // broadcast so the second join adds no shuffle.
+    "q_j1_3way_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum((col("l_extendedprice").cast(dec) *
+            (lit(1.0) - col("l_discount")).cast(dec)).cast(DecimalType(38, 4)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J2: disjunctive OR join — rewritten as union-of-hash-joins + dedup
+    // (a raw OR would plan as a nested-loop join). Matches per supplier.
+    "q_j2_or_join" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val cust = Tables.customer(s, dir)
+      Joins.orEquiJoin(
+          sup, cust,
+          Seq(sup("s_nationkey") === cust("c_nationkey"),
+              sup("s_acctbal") === cust("c_acctbal")),
+          Seq("s_suppkey", "c_custkey"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy("s_suppkey")
+    }),
+
+    // J3: left outer join keeping customers without orders.
+    "q_j3_left_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+            .as("n_without_orders"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_nationkey")
+    }),
+
+    // J4: anti-join integrity check. The testdata has full referential
+    // integrity, so orphans are synthesized by shrinking the dimension
+    // (every 7th customer dropped): orders pointing at a dropped
+    // customer are the orphans.
+    "q_j4_anti_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("o_custkey"))
+      Joins.orphans(Tables.orders(s, dir), dim, Seq("o_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orphans"),
+             countDistinct(col("o_custkey")).as("n_missing_custs"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // J5: upsert emulation (ON CONFLICT DO UPDATE): every 10th customer
+    // gets a deterministic balance bump; result = old ⊎ updates by key.
+    "q_j5_upsert" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      Joins.upsert(c, updates, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // J6: scalar subquery — global summary + the most common priority
+    // (computed as orderBy.limit(1), broadcast-crossed into the 1-row agg).
+    "q_j6_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val top1 = o.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("o_orderpriority"))
+        .limit(1)
+        .select(col("o_orderpriority").as("most_common_priority"))
+      val summary = o.agg(count(lit(1)).as("n_orders"))
+      Joins.withScalar(summary, top1)
+    }),
+
+    // J7/A8/F21: grouped list collection (sorted for determinism) —
+    // parallel arrays of the reference's zip-join presentation shape.
+    "q_j7_group_lists" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("item", concat_ws(":",
+          col("l_partkey"), col("l_quantity").cast("long")))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("item"))).as("items"),
+             count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_j1_3way_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_j2_or_join" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT s_suppkey, c_custkey
+        |  FROM supplier JOIN customer
+        |    ON s_nationkey = c_nationkey OR s_acctbal = c_acctbal)
+        |SELECT s_suppkey, COUNT(*) AS n_matches
+        |FROM pairs GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "q_j3_left_join" ->
+      """SELECT c_nationkey,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_without_orders,
+        |  COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_j4_anti_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orphans,
+        |  COUNT(DISTINCT o_custkey) AS n_missing_custs
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_custkey % 7 <> 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_j5_upsert" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_j6_scalar_subquery" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+        |   ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1) AS most_common_priority
+        |FROM orders""".stripMargin,
+
+    "q_j7_group_lists" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_partkey || ':' || CAST(l_quantity AS BIGINT))) AS items,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.core.{QueryPack, Tables}
+import graft.serve.QueryService
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for projections/filters (SURVEY §2.2), sorts/
+  * pagination (§2.6), set ops (§2.7), and scalar functions (§2.8).
+  */
+object RelationalQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // P1/F1: string normalization — trim+upper, ''→null. All codegen'd
+    // built-ins; pushes the projection into the scan (only 2 columns read).
+    "q_p1_normalize" -> ((s, dir) => {
+      val norm = upper(trim(col("c_name")))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(norm === "", lit(null)).otherwise(norm).as("name_norm"))
+        .orderBy("c_custkey")
+    }),
+
+    // P2/F6: null-skipping concatenation with all-null→null preservation
+    // (concat_ws alone yields "" for all-null; the reference yields null).
+    "q_p2_concat" -> ((s, dir) => {
+      val parts = Seq(col("c_mktsegment"), col("c_name"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(coalesce(parts: _*).isNull, lit(null))
+            .otherwise(concat_ws(" ", parts: _*)).as("full_label"))
+        .orderBy("c_custkey")
+    }),
+
+    // P4: point lookup by key (smallest existing orderkey for stability
+    // across scale factors).
+    "q_p4_point_lookup" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val minKey = o.agg(min(col("o_orderkey")).as("k"))
+      QueryService.pointLookup(Tables.lineitem(s, dir), "l_orderkey",
+          lit(minKey.first().getLong(0)))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    }),
+
+    // P6: case-insensitive substring search (API search semantics).
+    "q_p6_search" -> ((s, dir) =>
+      QueryService.search(Tables.part(s, dir), "p_name", "WidGet")
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // P8/F7/F8/F2: LIKE-based categorization + length buckets.
+    "q_p8_like_buckets" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .withColumn("kind",
+          when(col("p_type").like("%BRASS%"), "Brass")
+            .when(col("p_type").like("%STEEL%"), "Steel")
+            .when(col("p_type").like("%COPPER%"), "Copper")
+            .otherwise("Other"))
+        .withColumn("name_size",
+          when(length(col("p_name")) < 12, "Short")
+            .when(length(col("p_name")) < 18, "Medium")
+            .otherwise("Long"))
+        .groupBy("kind", "name_size")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("kind", "name_size")
+    }),
+
+    // P9: keyword categorization via chained when (role-category shape).
+    "q_p9_keyword_cat" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("category",
+          when(lower(col("event_type")).rlike("purchase|signup"), "Conversion")
+            .when(lower(col("event_type")).rlike("error"), "Failure")
+            .otherwise("Engagement"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
+    }),
+
+    // O2: argmax (orderBy desc + limit 1 = TakeOrderedAndProject).
+    "q_o2_top1" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("o_orderpriority")).limit(1)),
+
+    // O4: offset/limit pagination with explicit total order.
+    "q_o4_pagination" -> ((s, dir) =>
+      QueryService.paginate(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          Seq("c_custkey"), offset = 100, limit = 20)),
+
+    // D1: SELECT DISTINCT projection.
+    "q_d1_distinct" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // D2/A7: whole-row duplicate count (count − distinct count).
+    "q_d2_dup_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val n = li.agg(count(lit(1)).as("n"))
+      val d = li.distinct().agg(count(lit(1)).as("n_distinct"))
+      Joins.withScalar(n, d)
+        .select(col("n"), col("n_distinct"), (col("n") - col("n_distinct")).as("n_dups"))
+    }),
+
+    // D3: COUNT(DISTINCT CONCAT(...)) composite key.
+    "q_d3_distinct_concat" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        countDistinct(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .as("n_lines"))),
+
+    // F12/F13: date-part extraction incl. day/month names. Spark
+    // dayofweek is 1=Sunday (Postgres-style); oracle shifts DuckDB's 0.
+    "q_f12_date_parts" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_format(col("o_orderdate"), "EEEE").as("day_name"),
+          date_format(col("o_orderdate"), "MMMM").as("month_name"))
+        .groupBy("y", "q", "m", "dow", "day_name", "month_name")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("y", "q", "m", "dow")
+    }),
+
+    // F15/F16: interval arithmetic + epoch-seconds difference: events in
+    // the trailing 24h window before the stream's max timestamp.
+    "q_f15_interval_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+      Joins.withScalar(ev, maxTs)
+        .filter(col("ts") > col("max_ts") - expr("INTERVAL 24 HOURS"))
+        .agg(count(lit(1)).as("n_last_day"),
+          sum(floor(unix_timestamp(col("max_ts")) - unix_timestamp(col("ts"))))
+            .as("total_age_s"))
+    }),
+
+    // F17: date-series generation (replaces the reference's PL/pgSQL
+    // dim_date loop with sequence+explode — no driver-side iteration).
+    "q_f17_date_series" -> ((s, dir) => {
+      s.range(1).select(explode(expr(
+          "sequence(to_date('2024-01-01'), to_date('2024-03-31'), interval 1 day)"))
+          .as("date_id"))
+        .select(col("date_id"),
+          year(col("date_id")).as("y"), month(col("date_id")).as("m"),
+          dayofmonth(col("date_id")).as("d"),
+          (dayofweek(col("date_id")).isin(1, 7)).as("is_weekend"))
+        .orderBy("date_id")
+    }),
+
+    // F18: timestamp formatting for partition ids (strftime shape).
+    "q_f18_ts_format" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyyMMdd_HH").as("partition_id"))
+        .groupBy("partition_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("partition_id")),
+
+    // F20: row→JSON projection (raw_data preservation shape). Struct
+    // fields chosen to serialize identically in both engines.
+    "q_f20_to_json" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_name").as("name"), col("n_regionkey").as("rk")))
+            .as("raw_data"))
+        .orderBy("n_nationkey")),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_p1_normalize" ->
+      """SELECT c_custkey, NULLIF(UPPER(TRIM(c_name)), '') AS name_norm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_p2_concat" ->
+      """SELECT c_custkey,
+        |  CASE WHEN COALESCE(c_mktsegment, c_name) IS NULL THEN NULL
+        |       ELSE concat_ws(' ', c_mktsegment, c_name) END AS full_label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_p4_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY l_linenumber""".stripMargin,
+
+    "q_p6_search" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE UPPER(p_name) LIKE '%WIDGET%' ORDER BY p_partkey""".stripMargin,
+
+    "q_p8_like_buckets" ->
+      """SELECT CASE WHEN p_type LIKE '%BRASS%' THEN 'Brass'
+        |            WHEN p_type LIKE '%STEEL%' THEN 'Steel'
+        |            WHEN p_type LIKE '%COPPER%' THEN 'Copper'
+        |            ELSE 'Other' END AS kind,
+        |  CASE WHEN LENGTH(p_name) < 12 THEN 'Short'
+        |       WHEN LENGTH(p_name) < 18 THEN 'Medium'
+        |       ELSE 'Long' END AS name_size,
+        |  COUNT(*) AS cnt
+        |FROM part GROUP BY kind, name_size ORDER BY kind, name_size""".stripMargin,
+
+    "q_p9_keyword_cat" ->
+      """SELECT CASE WHEN regexp_matches(LOWER(event_type), 'purchase|signup') THEN 'Conversion'
+        |            WHEN regexp_matches(LOWER(event_type), 'error') THEN 'Failure'
+        |            ELSE 'Engagement' END AS category,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY category ORDER BY category""".stripMargin,
+
+    "q_o2_top1" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 1""".stripMargin,
+
+    "q_o4_pagination" ->
+      """SELECT c_custkey, c_name,
+        |  ROW_NUMBER() OVER (ORDER BY c_custkey) AS row_num
+        |FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 100""".stripMargin,
+
+    "q_d1_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_d2_dup_count" ->
+      """SELECT COUNT(*) AS n,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_distinct,
+        |  COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_dups
+        |FROM lineitem""".stripMargin,
+
+    "q_d3_distinct_concat" ->
+      """SELECT COUNT(DISTINCT l_orderkey || '-' || l_linenumber) AS n_lines
+        |FROM lineitem""".stripMargin,
+
+    "q_f12_date_parts" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, dayofweek(o_orderdate) + 1 AS dow,
+        |  dayname(o_orderdate) AS day_name, monthname(o_orderdate) AS month_name,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1,2,3,4,5,6 ORDER BY 1,2,3,4""".stripMargin,
+
+    "q_f15_interval_window" ->
+      """WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
+        |SELECT COUNT(*) AS n_last_day,
+        |  SUM(FLOOR(date_part('epoch', date_trunc('second', max_ts)))::BIGINT
+        |    - FLOOR(date_part('epoch', date_trunc('second', ts)))::BIGINT) AS total_age_s
+        |FROM events, m WHERE ts > max_ts - INTERVAL 24 HOURS""".stripMargin,
+
+    "q_f17_date_series" ->
+      """SELECT CAST(d AS DATE) AS date_id,
+        |  year(d) AS y, month(d) AS m, day(d) AS d,
+        |  dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM (SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+        |  INTERVAL 1 DAY)) AS d)
+        |ORDER BY date_id""".stripMargin,
+
+    "q_f18_ts_format" ->
+      """SELECT strftime(ts, '%Y%m%d_%H') AS partition_id, COUNT(*) AS cnt
+        |FROM events GROUP BY partition_id ORDER BY partition_id""".stripMargin,
+
+    "q_f20_to_json" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(name := n_name, rk := n_regionkey)) AS raw_data
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+  )
+}

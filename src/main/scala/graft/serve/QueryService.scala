@@ -1,0 +1,51 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's API query surface (`dl/src/api/main.py`) as library
+  * functions. An HTTP layer is out of engine scope (SURVEY §3.2); these
+  * are the plans each endpoint would run.
+  */
+object QueryService {
+
+  /** Case-insensitive substring search (`api/main.py:135`). pandas'
+    * `na=False` semantics hold for free: a null column yields null,
+    * which `filter` drops.
+    */
+  def search(df: DataFrame, col: String, term: String): DataFrame =
+    df.filter(upper(expr(s"`$col`")).contains(term.toUpperCase))
+
+  /** Point lookup by key (`api/main.py:178`). On a lake table partitioned
+    * or bucketed by the key this prunes to one partition/bucket.
+    */
+  def pointLookup(df: DataFrame, key: String, value: Column): DataFrame =
+    df.filter(expr(s"`$key`") === value)
+
+  /** Offset/limit pagination (`api/main.py:144-156`).
+    *
+    * Pandas pages by implicit row order; a distributed engine needs an
+    * explicit total order, so `sortKeys` is mandatory. row_number over a
+    * global window is the faithful general form; the window input is
+    * whatever `df` is, so callers paginating a huge unaggregated table
+    * should pre-filter (the reference paginates small search results).
+    */
+  def paginate(df: DataFrame, sortKeys: Seq[String], offset: Int, limit: Int): DataFrame = {
+    val w = Window.orderBy(sortKeys.map(asc): _*)
+    df.withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") > offset && col("row_num") <= offset + limit)
+  }
+
+  /** Per-business nested record (`api/main.py:138-142`): group rows into
+    * list-valued columns. `collect_list` skips nulls, matching the
+    * reference's `list(x.dropna())`; lists are sorted for deterministic
+    * output (pandas got insertion order for free).
+    */
+  def groupCollect(df: DataFrame, key: String, firstCols: Seq[String],
+                   listCols: Seq[String]): DataFrame = {
+    val aggs = firstCols.map(c => first(expr(s"`$c`")).as(c)) ++
+      listCols.map(c => sort_array(collect_list(expr(s"`$c`"))).as(s"${c}_list"))
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+}
