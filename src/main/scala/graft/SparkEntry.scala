@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.JoinQueries,
     graft.operators.WindowQueries,
     graft.operators.RelationalQueries,
+    graft.textops.TextQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

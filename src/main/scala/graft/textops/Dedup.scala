@@ -1,0 +1,178 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *  - exact (hash-groupBy on a content fingerprint)
+  *  - n-gram Jaccard (exact set similarity, shingle-join pruned)
+  *  - MinHash + LSH (approximate Jaccard, subquadratic candidate gen)
+  *  - SimHash (64-bit sketch, Hamming-banded candidate gen)
+  *
+  * All are pure DataFrame plans: every stage is a hash shuffle on a
+  * well-distributed key (fingerprint / shingle / band key / chunk), so
+  * they scale horizontally; nothing is ever collected to the driver.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical content hash: one map-side
+    * partial count + one shuffle keyed on the 128-bit fingerprint.
+    */
+  def exactDuplicateGroups(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Keep one row per distinct canonical text (first by `idCol`). The
+    * window shuffles once on the fingerprint; at scale this is the
+    * standard "dedup by key, deterministic survivor" plan.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs.
+    *
+    * Candidate generation joins the distinct (id, shingle) relation with
+    * itself on the shingle — only pairs sharing ≥1 shingle are ever
+    * scored, so cost is Σ bucket² over shingle buckets (sparse for
+    * n ≥ 3), not |docs|². Jaccard = inter / (|A| + |B| − inter) from the
+    * per-pair intersection count and per-doc set sizes.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutation hashes
+    * h_i(s) = a_i·x + b_i over a 64-bit base hash x = xxhash64(shingle),
+    * min-reduced per document. One shuffle (groupBy id); the per-row
+    * work is `numHashes` multiply-adds inside codegen.
+    * Coefficients come from a fixed seed so signatures are reproducible
+    * across runs and clusters.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+    // Coefficients and the base hash are bounded to 31 bits so a·h + b
+    // stays below 2^62 — no overflow under ANSI mode (Spark 4 default),
+    // and the same arithmetic would be portable to engines that trap.
+    val p = 2147483647L // 2^31 − 1 (Mersenne prime)
+    val rnd = new scala.util.Random(42)
+    val coef = Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val mins = coef.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
+    }
+    sh.groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (`bands` ×
+    * `rowsPerBand`), hash each band, bucket-join on (band, key) for
+    * candidates, then verify candidates with EXACT Jaccard — the sketch
+    * only prunes, it never decides. Candidate join is equi (hash),
+    * verification touches only candidate pairs: subquadratic end-to-end.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val banded = sig.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r)))"))
+      .as(Seq("band", "key")))
+    val candidates = banded.toDF("doc_a", "band", "key")
+      .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // Exact verification restricted to candidates — the sketch only
+    // prunes, it never decides.
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    pairsJaccard(candidates, sh, sizes, idCol, threshold)
+  }
+
+  /** Exact Jaccard for a given candidate-pair set. */
+  private def pairsJaccard(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
+                           idCol: String, threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: each token hash votes ±1 on each bit;
+    * the sketch bit is the vote's sign. One explode + one groupBy(id)
+    * with 64 conditional sums, then a bit-assembly fold — all codegen.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { k =>
+      sum(when(expr(s"shiftright(h, $k) & 1") === 1, 1).otherwise(-1)).as(s"_v$k")
+    }
+    val assembled = (0 until 64)
+      .map(k => expr(s"IF(_v$k > 0, shiftleft(CAST(1 AS BIGINT), $k), CAST(0 AS BIGINT))"))
+      .reduce(_ bitwiseOR _)
+    tok.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** SimHash near-duplicates within `maxHamming` bits: band the 64-bit
+    * sketch into 4×16-bit chunks — any pair within Hamming distance 3
+    * must agree on ≥1 chunk (pigeonhole), so the equi-join on
+    * (chunk index, chunk value) finds all of them without an O(n²) scan.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sk = simhash(df, idCol, textCol)
+    val chunks = sk.select(col(idCol), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)"))
+      .as(Seq("chunk_i", "chunk_v")))
+    chunks.toDF("doc_a", "sim_a", "chunk_i", "chunk_v")
+      .join(chunks.toDF("doc_b", "sim_b", "chunk_i", "chunk_v"), Seq("chunk_i", "chunk_v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine is the exactness baseline: O(n·d) per query,
+  * embarrassingly parallel, no shuffle until top-k (TakeOrdered). The
+  * scale path buckets vectors with random-hyperplane LSH so a query only
+  * scores its own bucket(s) — the standard recall/cost trade.
+  *
+  * Dot products run through `aggregate`/`zip_with` in double precision,
+  * left-to-right over the array — deterministic across partitionings.
+  */
+object Similarity {
+
+  /** Σ xᵢ·yᵢ in double precision (codegen'd higher-order functions). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector. Plans as scan →
+    * projection → TakeOrderedAndProject: each partition keeps k rows.
+    * Cosine is rounded to 6 dp before ranking so the ordering (and any
+    * oracle comparison) is stable under float noise; ties break on id.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits of projections
+    * onto fixed seeded Gaussian directions, packed into a long. Vectors
+    * with small angle agree on most bits.
+    */
+  def lshSignature(vecCol: Column, dim: Int, planes: Int = 16, seed: Long = 42): Column = {
+    val rnd = new scala.util.Random(seed)
+    val dirs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until planes).map { p =>
+      val d = array(dirs(p).map(lit(_)): _*)
+      when(dot(vecCol, d) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Banded-LSH (approximate) near-neighbour pairs: the signature's
+    * `planes` bits are split into bands of `rowsPerBand` bits; any pair
+    * agreeing on ≥1 full band becomes a candidate (equi-join on
+    * (band index, band value)), then candidates are verified with exact
+    * cosine — the sketch prunes, it never decides. A single whole-
+    * signature bucket would drop any near-dup that flips one boundary
+    * plane; banding keeps recall high at the same join cost model.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, threshold: Double, planes: Int = 64,
+                         rowsPerBand: Int = 8): DataFrame = {
+    require(planes % rowsPerBand == 0, "rowsPerBand must divide planes")
+    val bands = planes / rowsPerBand
+    val mask = (1L << rowsPerBand) - 1
+    val sig = df.select(col(idCol), col(vecCol))
+      .withColumn("sig", lshSignature(col(vecCol), dim, planes))
+    val banded = sig.select(col(idCol), col(vecCol), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, j * $rowsPerBand) & $mask)"))
+      .as(Seq("band", "key")))
+    banded.toDF("id_a", "vec_a", "band", "key")
+      .join(banded.toDF("id_b", "vec_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** IVF-style bucketed search: within each coarse partition (a cluster
+    * id / nearest-centroid assignment), exact top-k most-similar pairs.
+    * Work is Σ bucket² instead of n² — the standard inverted-file trade;
+    * the bucket join is a hash join on the bucket key, and ranking is a
+    * partitioned window over per-bucket pairs.
+    */
+  def bucketedTopPairs(df: DataFrame, idCol: String, vecCol: String,
+                       bucketCol: String, k: Int): DataFrame = {
+    val v = df.select(col(bucketCol).as("bucket"), col(idCol), col(vecCol))
+    val pairs = v.toDF("bucket", "id_a", "vec_a")
+      .join(v.toDF("bucket", "id_b", "vec_b"), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Exact O(n²) near-neighbour pairs — the correctness oracle for the
+    * bucketed variant in tests; usable only at small n.
+    */
+  def cosineAllPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol))
+    v.toDF("id_a", "vec_a").crossJoin(v.toDF("id_b", "vec_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

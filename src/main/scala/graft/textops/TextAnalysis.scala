@@ -1,0 +1,91 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: language ID,
+  * quality scoring, token statistics. All heuristics are deterministic
+  * integer/ratio computations over built-in expressions, so they are
+  * SQL-expressible (oracle-checkable) and stay inside codegen.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language heuristic. Public knowledge (most-frequent function words).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "en", "los", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "von", "mit", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un"))
+
+  private def hitCount(toksCol: String, words: Seq[String]): Column = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter($toksCol, t -> t IN ($inList)))")
+  }
+
+  /** Language ID: argmax of per-language stopword hit ratios, 'unknown'
+    * below `minRatio`. Adds `predicted_lang`.
+    */
+  def languageId(df: DataFrame, textCol: String, minRatio: Double = 0.05): DataFrame = {
+    val withToks = df.withColumn("_toks", TextFunctions.tokens(lower(col(textCol))))
+    val langs = Seq("en", "es", "de", "fr")
+    val withHits = langs.foldLeft(withToks) { (d, l) =>
+      d.withColumn(s"_h_$l", hitCount("_toks", stopwords(l)))
+    }
+    // argmax with deterministic tie-break (first of en,es,de,fr wins —
+    // a chained when() evaluates in priority order).
+    val best = langs.map(l => col(s"_h_$l")).reduce((a, b) => greatest(a, b))
+    val conds = langs.map { l =>
+      (col(s"_h_$l") === best &&
+        col(s"_h_$l").cast("double") / size(col("_toks")) >= minRatio, lit(l))
+    }
+    val predOrdered = conds.tail
+      .foldLeft(when(conds.head._1, conds.head._2)) { (acc, c) => acc.when(c._1, c._2) }
+      .otherwise(lit("unknown"))
+    withHits
+      .withColumn("predicted_lang", predOrdered)
+      .drop((Seq("_toks") ++ langs.map(l => s"_h_$l")): _*)
+  }
+
+  /** Quality score in [0,10] from length/punctuation/stopword signals
+    * (the reference's completeness/complexity scoring shape,
+    * `streaming_processor.py:260-283`, generalized to documents).
+    * All inputs are exact integers; one rounded double at the end.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nToks = size(TextFunctions.tokens(t))
+    val nChars = length(t)
+    val nPunct = size(TextFunctions.regexTokens(t)) - size(split(trim(t), " "))
+    val stopHits = hitCount("_toks", stopwords("en"))
+    df.withColumn("_toks", TextFunctions.tokens(lower(t)))
+      .withColumn("quality_score", round(
+        least(nToks.cast("double") * 0.2, lit(4.0)) +
+          least(stopHits.cast("double") / nToks * 10.0, lit(4.0)) +
+          when(nChars > 50, 2.0).otherwise(nChars.cast("double") / 25.0) -
+          least(greatest(nPunct.cast("double"), lit(0.0)) * 0.5, lit(2.0)), 6))
+      .drop("_toks")
+  }
+
+  /** Token statistics: whitespace tokens vs regex (BPE-ish) tokens. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(TextFunctions.tokens(col(textCol))))
+      .withColumn("n_re_tokens", size(TextFunctions.regexTokens(col(textCol))))
+      .withColumn("n_chars_obs", length(col(textCol)))
+
+  /** Polynomial rolling-hash document fingerprint (base-31 over the
+    * characters of `textCol`'s canonical form, wrapping 64-bit) — the
+    * cheap order-sensitive fingerprint; md5 variant in TextFunctions.
+    * Implemented with `aggregate` over the char codes: deterministic,
+    * no UDF.
+    */
+  def rollingHash(textCol: String): Column =
+    // mod 1e9+7 keeps the accumulator < 2^63/31 so the arithmetic is
+    // overflow-free (DuckDB raises on BIGINT overflow; Spark wraps —
+    // the modulus makes both engines agree).
+    expr(s"""aggregate(
+      transform(sequence(1, length(`$textCol`)),
+                i -> ascii(substring(`$textCol`, i, 1))),
+      CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""")
+}

@@ -1,0 +1,44 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline column builders. Everything here is built-in
+  * Catalyst expressions (codegen'd, no UDFs) so the hot path stays
+  * inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace-normalized, lowercased canonical form for fingerprinting. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** MD5 content fingerprint of the canonical form — the exact-dedup key.
+    * 128 bits ⇒ collision-free in practice at 100 TB (~2^64 birthday bound).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** BPE-ish regex tokens: words, digit runs, single punctuation. */
+  val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(tokenRegex), lit(0))
+
+  /** Explode a document table into distinct (id, shingle) rows — the
+    * input relation for Jaccard/MinHash. `n`-word shingles keep the
+    * token-join sparse: unigrams over a small vocabulary would make the
+    * similarity self-join quadratic, while 3-shingles collide only for
+    * genuinely similar text.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as("shingle"))
+      .distinct()
+  }
+}

@@ -1,0 +1,214 @@
+package graft.textops
+
+import graft.core.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the training-data-pipeline operators
+  * (dedup, similarity search, text analysis) over `documents` and
+  * `embeddings`. MinHash-LSH / SimHash / LSH-bucketed ANN are
+  * approximate-by-construction, so they ship without SQL oracles
+  * (rows-only driver check) and are instead verified against their
+  * exact counterparts in ScalaTest specs.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup summary: content-hash distinct counts.
+    "q_t_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(TextFunctions.fingerprint(col("text"))))
+          .as("n_dup_rows"))
+    }),
+
+    // Per-document md5 fingerprint (the dedup key itself).
+    "q_t_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Polynomial rolling-hash fingerprint (order-sensitive variant).
+    "q_t_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("norm_text", TextFunctions.normalized(col("text")))
+        .select(col("doc_id"), TextAnalysis.rollingHash("norm_text").as("rhash"))
+        .orderBy("doc_id")),
+
+    // Exact 3-shingle Jaccard near-duplicate pairs (threshold 0.4):
+    // shingle-join candidate pruning, then exact set similarity.
+    "q_t_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash + LSH near-dup pairs (candidates via banded signatures,
+    // verified with exact Jaccard). No SQL oracle (approximate pruning);
+    // recall vs q_t_jaccard_pairs is asserted in DedupSpec.
+    "q_t_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)
+        .orderBy("doc_a", "doc_b")),
+
+    // SimHash near-dups within Hamming distance 12 of the 64-bit sketch.
+    "q_t_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 12)
+        .orderBy("doc_a", "doc_b")),
+
+    // Brute-force cosine top-k against the corpus's own first vector.
+    "q_t_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).toArray
+      Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 10)
+    }),
+
+    // IVF-style bucketed similarity search: exact top-2 pairs within
+    // each label bucket (Σ bucket² work, not n²). The hyperplane-LSH
+    // near-dup variant has no high-similarity pairs to find in this
+    // corpus (max pairwise cosine ≈ 0.51) and is exercised on synthetic
+    // near-dups in SimilaritySpec instead.
+    "q_t_cosine_bucketed" -> ((s, dir) =>
+      Similarity.bucketedTopPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", k = 2)
+        .orderBy("bucket", "id_a", "id_b")),
+
+    // Language ID vs the labelled lang column: confusion counts.
+    "q_t_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir), "text")
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted_lang")),
+
+    // Per-document quality score.
+    "q_t_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")),
+
+    // Token statistics rolled up per source.
+    "q_t_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
+        .groupBy("source")
+        .agg(
+          sum(col("n_ws_tokens")).as("total_ws_tokens"),
+          sum(col("n_re_tokens")).as("total_re_tokens"),
+          round(avg(col("n_ws_tokens")), 6).as("avg_ws_tokens"),
+          max(col("n_chars_obs")).as("max_chars"))
+        .orderBy("source")),
+  )
+
+  private val fpSql =
+    "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+  // DuckDB-side 3-shingle relation (LEAD-based; equivalent to the
+  // Spark transform/slice construction).
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+      |sh AS (SELECT DISTINCT doc_id, word || ' ' || l1 || ' ' || l2 AS s FROM (
+      |  SELECT doc_id, word,
+      |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 FROM tok)
+      |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_t_exact_dedup" ->
+      s"""SELECT COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT $fpSql) AS n_distinct_texts,
+         |  COUNT(*) - COUNT(DISTINCT $fpSql) AS n_dup_rows
+         |FROM documents""".stripMargin,
+
+    "q_t_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+
+    "q_t_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_t_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, UNNEST(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |qe AS (SELECT UNNEST(qv) AS qx, generate_subscripts(qv, 1) AS i FROM q),
+        |d AS (SELECT vec_id,
+        |        SUM(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) AS dot,
+        |        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        |      FROM e JOIN qe USING (i) GROUP BY vec_id),
+        |qn AS (SELECT SQRT(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qnorm FROM qe)
+        |SELECT vec_id, ROUND(dot / (SQRT(n2) * qnorm), 6) AS cos_sim
+        |FROM d, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_t_cosine_bucketed" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.label AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM p)
+        |SELECT bucket, id_a, id_b, cos_sim FROM r WHERE rn <= 2
+        |ORDER BY bucket, id_a, id_b""".stripMargin,
+
+    "q_t_langid" ->
+      """WITH t AS (SELECT lang,
+        |    string_split(trim(lower(text)), ' ') AS toks FROM documents),
+        |h AS (SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','en','los','que','un'))) AS h_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','von','mit','ist','ein'))) AS h_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un'))) AS h_fr,
+        |    len(toks) AS n FROM t),
+        |p AS (SELECT lang, CASE
+        |    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_en AS DOUBLE) / n >= 0.05 THEN 'en'
+        |    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_es AS DOUBLE) / n >= 0.05 THEN 'es'
+        |    WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_de AS DOUBLE) / n >= 0.05 THEN 'de'
+        |    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_fr AS DOUBLE) / n >= 0.05 THEN 'fr'
+        |    ELSE 'unknown' END AS predicted_lang FROM h)
+        |SELECT lang, predicted_lang, COUNT(*) AS cnt FROM p
+        |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q_t_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    len(string_split(trim(text), ' ')) AS n_toks,
+        |    LENGTH(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |      - len(string_split(trim(text), ' ')) AS n_punct,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, ROUND(
+        |    LEAST(CAST(n_toks AS DOUBLE) * 0.2, 4.0)
+        |  + LEAST(CAST(stop_hits AS DOUBLE) / n_toks * 10.0, 4.0)
+        |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
+        |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_t_tokens" ->
+      """SELECT source,
+        |  SUM(len(string_split(trim(text), ' '))) AS total_ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS total_re_tokens,
+        |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
+        |  MAX(LENGTH(text)) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

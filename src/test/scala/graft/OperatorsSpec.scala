@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Joins
+import graft.serve.QueryService
+import graft.analytics.Demographics
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("orEquiJoin equals the semantics of a raw OR join") {
+    val l = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("lid", "lk", "lv")
+    val r = Seq((7, "a", 99), (8, "z", 20), (9, "c", 30)).toDF("rid", "rk", "rv")
+    val or = l.join(r, l("lk") === r("rk") || l("lv") === r("rv"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    val rewritten = Joins.orEquiJoin(l, r,
+        Seq(l("lk") === r("rk"), l("lv") === r("rv")), Seq("lid", "rid"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(rewritten === or)
+  }
+
+  test("upsert keeps unmatched old rows and replaces matched keys") {
+    val old = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val upd = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    val out = Joins.upsert(old, upd, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(out === Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "D"))
+  }
+
+  test("pagination pages are disjoint, ordered, and complete") {
+    val df = Tables100()
+    val p1 = QueryService.paginate(df, Seq("k"), 0, 30).select("k").as[Int].collect()
+    val p2 = QueryService.paginate(df, Seq("k"), 30, 30).select("k").as[Int].collect()
+    val p4 = QueryService.paginate(df, Seq("k"), 90, 30).select("k").as[Int].collect()
+    assert(p1.length === 30 && p2.length === 30 && p4.length === 10)
+    assert(p1.toSet.intersect(p2.toSet).isEmpty)
+    assert((p1 ++ p2).toSeq === (1 to 60).toSeq)
+  }
+
+  private def Tables100() = (1 to 100).map(i => (i, s"row$i")).toDF("k", "v")
+
+  test("all-null name concat yields null, not empty string") {
+    val df = Seq(
+      (1, Some("ANN"), Some("SMITH")),
+      (2, None: Option[String], None: Option[String])).toDF("id", "first", "last")
+    val parts = Seq(col("first"), col("last"))
+    val out = df.select(col("id"),
+        when(coalesce(parts: _*).isNull, lit(null))
+          .otherwise(concat_ws(" ", parts: _*)).as("full"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(out(1) === Some("ANN SMITH"))
+    assert(out(2) === None)
+  }
+
+  test("entropy is within [0, log2(n)] and gini within [0, 1)") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("v")
+    val h = Demographics.shannonEntropy(df, "v").select("entropy").as[Double].head()
+    val g = Demographics.giniSimpson(df, "v").select("gini_simpson").as[Double].head()
+    assert(h >= 0 && h <= math.log(3) / math.log(2) + 1e-9)
+    assert(g >= 0 && g < 1)
+    // hand-computed: p = (2/6, 1/6, 3/6)
+    val ps = Seq(2.0 / 6, 1.0 / 6, 3.0 / 6)
+    val expH = -ps.map(p => p * math.log(p) / math.log(2)).sum
+    val expG = 1.0 - ps.map(p => p * p).sum
+    assert(math.abs(h - expH) < 1e-6)
+    assert(math.abs(g - expG) < 1e-6)
+  }
+
+  test("search is case-insensitive and null-safe") {
+    val df = Seq((1, Some("Deluxe Widget")), (2, Some("gadget")),
+      (3, None: Option[String])).toDF("id", "name")
+    val hits = QueryService.search(df, "name", "wIdGeT")
+      .select("id").as[Int].collect().toSeq
+    assert(hits === Seq(1))
+  }
+}

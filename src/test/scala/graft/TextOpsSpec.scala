@@ -1,0 +1,108 @@
+package graft
+
+import graft.textops.{Dedup, Similarity, TextAnalysis, TextFunctions}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one survivor per canonical text") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc"),
+      (4L, " HELLO WORLD ")).toDF("doc_id", "text")
+    val out = Dedup.dropExactDuplicates(df, "doc_id", "text")
+    assert(out.count() === 2)
+    // survivor is the lowest id of each group
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("jaccardPairs finds identical and near-identical docs, skips distinct ones") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // identical → J = 1.0
+      (3L, "a b c d e f g x"),          // near → high J
+      (4L, "q r s t u v w z")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 })
+    assert(!pairs.exists { case (a, b, _) => b == 4 || a == 4 })
+  }
+
+  test("minhash LSH recall matches exact jaccard pairs on the test corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // verification is exact, so LSH output ⊆ exact; recall should be high
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.9,
+      s"LSH recall ${lsh.size}/${exact.size} below 0.9")
+  }
+
+  test("simhash of identical docs is identical; near docs within small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) === sk(2L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 10)
+  }
+
+  test("hyperplane-LSH cosine pairs find synthetic near-duplicate vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f)      // cosine ≈ 1
+    val others = (3L to 30L).map(i => (i, vec().toSeq))
+    val df = (Seq((1L, base.toSeq), (2L, nearDup.toSeq)) ++ others)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dim = 16, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // and no false positives: verification is exact
+    assert(pairs.forall { case (a, b) => (a, b) == ((1L, 2L)) })
+  }
+
+  test("bucketed top pairs agree with brute force within each bucket") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bucketed = Similarity.bucketedTopPairs(emb, "vec_id", "embedding", "label", 1)
+      .select("bucket", "id_a", "id_b").as[(Int, Long, Long)].collect().toMap2
+    val brute = Similarity.cosineAllPairs(
+        emb.filter(col("label") === bucketed.keys.head), "vec_id", "embedding", -1.0)
+      .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b")).limit(1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().head
+    assert(bucketed(bucketed.keys.head) === brute)
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("language id picks the language of the dominant stopword set") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "xyzzy qwerty asdf zxcv")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "unknown")
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "cba")).toDF("doc_id", "text")
+      .withColumn("norm_text", TextFunctions.normalized(col("text")))
+    val h = df.select(col("doc_id"), TextAnalysis.rollingHash("norm_text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+}
