@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.WindowQueries,
     graft.operators.RelationalQueries,
     graft.textops.TextQueries,
+    graft.stream.StreamQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

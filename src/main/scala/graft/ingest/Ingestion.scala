@@ -1,0 +1,102 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingestion pipeline (`dl/src/data_ingestion/
+  * ingestion_pipeline.py`) re-expressed as lazy DataFrame stages:
+  * schema-declared CSV scan with NA-sentinel normalization → quality
+  * profile → cleaning/derived columns → Parquet.
+  *
+  * Every stage is a pure DataFrame => DataFrame; the whole pipeline is
+  * one lineage with exactly one shuffle (the Has-Multiple-Owners
+  * window on Account Number).
+  */
+object Ingestion {
+
+  /** Canonical business_owners schema (`ingestion_pipeline.py:33-42`,
+    * FIXTURES.md §1) — declared, never inferred: schema inference is a
+    * second full pass over 100 TB.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("Account Number", LongType),
+    StructField("Legal Name", StringType),
+    StructField("Owner First Name", StringType),
+    StructField("Owner Middle Initial", StringType),
+    StructField("Owner Last Name", StringType),
+    StructField("Suffix", StringType),
+    StructField("Legal Entity Owner", StringType),
+    StructField("Title", StringType)))
+
+  /** NA sentinels normalized to null at load
+    * (`ingestion_pipeline.py:43`). Spark's CSV reader takes a single
+    * nullValue, so the full sentinel list is applied as a projection —
+    * still one pass, fused into the scan by codegen.
+    */
+  val naSentinels: Seq[String] = Seq("", " ", "N/A", "NULL", "null")
+
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.schema(schema).option("header", "true").csv(path)
+    schema.fields.filter(_.dataType == StringType).foldLeft(raw) { (df, f) =>
+      df.withColumn(f.name,
+        when(trim(col(f.name)).isin(naSentinels: _*), lit(null))
+          .otherwise(col(f.name)))
+    }
+  }
+
+  /** S1-adjacent cleaning (`ingestion_pipeline.py:76-107`):
+    *  - trim+upper every string column, '' → null            (P1)
+    *  - Owner Full Name: null-skipping concat, all-null→null (P2)
+    *  - Is Individual Owner = Legal Entity Owner IS NULL     (P3)
+    *  - Has Multiple Owners = per-account row count > 1      (W1)
+    */
+  def clean(df: DataFrame): DataFrame = {
+    val strCols = Seq("Legal Name", "Owner First Name", "Owner Middle Initial",
+      "Owner Last Name", "Suffix", "Legal Entity Owner", "Title")
+    val normalized = strCols.foldLeft(df) { (d, c) =>
+      val u = upper(trim(col(c)))
+      d.withColumn(c, when(u === "", lit(null)).otherwise(u))
+    }
+    val nameParts = Seq(col("Owner First Name"), col("Owner Middle Initial"),
+      col("Owner Last Name"), col("Suffix"))
+    normalized
+      .withColumn("Owner Full Name",
+        when(coalesce(nameParts: _*).isNull, lit(null))
+          .otherwise(concat_ws(" ", nameParts: _*)))
+      .withColumn("Is Individual Owner", col("Legal Entity Owner").isNull)
+      .withColumn("Has Multiple Owners",
+        count(lit(1)).over(Window.partitionBy("Account Number")) > 1)
+  }
+
+  /** Quality profile (`ingestion_pipeline.py:54-74`): one single-pass
+    * multi-aggregate — row/distinct/duplicate counts plus per-column
+    * null counts and completeness percentages.
+    */
+  def qualityProfile(df: DataFrame): DataFrame = {
+    val perCol = schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name} nulls"),
+        round(avg(when(c.isNull, 0.0).otherwise(1.0)) * 100, 4)
+          .as(s"${f.name} completeness_pct"))
+    }
+    val dups = df.count() - df.dropDuplicates().count()
+    val aggs = Seq(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("Account Number")).as("unique_businesses")) ++ perCol
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("duplicate_rows", lit(dups))
+  }
+
+  /** Full pipeline: CSV → profile (JSON) + cleaned Parquet.
+    * (`run_ingestion_pipeline`, `ingestion_pipeline.py:152-178`.)
+    */
+  def run(spark: SparkSession, csvPath: String, outDir: String): DataFrame = {
+    val cleaned = clean(readCsv(spark, csvPath))
+    cleaned.write.mode("overwrite").parquet(s"$outDir/processed")
+    qualityProfile(readCsv(spark, csvPath))
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/quality_report")
+    spark.read.parquet(s"$outDir/processed")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned Parquet lake (`dl/src/data_lake/storage_manager.py`):
+  * `<root>/<layer>/<table>/date=YYYYMMDD/…` with layer conventions
+  * raw/processed/analytics/aggregated.
+  *
+  * Uses Hive-style `partitionBy("date")` so partition discovery and
+  * pruning are native: `readPartition` compiles to a scan of exactly one
+  * directory — the manual glob/max logic of the reference
+  * (`storage_manager.py:220-244`) becomes a catalog/FS listing.
+  * Works against any Hadoop filesystem (local, HDFS, S3A) — the
+  * reference's separate local/S3 paths collapse into one code path.
+  */
+object LakeStorage {
+
+  val layers = Seq("raw", "processed", "analytics", "aggregated")
+
+  private def tablePath(root: String, layer: String, table: String) =
+    s"$root/$layer/$table"
+
+  /** Write one dated partition of a table (snappy parquet — default). */
+  def write(df: DataFrame, root: String, layer: String, table: String,
+            date: String): Unit =
+    df.withColumn("date", lit(date))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // replace only this date
+      .partitionBy("date")
+      .parquet(tablePath(root, layer, table))
+
+  def read(spark: SparkSession, root: String, layer: String, table: String): DataFrame =
+    spark.read.parquet(tablePath(root, layer, table))
+
+  /** Partition listing via the filesystem (no full scan). */
+  def listPartitions(spark: SparkSession, root: String, layer: String,
+                     table: String): Seq[String] = {
+    val p = new Path(tablePath(root, layer, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("date="))
+      .map(_.stripPrefix("date="))
+      .sorted
+  }
+
+  def latestPartition(spark: SparkSession, root: String, layer: String,
+                      table: String): Option[String] =
+    listPartitions(spark, root, layer, table).lastOption
+
+  /** Read only the newest partition — `where date = max` prunes at
+    * planning time to a single directory scan.
+    */
+  def readLatest(spark: SparkSession, root: String, layer: String,
+                 table: String): DataFrame =
+    latestPartition(spark, root, layer, table) match {
+      case Some(d) => read(spark, root, layer, table).where(col("date") === d)
+      case None => spark.emptyDataFrame
+    }
+
+  /** Drop partitions older than `keepDays` relative to `asOf` (yyyyMMdd).
+    * Pure FS operation — no data scan (`storage_manager.py:246-265`).
+    */
+  def applyRetention(spark: SparkSession, root: String, layer: String,
+                     table: String, keepDays: Int, asOf: String): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val cutoff = java.time.LocalDate.parse(asOf, fmt).minusDays(keepDays.toLong)
+    val doomed = listPartitions(spark, root, layer, table)
+      .filter(d => java.time.LocalDate.parse(d, fmt).isBefore(cutoff))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { d =>
+      fs.delete(new Path(s"${tablePath(root, layer, table)}/date=$d"), true)
+    }
+    doomed
+  }
+}

@@ -1,0 +1,93 @@
+package graft.stream
+
+import graft.core.{QueryPack, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the streaming semantics (SURVEY §2.9)
+  * and the multimodal plumbing — run in batch mode over the events/
+  * documents tables using the exact same plan functions the streaming
+  * paths use (Structured Streaming executes the identical expressions
+  * incrementally; StreamingSpec drives them through MemoryStream).
+  */
+object StreamQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // T4: stateless per-event enrichment, rolled up per category.
+    "q_s_enrich" -> ((s, dir) =>
+      Streaming.enrich(Tables.events(s, dir))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          round(avg(col("score_raw")), 6).as("avg_score"))
+        .orderBy("category")),
+
+    // T7: tumbling 1-hour windowed health metrics.
+    "q_s_window" -> ((s, dir) =>
+      Streaming.windowedHealth(Tables.events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    // T8: threshold alerting over the windowed stream.
+    "q_s_alerts" -> ((s, dir) =>
+      Streaming.alerts(Tables.events(s, dir), "1 hour", errorRateThreshold = 0.2)
+        .orderBy("window_start")),
+
+    // Multimodal metadata plumbing: binary payload + typed metadata.
+    "q_m_binary" -> ((s, dir) =>
+      Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+        .join(Tables.documents(s, dir), "doc_id")
+        .groupBy("source")
+        .agg(sum(col("meta.n_bytes")).as("total_bytes"),
+          countDistinct(col("meta.checksum")).as("n_distinct_payloads"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    // Batched stub decode (mapPartitions seam) — not SQL-expressible;
+    // rows-only here, exercised in MultimodalSpec.
+    "q_m_features" -> ((s, dir) => {
+      val feats = Multimodal.featurize(s, Tables.documents(s, dir), "doc_id", "text")
+      feats.agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(sum(element_at(col("features"), 1).cast("double")), 2).as("f0_mass"))
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_s_enrich" ->
+      """WITH e AS (SELECT *,
+        |    CASE WHEN regexp_matches(LOWER(event_type), 'purchase|signup') THEN 'Conversion'
+        |         WHEN regexp_matches(LOWER(event_type), 'error') THEN 'Failure'
+        |         ELSE 'Engagement' END AS category,
+        |    value > 150.0 AS is_anomaly,
+        |    LEAST(value * 0.05, 10.0) AS score_raw
+        |  FROM events)
+        |SELECT category, COUNT(*) AS n,
+        |  SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS n_anomalies,
+        |  ROUND(AVG(score_raw), 6) AS avg_score
+        |FROM e GROUP BY category ORDER BY category""".stripMargin,
+
+    "q_s_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_s_alerts" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS window_start,
+        |    COUNT(*) AS n_events,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |  FROM events GROUP BY 1)
+        |SELECT window_start, n_events, n_errors,
+        |  ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
+        |  'error_rate_above_threshold' AS alert_type
+        |FROM w WHERE CAST(n_errors AS DOUBLE) / n_events > 0.2
+        |ORDER BY window_start""".stripMargin,
+
+    "q_m_binary" ->
+      """SELECT source,
+        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

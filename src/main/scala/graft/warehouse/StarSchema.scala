@@ -1,0 +1,201 @@
+package graft.warehouse
+
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimensional star-schema ETL — the Spark re-expression of
+  * `dl/src/etl/pipeline.py` + `dl/database/schema.sql`: staging →
+  * dimensions → facts → aggregates → integrity validation.
+  *
+  * The reference executes these stages as SQL inside Postgres; here the
+  * whole load is one Catalyst DAG over DataFrames. Dimensions are small
+  * (≤ distinct businesses) so every fact join broadcasts them; the only
+  * large shuffles are the distinct/groupBy on the staging key columns.
+  * Surrogate keys are deterministic content hashes (xxhash64) instead of
+  * UUIDs — reproducible across runs and safe to regenerate per load.
+  */
+object StarSchema {
+
+  /** dim_date generator (`schema.sql:289-317`): sequence+explode
+    * replaces the reference's PL/pgSQL loop — distributed, no driver
+    * iteration.
+    */
+  def dimDate(spark: SparkSession, start: String, end: String): DataFrame =
+    spark.range(1)
+      .select(explode(expr(
+        s"sequence(to_date('$start'), to_date('$end'), interval 1 day)")).as("date_id"))
+      .select(col("date_id"),
+        year(col("date_id")).as("year"),
+        quarter(col("date_id")).as("quarter"),
+        month(col("date_id")).as("month"),
+        dayofmonth(col("date_id")).as("day"),
+        dayofweek(col("date_id")).as("day_of_week"),
+        date_format(col("date_id"), "EEEE").as("day_name"),
+        date_format(col("date_id"), "MMMM").as("month_name"),
+        dayofweek(col("date_id")).isin(1, 7).as("is_weekend"))
+
+  /** dim_role seed (`schema.sql:397-408`): 10 canonical titles with
+    * category/leadership/hierarchy. Broadcast side of every role join.
+    */
+  def dimRole(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("CEO", "Executive", true, false, 1),
+      ("PRESIDENT", "Executive", true, false, 1),
+      ("MANAGING MEMBER", "Management", true, true, 2),
+      ("MANAGER", "Management", true, false, 2),
+      ("DIRECTOR", "Management", true, false, 2),
+      ("OWNER", "Ownership", false, true, 3),
+      ("SHAREHOLDER", "Ownership", false, true, 3),
+      ("PARTNER", "Ownership", false, true, 3),
+      ("MEMBER", "Ownership", false, true, 3),
+      ("OTHER", "Other", false, false, 4))
+      .toDF("title", "role_category", "is_leadership", "is_ownership", "hierarchy_level")
+  }
+
+  /** dim_business (`etl/pipeline.py:291-321`): distinct businesses with
+    * LIKE-based type classification and name-length size buckets.
+    */
+  def dimBusiness(cleaned: DataFrame): DataFrame =
+    cleaned.select(col("Account Number").as("account_number"),
+        col("Legal Name").as("legal_name"))
+      .dropDuplicates("account_number")
+      .withColumn("business_id",
+        xxhash64(lit("biz"), col("account_number")))
+      .withColumn("business_type",
+        when(col("legal_name").like("%LLC%"), "LLC")
+          .when(col("legal_name").like("%INC%") || col("legal_name").like("%CORP%"),
+            "Corporation")
+          .when(col("legal_name").like("%LTD%"), "Limited")
+          .otherwise("Other"))
+      .withColumn("business_size_category",
+        when(length(col("legal_name")) < 20, "Small")
+          .when(length(col("legal_name")) < 40, "Medium")
+          .otherwise("Large"))
+
+  /** dim_owner (`etl/pipeline.py:323-355`): distinct owners, individual
+    * vs corporate.
+    */
+  def dimOwner(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+        col("Owner Full Name").as("full_name"),
+        col("Owner First Name").as("first_name"),
+        col("Owner Last Name").as("last_name"),
+        col("Legal Entity Owner").as("legal_entity_name"),
+        col("Is Individual Owner").as("is_individual"))
+      .dropDuplicates("full_name", "legal_entity_name")
+      .withColumn("owner_id",
+        xxhash64(lit("own"), coalesce(col("full_name"), lit("")),
+          coalesce(col("legal_entity_name"), lit(""))))
+      .withColumn("owner_type",
+        when(col("is_individual"), "Individual").otherwise("Corporate"))
+
+  /** fact_business_ownership (`etl/pipeline.py:379-405`): staging joined
+    * to all three dimensions. The owner match is the reference's
+    * disjunctive join — name-parts OR legal-entity — rewritten as a
+    * union of two hash joins (J2). Primary-owner flag via row_number.
+    * Unseeded titles fall back to the OTHER role (left join + coalesce).
+    */
+  def factOwnership(cleaned: DataFrame, dimB: DataFrame, dimO: DataFrame,
+                    dimR: DataFrame): DataFrame = {
+    val staged = cleaned.select(
+      col("Account Number").as("account_number"),
+      col("Owner Full Name").as("full_name"),
+      col("Legal Entity Owner").as("legal_entity_name"),
+      col("Title").as("title"))
+    val byName = staged.filter(col("full_name").isNotNull)
+      .join(broadcast(dimO.filter(col("is_individual"))
+        .select("owner_id", "full_name")), Seq("full_name"))
+    val byEntity = staged.filter(col("legal_entity_name").isNotNull)
+      .join(broadcast(dimO.filter(!col("is_individual"))
+        .select("owner_id", "legal_entity_name")), Seq("legal_entity_name"))
+    val matched = byName.select("account_number", "title", "owner_id")
+      .unionByName(byEntity.select("account_number", "title", "owner_id"))
+      .dropDuplicates("account_number", "owner_id", "title")
+    val withDims = matched
+      .join(broadcast(dimB.select("account_number", "business_id")), Seq("account_number"))
+      .join(broadcast(dimR.select(col("title"), col("role_category"),
+        col("is_leadership"), col("is_ownership"))), Seq("title"), "left")
+      .withColumn("role_category", coalesce(col("role_category"), lit("Other")))
+      .withColumn("is_leadership", coalesce(col("is_leadership"), lit(false)))
+      .withColumn("is_ownership", coalesce(col("is_ownership"), lit(false)))
+    withDims.withColumn("is_primary_owner",
+      row_number().over(Window.partitionBy("account_number")
+        .orderBy(asc("owner_id"), asc("title"))) === 1)
+  }
+
+  /** fact_business_metrics (`etl/pipeline.py:407-448`): per-business
+    * conditional-distinct owner counts + bounded scores. One grouped
+    * pass (Expand-based multi-distinct).
+    */
+  def factBusinessMetrics(fact: DataFrame): DataFrame =
+    fact.groupBy("business_id", "account_number")
+      .agg(
+        countDistinct(col("owner_id")).as("total_owners"),
+        countDistinct(when(col("is_leadership"), col("owner_id"))).as("leadership_owners"),
+        countDistinct(when(col("is_ownership"), col("owner_id"))).as("ownership_owners"))
+      .withColumn("complexity_score",
+        round(least(col("total_owners") * 0.5 + lit(1.0), lit(10.0)), 2))
+      .withColumn("diversity_score",
+        round(least(col("leadership_owners").cast("double") /
+          col("total_owners") * 10.0, lit(10.0)), 2))
+
+  /** fact_owner_demographics (`etl/pipeline.py:450-477`): name stats
+    * with uniqueness flag (W3) and global frequency rank (W4 — computed
+    * over the aggregated name counts, not a raw-data global window).
+    */
+  def factOwnerDemographics(dimO: DataFrame): DataFrame = {
+    val named = dimO.filter(col("full_name").isNotNull)
+    val freq = named.groupBy("full_name").agg(count(lit(1)).as("name_freq"))
+      .withColumn("name_frequency_rank",
+        row_number().over(Window.orderBy(desc("name_freq"), asc("full_name"))))
+    named.join(freq, Seq("full_name"))
+      .withColumn("name_length", length(col("full_name")))
+      .withColumn("is_unique_name", col("name_freq") === 1)
+      .select("owner_id", "full_name", "name_length", "is_unique_name",
+        "name_frequency_rank")
+  }
+
+  /** agg_role_distribution (`etl/pipeline.py:534-549`): counts with
+    * percent-of-total over the aggregate.
+    */
+  def aggRoleDistribution(fact: DataFrame): DataFrame =
+    fact.groupBy("role_category")
+      .agg(count(lit(1)).as("role_count"))
+      .withColumn("percentage",
+        round(col("role_count") * 100.0 /
+          sum(col("role_count")).over(Window.partitionBy()), 2))
+
+  /** Post-load integrity validation (`etl/pipeline.py:567-609`):
+    * anti-join orphan counts for every FK + a pass/fail verdict.
+    */
+  def integrityCheck(spark: SparkSession, fact: DataFrame, dimB: DataFrame,
+                     dimO: DataFrame): DataFrame = {
+    import spark.implicits._
+    val orphanBiz = Joins.orphans(fact,
+      dimB.select(col("business_id")), Seq("business_id")).count()
+    val orphanOwn = Joins.orphans(fact,
+      dimO.select(col("owner_id")), Seq("owner_id")).count()
+    Seq((orphanBiz, orphanOwn, orphanBiz == 0 && orphanOwn == 0))
+      .toDF("orphaned_business_fk", "orphaned_owner_fk", "passed")
+  }
+
+  /** Full warehouse load over a cleaned staging table. */
+  def loadAll(spark: SparkSession, cleaned: DataFrame): Map[String, DataFrame] = {
+    val dimB = dimBusiness(cleaned)
+    val dimO = dimOwner(cleaned)
+    val dimR = dimRole(spark)
+    val fact = factOwnership(cleaned, dimB, dimO, dimR)
+    Map(
+      "dim_business" -> dimB,
+      "dim_owner" -> dimO,
+      "dim_role" -> dimR,
+      "fact_business_ownership" -> fact,
+      "fact_business_metrics" -> factBusinessMetrics(fact),
+      "fact_owner_demographics" -> factOwnerDemographics(dimO),
+      "agg_role_distribution" -> aggRoleDistribution(fact),
+      "integrity" -> integrityCheck(spark, fact, dimB, dimO))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ingest.Ingestion
+import graft.lake.LakeStorage
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureCsv(): String = {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val csv =
+      """Account Number,Legal Name,Owner First Name,Owner Middle Initial,Owner Last Name,Suffix,Legal Entity Owner,Title
+        |85613,"MERCER (US) LLC",Ron,M,Anderson,,,OTHER
+        |85613,"MERCER (US) LLC",Jane,,Smith,JR,,CEO
+        |509748,"investments perdomo llc",celso,rafael,perdomo,,,MANAGING MEMBER
+        |600100,"ACME CORP",,,,,HOLDINGS INC,OWNER
+        |600101,"  padded name co  ", null ,N/A,NULL,,,manager
+        |600102,EMPTY OWNER CO,,,,,,PRESIDENT
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "owners.csv"), csv)
+    s"$dir/owners.csv"
+  }
+
+  test("CSV read normalizes NA sentinels; clean derives the three columns") {
+    val df = Ingestion.readCsv(spark, fixtureCsv())
+    assert(df.count() === 6)
+    val cleaned = Ingestion.clean(df).cache()
+
+    val byKey = cleaned.collect().map(r =>
+      (r.getAs[Long]("Account Number"), r.getAs[String]("Owner First Name"),
+       r.getAs[String]("Owner Full Name"), r.getAs[Boolean]("Is Individual Owner"),
+       r.getAs[Boolean]("Has Multiple Owners"))).toSeq
+
+    // multi-owner account flagged on both rows
+    assert(byKey.filter(_._1 == 85613).forall(_._5))
+    assert(byKey.filter(_._1 == 509748).forall(!_._5))
+    // full name skips null parts, uppercased
+    assert(byKey.find(_._2 == "RON").get._3 === "RON M ANDERSON")
+    assert(byKey.find(_._2 == "JANE").get._3 === "JANE SMITH JR")
+    // corporate owner: null name parts → null full name, not individual
+    val corp = byKey.find(_._1 == 600100).get
+    assert(corp._3 === null && !corp._4)
+    // NA sentinels (' null ', 'N/A', 'NULL') became null → all-null name
+    val padded = byKey.find(_._1 == 600101).get
+    assert(padded._3 === null && padded._4)
+  }
+
+  test("quality profile reports counts, nulls, completeness") {
+    val prof = Ingestion.qualityProfile(Ingestion.readCsv(spark, fixtureCsv()))
+      .collect().head
+    assert(prof.getAs[Long]("total_records") === 6)
+    assert(prof.getAs[Long]("unique_businesses") === 5)
+    assert(prof.getAs[Long]("Owner First Name nulls") === 3)
+    assert(prof.getAs[Long]("duplicate_rows") === 0)
+  }
+
+  test("lake write/read round-trips with partition pruning and retention") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val d1 = Seq((1, "a")).toDF("k", "v")
+    val d2 = Seq((2, "b")).toDF("k", "v")
+    LakeStorage.write(d1, root, "processed", "t", "20240101")
+    LakeStorage.write(d2, root, "processed", "t", "20240315")
+    assert(LakeStorage.listPartitions(spark, root, "processed", "t")
+      === Seq("20240101", "20240315"))
+    assert(LakeStorage.latestPartition(spark, root, "processed", "t")
+      === Some("20240315"))
+    val latest = LakeStorage.readLatest(spark, root, "processed", "t")
+    assert(latest.select("k").as[Int].collect().toSeq === Seq(2))
+    // pruning: the plan must read only one of the two partitions
+    val scanned = latest.queryExecution.executedPlan.toString
+    assert(!scanned.contains("20240101") || scanned.contains("PartitionFilters"))
+
+    val dropped = LakeStorage.applyRetention(spark, root, "processed", "t",
+      keepDays = 30, asOf = "20240320")
+    assert(dropped === Seq("20240101"))
+    assert(LakeStorage.listPartitions(spark, root, "processed", "t")
+      === Seq("20240315"))
+  }
+
+  test("ingest pipeline end-to-end writes parquet and quality JSON") {
+    val out = Files.createTempDirectory("graft_pipe").toString
+    val processed = Ingestion.run(spark, fixtureCsv(), out)
+    assert(processed.count() === 6)
+    assert(processed.columns.contains("Owner Full Name"))
+    val report = spark.read.json(s"$out/quality_report")
+    assert(report.count() === 1)
+  }
+}

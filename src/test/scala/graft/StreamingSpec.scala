@@ -1,0 +1,89 @@
+package graft
+
+import graft.stream.Streaming
+import graft.stream.Streaming.DataEvent
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, typ: String, v: Double) =
+    DataEvent(id, Timestamp.valueOf(t), id % 5, typ, v, "{}")
+
+  test("streaming dedupe drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataEvent]
+    val q = Streaming.dedupeEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", "error", 2.0),
+      ev(1, "2024-01-01 10:06:00", "click", 1.0)) // duplicate id
+    q.processAllAvailable()
+    input.addData(ev(1, "2024-01-01 10:20:00", "click", 9.9)) // still dup
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+    assert(out.count() === 2)
+    q.stop()
+  }
+
+  test("windowed health metrics aggregate by event-time window in streaming mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataEvent]
+    val q = Streaming.windowedHealthStream(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("window_out")
+      .outputMode("complete").start()
+    input.addData(
+      ev(1, "2024-01-01 10:10:00", "click", 1.0),
+      ev(2, "2024-01-01 10:40:00", "click", 2.0),
+      ev(3, "2024-01-01 11:05:00", "error", 3.0))
+    q.processAllAvailable()
+    val out = spark.table("window_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "error", 1L)))
+    q.stop()
+  }
+
+  test("alerts fire only when windowed error rate exceeds threshold") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00", "error", 1.0),
+      ev(2, "2024-01-01 10:10:00", "click", 1.0),   // 50% errors → alert
+      ev(3, "2024-01-01 11:00:00", "click", 1.0),
+      ev(4, "2024-01-01 11:10:00", "click", 1.0),
+      ev(5, "2024-01-01 11:20:00", "click", 1.0)).toDF()
+    val a = Streaming.alerts(batch, "1 hour", 0.05).collect()
+    assert(a.length === 1)
+    assert(a.head.getAs[Timestamp]("window_start").toString.startsWith("2024-01-01 10:"))
+  }
+
+  test("idempotent upsert sink converges under redelivery") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+    val b2 = Seq((2L, "B"), (3L, "c")).toDF("event_id", "v")
+    Streaming.upsertBatchToParquet(spark, b1, Seq("event_id"), path)
+    Streaming.upsertBatchToParquet(spark, b2, Seq("event_id"), path)
+    Streaming.upsertBatchToParquet(spark, b2, Seq("event_id"), path) // redelivery
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("multimodal stub featurizer emits one normalized feature row per doc") {
+    val df = Seq((1L, "hello"), (2L, "a much longer document text"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.featurize(spark, df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_bytes"), r.getAs[Seq[Float]]("features"))).toMap
+    assert(feats(1L)._1 === 5)
+    assert(feats(2L)._1 === 27)
+    assert(feats.values.forall(_._2.length === 8))
+    // histogram is normalized: sums to ~1
+    assert(math.abs(feats(1L)._2.sum - 1.0f) < 1e-5)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ingest.Ingestion
+import graft.warehouse.StarSchema
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cleaned = Ingestion.clean(Seq(
+    (85613L, "MERCER (US) LLC", Some("Ron"), Some("M"), Some("Anderson"), None, None, Some("OTHER")),
+    (85613L, "MERCER (US) LLC", Some("Jane"), None, Some("Smith"), Some("JR"), None, Some("CEO")),
+    (509748L, "INVESTMENTS PERDOMO LLC", Some("Celso"), Some("Rafael"), Some("Perdomo"), None, None, Some("MANAGING MEMBER")),
+    (600100L, "ACME CORP", None, None, None, None, Some("HOLDINGS INC"), Some("OWNER")),
+    (600200L, "A VERY LONG BUSINESS NAME FOR SIZE BUCKETING LTD", Some("Ann"), None, Some("Lee"), None, None, Some("WIZARD")))
+    .map { case (a, l, f, m, ln, s, e, t) => (a, l, f.orNull, m.orNull, ln.orNull, s.orNull, e.orNull, t.orNull) }
+    .toDF("Account Number", "Legal Name", "Owner First Name", "Owner Middle Initial",
+      "Owner Last Name", "Suffix", "Legal Entity Owner", "Title"))
+
+  private lazy val wh = StarSchema.loadAll(spark, cleaned)
+
+  test("dimensions classify and dedup correctly") {
+    val biz = wh("dim_business").collect()
+      .map(r => r.getAs[Long]("account_number") ->
+        (r.getAs[String]("business_type"), r.getAs[String]("business_size_category"))).toMap
+    assert(biz(85613L)._1 === "LLC")
+    assert(biz(600100L)._1 === "Corporation")
+    assert(biz(600200L)._1 === "Limited")
+    assert(biz(600200L)._2 === "Large")
+    assert(wh("dim_owner").count() === 5)
+    assert(wh("dim_role").count() === 10)
+  }
+
+  test("fact joins every staged row to its dims; unseeded title falls back") {
+    val fact = wh("fact_business_ownership").cache()
+    assert(fact.count() === 5)
+    val wizard = fact.filter(col("title") === "WIZARD").collect().head
+    assert(wizard.getAs[String]("role_category") === "Other")
+    // exactly one primary owner per business
+    val primaries = fact.groupBy("account_number")
+      .agg(sum(when(col("is_primary_owner"), 1).otherwise(0)).as("n"))
+      .select("n").as[Long].collect()
+    assert(primaries.forall(_ === 1))
+  }
+
+  test("metrics, demographics, and role distribution are consistent") {
+    val m = wh("fact_business_metrics").collect()
+      .map(r => r.getAs[Long]("account_number") -> r.getAs[Long]("total_owners")).toMap
+    assert(m(85613L) === 2 && m(509748L) === 1)
+
+    val demo = wh("fact_owner_demographics").collect()
+    assert(demo.forall(_.getAs[Boolean]("is_unique_name")))
+    val ranks = demo.map(_.getAs[Int]("name_frequency_rank")).sorted
+    assert(ranks.toSeq === (1 to demo.length))
+
+    val pct = wh("agg_role_distribution")
+      .agg(sum(col("percentage"))).as[Double].collect().head
+    assert(math.abs(pct - 100.0) < 0.5)
+  }
+
+  test("integrity check passes on a consistent load") {
+    val verdict = wh("integrity").collect().head
+    assert(verdict.getAs[Boolean]("passed"))
+    assert(verdict.getAs[Long]("orphaned_business_fk") === 0L)
+  }
+
+  test("dim_date generates correct calendar attributes") {
+    val dd = StarSchema.dimDate(spark, "2024-02-01", "2024-03-01")
+    assert(dd.count() === 30)
+    val leap = dd.filter(col("date_id") === to_date(lit("2024-02-29"))).collect().head
+    assert(leap.getAs[Int]("day_of_week") === 5) // Thursday (Sunday=1)
+    assert(leap.getAs[String]("day_name") === "Thursday")
+    assert(!leap.getAs[Boolean]("is_weekend"))
+  }
+}
