@@ -66,15 +66,17 @@ object Similarity {
     val bands = planes / rowsPerBand
     val mask = (1L << rowsPerBand) - 1
     val sig = df.select(col(idCol), col(vecCol))
+      .withColumn("nrm", norm(col(vecCol)))
       .withColumn("sig", lshSignature(col(vecCol), dim, planes))
-    val banded = sig.select(col(idCol), col(vecCol), posexplode(expr(
+    val banded = sig.select(col(idCol), col(vecCol), col("nrm"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), j -> shiftright(sig, j * $rowsPerBand) & $mask)"))
       .as(Seq("band", "key")))
-    banded.toDF("id_a", "vec_a", "band", "key")
-      .join(banded.toDF("id_b", "vec_b", "band", "key"), Seq("band", "key"))
+    banded.toDF("id_a", "vec_a", "nrm_a", "band", "key")
+      .join(banded.toDF("id_b", "vec_b", "nrm_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -87,11 +89,16 @@ object Similarity {
     */
   def bucketedTopPairs(df: DataFrame, idCol: String, vecCol: String,
                        bucketCol: String, k: Int): DataFrame = {
+    // Norms are computed once per VECTOR before the pair join — inside
+    // the join each of the O(bucket²) pairs then costs a single dot
+    // product instead of three (2 norms + dot): ~3× less flops at scale.
     val v = df.select(col(bucketCol).as("bucket"), col(idCol), col(vecCol))
-    val pairs = v.toDF("bucket", "id_a", "vec_a")
-      .join(v.toDF("bucket", "id_b", "vec_b"), "bucket")
+      .withColumn("nrm", norm(col(vecCol)))
+    val pairs = v.toDF("bucket", "id_a", "vec_a", "nrm_a")
+      .join(v.toDF("bucket", "id_b", "vec_b", "nrm_b"), "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
     pairs.withColumn("rn", row_number().over(w))
