@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ xᵢ·yᵢ in double precision (codegen'd higher-order functions). */
+  /** Σ xᵢ·yᵢ in double precision — a native codegen'd Catalyst
+    * expression (tight Java loop) rather than `aggregate`/`zip_with`,
+    * whose lambdas run interpreted per element. Same left-to-right
+    * double arithmetic, so results are bit-identical to the HOF form.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,7 +47,7 @@ object Similarity {
     */
   def lshSignature(vecCol: Column, dim: Int, planes: Int = 16, seed: Long = 42): Column = {
     val rnd = new scala.util.Random(seed)
-    val dirs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val dirs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     (0 until planes).map { p =>
       val d = array(dirs(p).map(lit(_)): _*)
       when(dot(vecCol, d) > 0, lit(1L << p)).otherwise(lit(0L))

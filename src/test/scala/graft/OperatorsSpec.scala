@@ -66,6 +66,22 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(g - expG) < 1e-6)
   }
 
+  test("single-pass entropy Aggregator matches the two-stage computation") {
+    val df = Tables.documentsLike
+    val onePass = df.agg(
+      graft.functions.EntropyAggregator.entropyOf(col("v")).as("entropy"))
+      .as[Double].head()
+    val twoStage = Demographics.shannonEntropy(df, "v")
+      .select("entropy").as[Double].head()
+    // two-stage output is rounded at 6 dp — compare at that grain
+    assert(math.abs(onePass - twoStage) < 1e-6)
+  }
+
+  private object Tables {
+    def documentsLike = Seq("a", "a", "b", "c", "c", "c", "d", "a")
+      .toDF("v")
+  }
+
   test("search is case-insensitive and null-safe") {
     val df = Seq((1, Some("Deluxe Widget")), (2, Some("gadget")),
       (3, None: Option[String])).toDF("id", "name")
