@@ -1,0 +1,70 @@
+package graft
+
+import graft.analytics.Report
+import graft.ingest.Ingestion
+import graft.lake.LakeStorage
+import graft.serve.QueryService
+import graft.warehouse.StarSchema
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's full batch lifecycle (SURVEY §3.1 + §3.3) end-to-end:
+  * CSV → ingest/clean → lake layers → analytics report → star-schema
+  * warehouse → integrity gate → serve-layer queries.
+  */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full pipeline: csv -> lake -> report -> warehouse -> serve") {
+    val work = Files.createTempDirectory("graft_e2e").toString
+    val csv =
+      """Account Number,Legal Name,Owner First Name,Owner Middle Initial,Owner Last Name,Suffix,Legal Entity Owner,Title
+        |1001,ALPHA LLC,Amy,,Stone,,,CEO
+        |1001,ALPHA LLC,Bob,J,Stone,,,MEMBER
+        |1002,BETA CORP,,,,,GAMMA HOLDINGS INC,OWNER
+        |1003,DELTA LTD,Cara,,Reyes,,,MANAGER
+        |1004,EPSILON LLC,Dan,,Ng,,,PRESIDENT
+        |""".stripMargin
+    val csvPath = s"$work/owners.csv"
+    Files.writeString(java.nio.file.Paths.get(csvPath), csv)
+
+    // 1. ingest + clean
+    val cleaned = Ingestion.clean(Ingestion.readCsv(spark, csvPath))
+
+    // 2. lake: processed layer, dated partition; read back via pruning
+    LakeStorage.write(cleaned, work + "/lake", "processed", "owners", "20240801")
+    val fromLake = LakeStorage.readLatest(spark, work + "/lake", "processed", "owners")
+    assert(fromLake.count() === 5)
+
+    // 3. analytics report to the analytics layer
+    val report = Report.comprehensiveReport(fromLake.drop("date"))
+    Report.writeJson(report, work + "/lake/analytics/demographics")
+    val back = spark.read.json(work + "/lake/analytics/demographics")
+    assert(back.count() === 1)
+    val row = back.select(
+      col("ownership_patterns.total_businesses"),
+      col("business_names.llc_count"),
+      col("diversity.last_name_entropy")).collect().head
+    assert(row.getLong(0) === 4)
+    // row-grain count: ALPHA LLC contributes 2 rows + EPSILON LLC
+    assert(row.getLong(1) === 3)
+    assert(row.getDouble(2) > 0.0)
+
+    // 4. warehouse load + integrity gate
+    val wh = StarSchema.loadAll(spark, fromLake.drop("date"))
+    assert(wh("integrity").collect().head.getAs[Boolean]("passed"))
+    assert(wh("fact_business_ownership").count() === 5)
+
+    // 5. serve layer: search + detail + pagination over the lake table
+    val hits = QueryService.search(fromLake, "Legal Name", "llc")
+    assert(hits.select(countDistinct(col("Account Number"))).as[Long].head() === 2)
+    val detail = QueryService.groupCollect(
+      fromLake.drop("date"), "Account Number",
+      Seq("Legal Name"), Seq("Owner Full Name", "Title"))
+    val alpha = detail.filter(col("Account Number") === 1001).collect().head
+    assert(alpha.getAs[Seq[String]]("Owner Full Name_list")
+      === Seq("AMY STONE", "BOB J STONE"))
+    val page = QueryService.paginate(detail, Seq("Account Number"), 0, 2)
+    assert(page.count() === 2)
+  }
+}
