@@ -165,6 +165,16 @@ object RelationalQueries extends QueryPack {
           to_json(struct(col("n_name").as("name"), col("n_regionkey").as("rk")))
             .as("raw_data"))
         .orderBy("n_nationkey")),
+
+    // F20 inverse: parse the semi-structured props payload (from_json
+    // with a declared schema) and aggregate on the extracted field.
+    "q_f20_from_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), lit("k BIGINT")).getField("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k_mod")),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -258,5 +268,10 @@ object RelationalQueries extends QueryPack {
       """SELECT n_nationkey,
         |  to_json(struct_pack(name := n_name, rk := n_regionkey)) AS raw_data
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_f20_from_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
   )
 }

@@ -74,6 +74,26 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("file-watch stream source: native file source drives the same plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = Streaming.enrich(stream)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("append").start()
+    // drop a file into the watched directory → it becomes a micro-batch
+    Seq(ev(1, "2024-01-01 10:00:00", "purchase", 10.0),
+        ev(2, "2024-01-01 10:01:00", "error", 200.0))
+      .toDF().write.mode("append").json(dir)
+    q.processAllAvailable()
+    val out = spark.table("file_out").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("category"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(out(1L) === ("Conversion", false))
+    assert(out(2L) === ("Failure", true))
+    q.stop()
+  }
+
   test("multimodal stub featurizer emits one normalized feature row per doc") {
     val df = Seq((1L, "hello"), (2L, "a much longer document text"))
       .toDF("doc_id", "text")
