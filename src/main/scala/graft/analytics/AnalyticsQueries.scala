@@ -105,6 +105,18 @@ object AnalyticsQueries extends QueryPack {
     "q_a13_tokens" -> ((s, dir) =>
       Demographics.tokenTopK(Tables.documents(s, dir), "text", 20)),
 
+    // A14: Pearson correlation (the dashboard's correlation-matrix
+    // query) per group. Rounded at 4 dp: corr is a ratio of large
+    // accumulations, so it carries more float noise than plain sums.
+    "q_a14_corr" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // A15: pipeline-health-style aggregates over a time axis: per-day
     // event counts, error counts, exact-decimal value sums, error rate.
     "q_a15_health" -> ((s, dir) => {
@@ -215,6 +227,12 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |WHERE regexp_full_match(word, '[a-zA-Z]{3,}')
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q_a14_corr" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a15_health" ->
       """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,

@@ -49,7 +49,14 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    // Shingles are collapsed to 64-bit hashes before the self-join: the
+    // shuffle carries 8-byte keys instead of strings and the join
+    // compares longs. A cross-shingle collision would need ~2^32
+    // distinct shingles to become likely (birthday bound) — far above
+    // any per-corpus shingle count this operator sees per partition of
+    // work, and the same trick MinHash already relies on.
     val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), "shingle")
