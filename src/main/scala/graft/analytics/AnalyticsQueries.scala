@@ -150,11 +150,11 @@ object AnalyticsQueries extends QueryPack {
     "q_a2_histogram" ->
       """WITH g AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
         |SELECT COUNT(*) AS n_groups,
-        |  SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS size_1,
-        |  SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS size_2,
-        |  SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS size_3,
-        |  SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS size_4,
-        |  SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS size_5_plus,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS size_1,
+        |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS size_2,
+        |  CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT) AS size_3,
+        |  CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS BIGINT) AS size_4,
+        |  CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS size_5_plus,
         |  MAX(n) AS max_size
         |FROM g""".stripMargin,
 
@@ -170,27 +170,27 @@ object AnalyticsQueries extends QueryPack {
 
     "q_a5_length_stats" ->
       """SELECT ROUND(AVG(LENGTH(p_name)), 6) AS avg_len,
-        |  MIN(LENGTH(p_name)) AS min_len, MAX(LENGTH(p_name)) AS max_len,
+        |  CAST(MIN(LENGTH(p_name)) AS INTEGER) AS min_len, CAST(MAX(LENGTH(p_name)) AS INTEGER) AS max_len,
         |  COUNT(*) AS n
         |FROM part WHERE p_name IS NOT NULL""".stripMargin,
 
     "q_a6_pattern_counts" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS has_spark,
-        |  SUM(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS has_digit,
-        |  SUM(CASE WHEN regexp_matches(text, '\bjoin\b') THEN 1 ELSE 0 END) AS has_join_word,
-        |  SUM(CASE WHEN LENGTH(text) > 70 THEN 1 ELSE 0 END) AS long_text
+        |  CAST(SUM(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS has_spark,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS has_digit,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '\bjoin\b') THEN 1 ELSE 0 END) AS BIGINT) AS has_join_word,
+        |  CAST(SUM(CASE WHEN LENGTH(text) > 70 THEN 1 ELSE 0 END) AS BIGINT) AS long_text
         |FROM documents""".stripMargin,
 
     "q_a7_profile" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS c_name_nulls,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name_nulls,
         |  ROUND(AVG(CASE WHEN c_name IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_name_completeness_pct,
-        |  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS c_nationkey_nulls,
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_nulls,
         |  ROUND(AVG(CASE WHEN c_nationkey IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_nationkey_completeness_pct,
-        |  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS c_acctbal_nulls,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_nulls,
         |  ROUND(AVG(CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_acctbal_completeness_pct,
-        |  SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS c_mktsegment_nulls,
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_nulls,
         |  ROUND(AVG(CASE WHEN c_mktsegment IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_mktsegment_completeness_pct
         |FROM customer""".stripMargin,
 
@@ -212,14 +212,14 @@ object AnalyticsQueries extends QueryPack {
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
         |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy,
-        |  SUM(cnt) AS n
+        |  CAST(SUM(cnt) AS BIGINT) AS n
         |FROM g""".stripMargin,
 
     "q_a12_gini" ->
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
         |SELECT ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt)), 6) AS gini_simpson,
-        |  SUM(cnt) AS n
+        |  CAST(SUM(cnt) AS BIGINT) AS n
         |FROM g""".stripMargin,
 
     "q_a13_tokens" ->
@@ -236,7 +236,7 @@ object AnalyticsQueries extends QueryPack {
 
     "q_a15_health" ->
       """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS error_rate
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -102,7 +102,10 @@ object JoinQueries extends QueryPack {
         .withColumn("item", concat_ws(":",
           col("l_partkey"), col("l_quantity").cast("long")))
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("item"))).as("items"),
+        // joined to a string: an array column's arrow inner-field name
+        // differs between engines ('element' vs 'l') and could trip a
+        // strict schema compare
+        .agg(array_join(sort_array(collect_list(col("item"))), ",").as("items"),
              count(lit(1)).as("n_items"))
         .orderBy("l_orderkey")
     }),
@@ -155,7 +158,7 @@ object JoinQueries extends QueryPack {
 
     "q_j7_group_lists" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_partkey || ':' || CAST(l_quantity AS BIGINT))) AS items,
+        |  array_to_string(list_sort(list(l_partkey || ':' || CAST(l_quantity AS BIGINT))), ',') AS items,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
   )

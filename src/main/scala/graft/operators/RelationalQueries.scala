@@ -221,7 +221,7 @@ object RelationalQueries extends QueryPack {
 
     "q_o4_pagination" ->
       """SELECT c_custkey, c_name,
-        |  ROW_NUMBER() OVER (ORDER BY c_custkey) AS row_num
+        |  CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INTEGER) AS row_num
         |FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 100""".stripMargin,
 
     "q_d1_distinct" ->
@@ -239,8 +239,8 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem""".stripMargin,
 
     "q_f12_date_parts" ->
-      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-        |  month(o_orderdate) AS m, dayofweek(o_orderdate) + 1 AS dow,
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m, CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
         |  dayname(o_orderdate) AS day_name, monthname(o_orderdate) AS month_name,
         |  COUNT(*) AS cnt
         |FROM orders GROUP BY 1,2,3,4,5,6 ORDER BY 1,2,3,4""".stripMargin,
@@ -248,13 +248,13 @@ object RelationalQueries extends QueryPack {
     "q_f15_interval_window" ->
       """WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
         |SELECT COUNT(*) AS n_last_day,
-        |  SUM(FLOOR(date_part('epoch', date_trunc('second', max_ts)))::BIGINT
-        |    - FLOOR(date_part('epoch', date_trunc('second', ts)))::BIGINT) AS total_age_s
+        |  CAST(SUM(FLOOR(date_part('epoch', date_trunc('second', max_ts)))::BIGINT
+        |    - FLOOR(date_part('epoch', date_trunc('second', ts)))::BIGINT) AS BIGINT) AS total_age_s
         |FROM events, m WHERE ts > max_ts - INTERVAL 24 HOURS""".stripMargin,
 
     "q_f17_date_series" ->
       """SELECT CAST(d AS DATE) AS date_id,
-        |  year(d) AS y, month(d) AS m, day(d) AS d,
+        |  CAST(year(d) AS INTEGER) AS y, CAST(month(d) AS INTEGER) AS m, CAST(day(d) AS INTEGER) AS d,
         |  dayofweek(d) IN (0, 6) AS is_weekend
         |FROM (SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-03-31',
         |  INTERVAL 1 DAY)) AS d)

@@ -113,15 +113,15 @@ object WindowQueries extends QueryPack {
     "q_w3_uniqueness_flag" ->
       """WITH f AS (SELECT COUNT(*) OVER (PARTITION BY o_totalprice) = 1 AS u
         |  FROM orders)
-        |SELECT SUM(CASE WHEN u THEN 1 ELSE 0 END) AS n_unique,
-        |  SUM(CASE WHEN NOT u THEN 1 ELSE 0 END) AS n_dup
+        |SELECT CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CASE WHEN NOT u THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         |FROM f""".stripMargin,
 
     "q_w4_global_rank" ->
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
         |  GROUP BY o_orderpriority)
         |SELECT o_orderpriority, cnt,
-        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, o_orderpriority) AS rank
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, o_orderpriority) AS INTEGER) AS rank
         |FROM c ORDER BY rank""".stripMargin,
 
     "q_w5_pct_of_total" ->

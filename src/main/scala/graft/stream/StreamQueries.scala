@@ -22,14 +22,18 @@ object StreamQueries extends QueryPack {
           round(avg(col("score_raw")), 6).as("avg_score"))
         .orderBy("category")),
 
-    // T7: tumbling 1-hour windowed health metrics.
+    // T7: tumbling 1-hour windowed health metrics. Window starts are
+    // emitted as epoch seconds: a naked timestamp column would compare
+    // tz-aware (Spark instant) against naive (DuckDB) in the oracle.
     "q_s_window" -> ((s, dir) =>
       Streaming.windowedHealth(Tables.events(s, dir), "1 hour")
+        .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start", "event_type")),
 
     // T8: threshold alerting over the windowed stream.
     "q_s_alerts" -> ((s, dir) =>
       Streaming.alerts(Tables.events(s, dir), "1 hour", errorRateThreshold = 0.2)
+        .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start")),
 
     // Multimodal metadata plumbing: binary payload + typed metadata.
@@ -62,20 +66,20 @@ object StreamQueries extends QueryPack {
         |    LEAST(value * 0.05, 10.0) AS score_raw
         |  FROM events)
         |SELECT category, COUNT(*) AS n,
-        |  SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS n_anomalies,
+        |  CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  ROUND(AVG(score_raw), 6) AS avg_score
         |FROM e GROUP BY category ORDER BY category""".stripMargin,
 
     "q_s_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_s_alerts" ->
-      """WITH w AS (SELECT date_trunc('hour', ts) AS window_start,
+      """WITH w AS (SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |    COUNT(*) AS n_events,
-        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
         |  FROM events GROUP BY 1)
         |SELECT window_start, n_events, n_errors,
         |  ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
@@ -85,7 +89,7 @@ object StreamQueries extends QueryPack {
 
     "q_m_binary" ->
       """SELECT source,
-        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -205,10 +205,10 @@ object TextQueries extends QueryPack {
 
     "q_t_tokens" ->
       """SELECT source,
-        |  SUM(len(string_split(trim(text), ' '))) AS total_ws_tokens,
-        |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS total_re_tokens,
+        |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_re_tokens,
         |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
-        |  MAX(LENGTH(text)) AS max_chars
+        |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

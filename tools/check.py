@@ -55,6 +55,12 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = table_rows(got)
         ec, er = table_rows(exp)
+        gtypes = {f.name: str(f.type) for f in got.schema}
+        etypes = {f.name: str(f.type) for f in exp.schema}
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes
+                 if c in etypes and gtypes[c] != etypes[c]}
+        if tdiff:
+            print(f"WARN {name}: dtype mismatch {tdiff}")
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
             n_fail += 1
