@@ -97,6 +97,17 @@ object AnalyticsQueries extends QueryPack {
     "q_a11_entropy" -> ((s, dir) =>
       Demographics.shannonEntropy(Tables.customer(s, dir), "c_mktsegment")),
 
+    // A11 via the custom single-pass Aggregator (graft.functions.
+    // EntropyAggregator) — same oracle as the two-stage form proves the
+    // UDAF agrees with SQL semantics bit-for-bit at 6 dp.
+    "q_a11_entropy_onepass" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("v")).as[String]
+        .agg(graft.functions.EntropyAggregator.entropyOf(col("v")).as("raw"))
+        .select(round(col("raw"), 6).as("entropy"))
+    }),
+
     // A12: Gini–Simpson index.
     "q_a12_gini" -> ((s, dir) =>
       Demographics.giniSimpson(Tables.customer(s, dir), "c_mktsegment")),
@@ -213,6 +224,12 @@ object AnalyticsQueries extends QueryPack {
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
         |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy,
         |  CAST(SUM(cnt) AS BIGINT) AS n
+        |FROM g""".stripMargin,
+
+    "q_a11_entropy_onepass" ->
+      """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+        |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
+        |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy
         |FROM g""".stripMargin,
 
     "q_a12_gini" ->

@@ -88,6 +88,14 @@ object RelationalQueries extends QueryPack {
           Tables.customer(s, dir).select("c_custkey", "c_name"),
           Seq("c_custkey"), offset = 100, limit = 20)),
 
+    // O4+P6 composite: the API's filtered pagination endpoint
+    // (`api/main.py:210-253`) — search then page the results.
+    "q_o4_filtered_page" -> ((s, dir) =>
+      QueryService.paginate(
+        QueryService.search(Tables.part(s, dir), "p_name", "widget")
+          .select("p_partkey", "p_name"),
+        Seq("p_partkey"), offset = 20, limit = 10)),
+
     // D1: SELECT DISTINCT projection.
     "q_d1_distinct" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -223,6 +231,12 @@ object RelationalQueries extends QueryPack {
       """SELECT c_custkey, c_name,
         |  CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INTEGER) AS row_num
         |FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 100""".stripMargin,
+
+    "q_o4_filtered_page" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS INTEGER) AS row_num
+        |FROM part WHERE UPPER(p_name) LIKE '%WIDGET%'
+        |ORDER BY p_partkey LIMIT 10 OFFSET 20""".stripMargin,
 
     "q_d1_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
