@@ -37,6 +37,20 @@ object QueryService {
       .filter(col("row_num") > offset && col("row_num") <= offset + limit)
   }
 
+  /** Pagination with the API's response envelope (`api/main.py:144-156`):
+    * every page row carries `total_count` and the page carries
+    * `has_more` — computed with one extra unbounded window over the
+    * (already small, pre-filtered) pageable set, not a second scan.
+    */
+  def paginateWithMeta(df: DataFrame, sortKeys: Seq[String],
+                       offset: Int, limit: Int): DataFrame = {
+    val w = Window.orderBy(sortKeys.map(asc): _*)
+    df.withColumn("row_num", row_number().over(w))
+      .withColumn("total_count", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("row_num") > offset && col("row_num") <= offset + limit)
+      .withColumn("has_more", col("total_count") > offset + limit)
+  }
+
   /** Per-business nested record (`api/main.py:138-142`): group rows into
     * list-valued columns. `collect_list` skips nulls, matching the
     * reference's `list(x.dropna())`; lists are sorted for deterministic

@@ -36,6 +36,11 @@ object StreamQueries extends QueryPack {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start")),
 
+    // A16: quality-trend aggregates per day (monitoring surface).
+    "q_a16_quality_trend" -> ((s, dir) =>
+      Monitoring.qualityTrend(Tables.events(s, dir), "ts", "value",
+        lowThreshold = 50.0)),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -86,6 +91,13 @@ object StreamQueries extends QueryPack {
         |  'error_rate_above_threshold' AS alert_type
         |FROM w WHERE CAST(n_errors AS DOUBLE) / n_events > 0.2
         |ORDER BY window_start""".stripMargin,
+
+    "q_a16_quality_trend" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  ROUND(AVG(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)), 6) AS avg_metric,
+        |  MIN(value) AS min_metric, MAX(value) AS max_metric,
+        |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "q_m_binary" ->
       """SELECT source,

@@ -66,6 +66,39 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(g - expG) < 1e-6)
   }
 
+  test("salted join equals the plain join for any key distribution") {
+    val fact = (Seq.fill(200)(("hot", 1)) ++ Seq(("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n")).collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .groupBy("k", "label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("paginateWithMeta carries total_count and has_more") {
+    val df = (1 to 45).map(i => (i, s"v$i")).toDF("k", "v")
+    val p2 = QueryService.paginateWithMeta(df, Seq("k"), 20, 20).collect()
+    assert(p2.length === 20)
+    assert(p2.forall(_.getAs[Long]("total_count") === 45L))
+    assert(p2.forall(_.getAs[Boolean]("has_more")))
+    val p3 = QueryService.paginateWithMeta(df, Seq("k"), 40, 20).collect()
+    assert(p3.length === 5)
+    assert(p3.forall(!_.getAs[Boolean]("has_more")))
+  }
+
+  test("approx_count_distinct stays within 5% of exact on the test corpus") {
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val (exact, approx) = o.agg(
+        countDistinct(col("o_custkey")).as("e"),
+        approx_count_distinct(col("o_custkey")).as("a"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("single-pass entropy Aggregator matches the two-stage computation") {
     val df = Tables.documentsLike
     val onePass = df.agg(

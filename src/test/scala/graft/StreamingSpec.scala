@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch streaming sink upserts idempotently per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_fes").toString + "/t"
+    val input = MemoryStream[DataEvent]
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streaming.upsertBatchToParquet(spark, batch.toDF(), Seq("event_id"), path)
+      }
+      .start()
+    input.addData(ev(1, "2024-01-01 10:00:00", "click", 1.0))
+    q.processAllAvailable()
+    input.addData(ev(1, "2024-01-01 10:00:00", "click", 99.0), // update same key
+                  ev(2, "2024-01-01 10:05:00", "error", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 99.0, 2L -> 2.0))
+  }
+
   test("multimodal stub featurizer emits one normalized feature row per doc") {
     val df = Seq((1L, "hello"), (2L, "a much longer document text"))
       .toDF("doc_id", "text")
