@@ -17,6 +17,15 @@ object QueryService {
   def search(df: DataFrame, col: String, term: String): DataFrame =
     df.filter(upper(expr(s"`$col`")).contains(term.toUpperCase))
 
+  /** Multi-column variant (`api/main.py:135` searches legal name OR
+    * owner name): OR of per-column contains; null columns contribute
+    * false, matching pandas' `na=False`.
+    */
+  def searchAny(df: DataFrame, cols: Seq[String], term: String): DataFrame =
+    df.filter(cols.map(c =>
+      coalesce(upper(expr(s"`$c`")).contains(term.toUpperCase), lit(false)))
+      .reduce(_ || _))
+
   /** Point lookup by key (`api/main.py:178`). On a lake table partitioned
     * or bucketed by the key this prunes to one partition/bucket.
     */

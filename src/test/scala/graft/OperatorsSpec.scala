@@ -122,4 +122,15 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Int].collect().toSeq
     assert(hits === Seq(1))
   }
+
+  test("searchAny matches across columns with null-safe OR") {
+    val df = Seq(
+      (1, Some("ACME WIDGETS"), None: Option[String]),
+      (2, Some("OTHER CO"), Some("Widget Jones")),
+      (3, None: Option[String], None: Option[String]),
+      (4, Some("PLAIN"), Some("SMITH"))).toDF("id", "legal", "owner")
+    val hits = QueryService.searchAny(df, Seq("legal", "owner"), "widget")
+      .select("id").as[Int].collect().toSeq.sorted
+    assert(hits === Seq(1, 2))
+  }
 }

@@ -94,6 +94,19 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("processing stats aggregate failure rate and latency") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 10:00:10"), "completed"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), Timestamp.valueOf("2024-01-01 10:01:30"), "completed"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), Timestamp.valueOf("2024-01-01 10:02:20"), "failed"))
+      .toDF("created_at", "processed_at", "status")
+    val row = graft.stream.Monitoring
+      .processingStats(df, "created_at", "processed_at", "status").collect().head
+    assert(row.getAs[Long]("n_events") === 3)
+    assert(row.getAs[Long]("n_failed") === 1)
+    assert(math.abs(row.getAs[Double]("avg_latency_s") - 20.0) < 1e-6)
+  }
+
   test("foreachBatch streaming sink upserts idempotently per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("graft_fes").toString + "/t"
