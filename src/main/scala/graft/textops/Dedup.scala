@@ -21,10 +21,10 @@ object Dedup {
   /** Exact duplicate groups by canonical content hash: one map-side
     * partial count + one shuffle keyed on the 128-bit fingerprint.
     */
-  def exactDuplicateGroups(df: DataFrame, textCol: String): DataFrame =
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
       .groupBy("fp")
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 
   /** Keep one row per distinct canonical text (first by `idCol`). The

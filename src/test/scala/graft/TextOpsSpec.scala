@@ -15,6 +15,10 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() === 2)
     // survivor is the lowest id of each group
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val groups = Dedup.exactDuplicateGroups(df, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_copies") === 3)
+    assert(groups.head.getAs[Long]("keep_id") === 1L)
   }
 
   test("jaccardPairs finds identical and near-identical docs, skips distinct ones") {
