@@ -72,7 +72,11 @@ object Ingestion {
 
   /** Quality profile (`ingestion_pipeline.py:54-74`): one single-pass
     * multi-aggregate — row/distinct/duplicate counts plus per-column
-    * null counts and completeness percentages.
+    * null counts and completeness percentages. Fully lazy: the duplicate
+    * count is `count − countDistinct(whole row)` inside the same
+    * aggregate (distinct-aggregate null semantics match
+    * `dropDuplicates`), so the returned plan re-evaluates on fresh data
+    * instead of baking in a stale driver-side literal.
     */
   def qualityProfile(df: DataFrame): DataFrame = {
     val perCol = schema.fields.flatMap { f =>
@@ -81,22 +85,26 @@ object Ingestion {
         round(avg(when(c.isNull, 0.0).otherwise(1.0)) * 100, 4)
           .as(s"${f.name} completeness_pct"))
     }
-    val dups = df.count() - df.dropDuplicates().count()
+    val wholeRow = struct(schema.fields.map(f => col(f.name)): _*)
     val aggs = Seq(
       count(lit(1)).as("total_records"),
-      countDistinct(col("Account Number")).as("unique_businesses")) ++ perCol
+      countDistinct(col("Account Number")).as("unique_businesses"),
+      (count(lit(1)) - countDistinct(wholeRow)).as("duplicate_rows")) ++ perCol
     df.agg(aggs.head, aggs.tail: _*)
-      .withColumn("duplicate_rows", lit(dups))
   }
 
   /** Full pipeline: CSV → profile (JSON) + cleaned Parquet.
     * (`run_ingestion_pipeline`, `ingestion_pipeline.py:152-178`.)
+    * The parsed CSV is cached across the two actions (clean-write,
+    * profile-write) so the text is parsed once, not twice.
     */
   def run(spark: SparkSession, csvPath: String, outDir: String): DataFrame = {
-    val cleaned = clean(readCsv(spark, csvPath))
-    cleaned.write.mode("overwrite").parquet(s"$outDir/processed")
-    qualityProfile(readCsv(spark, csvPath))
-      .coalesce(1).write.mode("overwrite").json(s"$outDir/quality_report")
+    val raw = readCsv(spark, csvPath).cache()
+    try {
+      clean(raw).write.mode("overwrite").parquet(s"$outDir/processed")
+      qualityProfile(raw)
+        .coalesce(1).write.mode("overwrite").json(s"$outDir/quality_report")
+    } finally raw.unpersist()
     spark.read.parquet(s"$outDir/processed")
   }
 }

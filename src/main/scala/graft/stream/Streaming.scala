@@ -76,11 +76,13 @@ object Streaming {
       .groupBy(window(col("ts"), windowLen))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
-      .withColumn("error_rate",
-        round(col("n_errors").cast("double") / col("n_events"), 6))
-      .filter(col("error_rate") > errorRateThreshold)
+      // Threshold test on the UNROUNDED ratio (mirroring the score_raw /
+      // score split in enrich()): rounding first would drop windows whose
+      // true rate sits within half an ulp-of-6dp above the threshold.
+      .withColumn("rate_raw", col("n_errors").cast("double") / col("n_events"))
+      .filter(col("rate_raw") > errorRateThreshold)
       .select(col("window.start").as("window_start"), col("n_events"),
-        col("n_errors"), col("error_rate"),
+        col("n_errors"), round(col("rate_raw"), 6).as("error_rate"),
         lit("error_rate_above_threshold").as("alert_type"))
 
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a

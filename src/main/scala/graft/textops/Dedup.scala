@@ -163,16 +163,33 @@ object Dedup {
   }
 
   /** SimHash near-duplicates within `maxHamming` bits: band the 64-bit
-    * sketch into 4×16-bit chunks — any pair within Hamming distance 3
-    * must agree on ≥1 chunk (pigeonhole), so the equi-join on
-    * (chunk index, chunk value) finds all of them without an O(n²) scan.
+    * sketch into `maxHamming + 1` chunks — a pair within Hamming
+    * distance d can differ in at most d chunks, so with d + 1 chunks it
+    * must agree on ≥1 (pigeonhole), and the equi-join on
+    * (chunk index, chunk value) finds every such pair without an O(n²)
+    * scan. Chunk count is derived from the requested radius; fixed
+    * banding would silently lose recall for radii above its guarantee.
+    * Narrower chunks (larger radii) admit more candidates — the exact
+    * Hamming filter after the join keeps the result correct either way.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks // first `rem` chunks are one bit wider
+    val chunkCols = (0 until nChunks).map { j =>
+      val off = j * base + math.min(j, rem)
+      val width = base + (if (j < rem) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(j).as("chunk_i"),
+        expr(s"shiftright(simhash, $off)").bitwiseAND(lit(mask)).as("chunk_v"))
+    }
     val sk = simhash(df, idCol, textCol)
-    val chunks = sk.select(col(idCol), col("simhash"), posexplode(expr(
-      "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)"))
-      .as(Seq("chunk_i", "chunk_v")))
+    val chunks = sk
+      .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.chunk_i"), col("c.chunk_v"))
     chunks.toDF("doc_a", "sim_a", "chunk_i", "chunk_v")
       .join(chunks.toDF("doc_b", "sim_b", "chunk_i", "chunk_v"), Seq("chunk_i", "chunk_v"))
       .filter(col("doc_a") < col("doc_b"))

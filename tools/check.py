@@ -41,11 +41,22 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
     for name in names:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        got = pq.read_table(files[0]) if files else None
+        files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
+        try:
+            got = pq.read_table(files) if files else None
+        except Exception as e:
+            print(f"FAIL {name}: unreadable spark output: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
-            print(f"  [rows-only] {name}: rows={got.num_rows if got else 'MISSING'}")
+            print(f"  [rows-only] {name}: rows={got.num_rows if got is not None else 'MISSING'}")
             n_noracle += 1
+            continue
+        if got is None:
+            # Missing/empty output for an oracle-bearing query is a FAIL
+            # for that query, not a crash of the whole compare.
+            print(f"FAIL {name}: no parquet output written")
+            n_fail += 1
             continue
         try:
             exp = con.execute(oracle[name]).arrow()
