@@ -49,14 +49,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    // Shingles are collapsed to 64-bit hashes before the self-join: the
-    // shuffle carries 8-byte keys instead of strings and the join
-    // compares longs. A cross-shingle collision would need ~2^32
-    // distinct shingles to become likely (birthday bound) — far above
-    // any per-corpus shingle count this operator sees per partition of
-    // work, and the same trick MinHash already relies on.
+    // shingleTable emits 64-bit shingle hashes: the self-join shuffle
+    // carries 8-byte keys and compares longs (collision odds per the
+    // shingleTable scaladoc). Set sizes are aggregated once and
+    // broadcast-joined onto the surviving pairs.
     val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), "shingle")
@@ -74,8 +71,11 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutation hashes
     * h_i(s) = a_i·x + b_i over a 64-bit base hash x = xxhash64(shingle),
-    * min-reduced per document. One shuffle (groupBy id); the per-row
-    * work is `numHashes` multiply-adds inside codegen.
+    * min-reduced per document. One shuffle (groupBy id) whose partial
+    * aggregation reduces map-side to one 64-column row per document;
+    * the per-row work is `numHashes` multiply-adds inside codegen. (A
+    * shuffle-free `array_min(transform(...))` variant evaluates its
+    * lambdas interpreted — measured slower despite saving the shuffle.)
     * Coefficients come from a fixed seed so signatures are reproducible
     * across runs and clusters.
     */
@@ -89,7 +89,7 @@ object Dedup {
     val coef = Seq.fill(numHashes)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
     val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+      .withColumn("h", pmod(col("shingle"), lit(p)))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
     }
@@ -146,6 +146,10 @@ object Dedup {
   /** 64-bit SimHash per document: each token hash votes ±1 on each bit;
     * the sketch bit is the vote's sign. One explode + one groupBy(id)
     * with 64 conditional sums, then a bit-assembly fold — all codegen.
+    * (A shuffle-free variant via `aggregate` higher-order functions was
+    * measured ~3× slower: HOF lambdas evaluate interpreted, outside
+    * whole-stage codegen, and the groupBy's partial aggregation already
+    * keeps the shuffle at one 64-column row per document.)
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
@@ -190,13 +194,17 @@ object Dedup {
     val chunks = sk
       .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_i"), col("c.chunk_v"))
+    // Hamming filter BEFORE the pair-dedup: bit_count on the joined row
+    // is codegen'd and shuffle-free, so the distinct() only has to
+    // shuffle the surviving near-dup pairs, not every candidate the
+    // narrow chunks admit (at radius 12 the candidate set is ~1000× the
+    // result set).
     chunks.toDF("doc_a", "sim_a", "chunk_i", "chunk_v")
       .join(chunks.toDF("doc_b", "sim_b", "chunk_i", "chunk_v"), Seq("chunk_i", "chunk_v"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

@@ -50,10 +50,15 @@ object TextQueries extends QueryPack {
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash near-dups within Hamming distance 12 of the 64-bit sketch.
+    // SimHash near-dups within Hamming distance 3 of the 64-bit sketch —
+    // the classic 64-bit simhash dedup operating point (Manku et al.,
+    // WWW'07). Larger radii are supported (banding derives chunk count
+    // from the radius) but are not meaningful dedup on this corpus:
+    // d=12 marks ~8% of ALL doc pairs as "near-dups" (~1M pairs at
+    // sf0.1) while generating 30M+ LSH candidates.
     "q_t_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 12)
+          maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
     // Brute-force cosine top-k against the corpus's own first vector.
