@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the single right row
+  * with the greatest `rightTs <= leftTs` within the same key group —
+  * the standard point-in-time lookup of feature stores and training-data
+  * pipelines (label events joined to the latest feature snapshot).
+  *
+  * The reference workload has no as-of join; this is a training-pipeline
+  * extension built by composing existing operators (SURVEY §2 preference
+  * order (a)): no custom plan node needed.
+  *
+  * Spark-first shape: tag both inputs, union them, and run one
+  * running-`last(ignoreNulls)` window ordered by (ts, tag) per key. That
+  * is a single shuffle on the key and a linear pass — NOT the naive
+  * `left.join(right, key && rightTs <= leftTs)` + max-window, whose
+  * intermediate is O(|left| × |right|) per key and collapses at scale.
+  * Ties (`rightTs == leftTs`): the right row sorts before the left row
+  * (tag 0 < 1), so an exactly-simultaneous snapshot IS visible — same
+  * semantics as DuckDB/kdb ASOF JOIN's `>=` match.
+  *
+  * `right` must be unique per (key, rightTs) — pre-dedup it otherwise;
+  * with duplicates the survivor would depend on partition order.
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // Align the two sides on (keys, ts, tag, leftPayload…, rightPayload…).
+    val lAligned = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_tag", lit(1))
+      .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rAligned = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_tag", lit(0))
+      .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_r_$c").as(c)): _*)
+  }
+}

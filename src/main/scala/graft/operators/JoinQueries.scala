@@ -95,6 +95,31 @@ object JoinQueries extends QueryPack {
       Joins.withScalar(summary, top1)
     }),
 
+    // As-of join (training-pipeline extension, no reference analogue):
+    // each event picks up the user's most recent order at or before the
+    // event date — the point-in-time feature lookup. Right side is
+    // deduped to one row per (user, date) first (asofJoin contract).
+    "q_j8_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("edate"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          to_date(col("o_orderdate")).as("odate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("user_id"), col("odate"),
+          col("m.o_orderkey").as("last_orderkey"),
+          col("m.o_totalprice").as("last_totalprice"))
+      AsOf.asofJoin(ev, ord, Seq("user_id"), "edate", "odate",
+          Seq("last_orderkey", "last_totalprice"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("last_orderkey")).as("n_matched"),
+          sum(col("last_totalprice").cast(dec)).cast("double").as("sum_last_price"),
+          max(col("last_orderkey")).as("max_orderkey"))
+        .orderBy("event_type")
+    }),
+
     // J7/A8/F21: grouped list collection (sorted for determinism) —
     // parallel arrays of the reference's zip-join presentation shape.
     "q_j7_group_lists" -> ((s, dir) => {
@@ -155,6 +180,22 @@ object JoinQueries extends QueryPack {
         |  (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
         |   ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1) AS most_common_priority
         |FROM orders""".stripMargin,
+
+    "q_j8_asof" ->
+      """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS odate,
+        |    MAX(o_orderkey) AS last_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS last_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS edate
+        |  FROM events),
+        |j AS (SELECT l.event_type, r.last_orderkey, r.last_totalprice
+        |  FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.edate >= r.odate)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(last_orderkey) AS n_matched,
+        |  CAST(SUM(CAST(last_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_last_price,
+        |  MAX(last_orderkey) AS max_orderkey
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_j7_group_lists" ->
       """SELECT l_orderkey,

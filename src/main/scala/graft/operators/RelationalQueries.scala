@@ -183,6 +183,49 @@ object RelationalQueries extends QueryPack {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("k_mod")),
+
+    // D4: set operations (engine extension beyond the reference, which
+    // has none): EXCEPT/INTERSECT with set (dedup) semantics — customers
+    // with vs without orders, by key.
+    "q_d4_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      val without = c.except(o).agg(count(lit(1)).as("n_without_orders"))
+      val withO = c.intersect(o).agg(count(lit(1)).as("n_with_orders"))
+      Joins.withScalar(without, withO)
+    }),
+
+    // R1: ROLLUP — hierarchical subtotals (priority → status → grand
+    // total) in one Expand-based aggregation pass, no self-unions.
+    "q_r1_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))),
+
+    // R2: CUBE — all grouping-set combinations of (segment, nation).
+    "q_r2_cube" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("c_nationkey"))),
+
+    // A17: exact interpolated percentiles (percentile_cont semantics) —
+    // the exact counterpart of the approx_percentile scale path.
+    "q_a17_quantiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+          .as("qs"))
+        .select(
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          round(element_at(col("qs"), 4), 6).as("p90"))),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -287,5 +330,30 @@ object RelationalQueries extends QueryPack {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q_d4_setops" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+        |     EXCEPT SELECT o_custkey FROM orders)) AS n_without_orders,
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+        |     INTERSECT SELECT o_custkey FROM orders)) AS n_with_orders""".stripMargin,
+
+    "q_r1_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_r2_cube" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q_a17_quantiles" ->
+      """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
+        |FROM orders""".stripMargin,
   )
 }

@@ -36,6 +36,13 @@ object StreamQueries extends QueryPack {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start")),
 
+    // Gap-based sessionization (native session_window), summarized per
+    // user so the oracle compare is deterministic.
+    "q_s_sessions" -> ((s, dir) =>
+      Streaming.sessionSummary(Tables.events(s, dir), "user_id", "ts",
+          "30 minutes")
+        .orderBy("user_id")),
+
     // A16: quality-trend aggregates per day (monitoring surface).
     "q_a16_quality_trend" -> ((s, dir) =>
       Monitoring.qualityTrend(Tables.events(s, dir), "ts", "value",
@@ -91,6 +98,29 @@ object StreamQueries extends QueryPack {
         |  'error_rate_above_threshold' AS alert_type
         |FROM w WHERE CAST(n_errors AS DOUBLE) / n_events > 0.2
         |ORDER BY window_start""".stripMargin,
+
+    // Session semantics: a new session opens only when the gap from the
+    // previous event is STRICTLY greater than 30 min — session_window
+    // merges an event landing exactly on the previous window's end
+    // (verified in AsOfSpec) — expressed in DuckDB as a lag/flag/cumsum.
+    "q_s_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    CAST(FLOOR(date_part('epoch', MAX(ts))) AS BIGINT)
+        |      - CAST(FLOOR(date_part('epoch', MIN(ts))) AS BIGINT) AS span_s
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |  MAX(span_s) AS max_span_s,
+        |  ROUND(AVG(n_events), 6) AS avg_events_per_session
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_a16_quality_trend" ->
       """SELECT CAST(ts AS DATE) AS day,

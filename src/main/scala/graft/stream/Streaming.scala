@@ -85,6 +85,36 @@ object Streaming {
         col("n_errors"), round(col("rate_raw"), 6).as("error_rate"),
         lit("error_rate_above_threshold").as("alert_type"))
 
+  /** Gap-based sessionization — the training-pipeline upgrade of the
+    * reference's fixed windows (T7): consecutive events of a user merge
+    * into one session while the gap stays at or under `gap`; a quiet
+    * period strictly longer than `gap` closes the session (an event
+    * landing exactly on the previous window's end still merges —
+    * pinned in AsOfSpec). Uses Spark's native
+    * `session_window`, which works identically in batch and Structured
+    * Streaming (where the state store merges windows incrementally) —
+    * one shuffle on the user key either way.
+    */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("span_s"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("span_s"))
+
+  /** Per-user session summary over `sessionize` output. */
+  def sessionSummary(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    sessionize(events, userCol, tsCol, gap)
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("span_s")).as("max_span_s"),
+        round(avg(col("n_events")), 6).as("avg_events_per_session"))
+
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
     * parquet target by key — re-delivered batches converge to the same
     * state. For real deployments the write would target a transactional

@@ -114,10 +114,13 @@ object Similarity {
     */
   def cosineAllPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val v = df.select(col(idCol), col(vecCol))
-    v.toDF("id_a", "vec_a").crossJoin(v.toDF("id_b", "vec_b"))
+    // Norms once per vector before the pair join (cf. bucketedTopPairs):
+    // each of the O(n²) pairs then costs one dot product, not three.
+    val v = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(col(vecCol)))
+    v.toDF("id_a", "vec_a", "nrm_a").crossJoin(v.toDF("id_b", "vec_b", "nrm_b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -79,6 +79,15 @@ object TextQueries extends QueryPack {
           "embedding", "label", k = 2)
         .orderBy("bucket", "id_a", "id_b")),
 
+    // Exact O(n²) cosine near-neighbour pairs above a threshold — the
+    // correctness baseline the LSH variants prune towards. Feasible
+    // here (n=2000 at sf0.1); the scale paths are the bucketed/banded
+    // queries below.
+    "q_t_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosineAllPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
     // Language ID vs the labelled lang column: confusion counts.
     "q_t_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), "text")
@@ -173,6 +182,15 @@ object TextQueries extends QueryPack {
         |    ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM p)
         |SELECT bucket, id_a, id_b, cos_sim FROM r WHERE rn <= 2
         |ORDER BY bucket, id_a, id_b""".stripMargin,
+
+    "q_t_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_t_langid" ->
       """WITH t AS (SELECT lang,
