@@ -215,6 +215,30 @@ object RelationalQueries extends QueryPack {
         .orderBy(asc_nulls_first("c_mktsegment"),
           asc_nulls_first("c_nationkey"))),
 
+    // P10+: fuzzy matching (engine extension) — edit-distance join of
+    // region names against nation names within distance 8, the
+    // data-cleaning primitive for entity resolution. Small side is
+    // broadcast so the similarity scan never shuffles the big side.
+    "q_p10_levenshtein" -> ((s, dir) => {
+      val r = Tables.region(s, dir).select(col("r_name"))
+      Tables.nation(s, dir).select(col("n_name"))
+        .crossJoin(broadcast(r))
+        .withColumn("dist", levenshtein(col("n_name"), col("r_name")))
+        .filter(col("dist") <= 8)
+        .orderBy("n_name", "r_name")
+    }),
+
+    // R3: pivot — orders count reshaped to one column per status
+    // (explicit value list: at scale an unbounded pivot would need a
+    // driver-side distinct pass first).
+    "q_r3_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+
     // A17: exact interpolated percentiles (percentile_cont semantics) —
     // the exact counterpart of the approx_percentile scale path.
     "q_a17_quantiles" -> ((s, dir) =>
@@ -348,6 +372,19 @@ object RelationalQueries extends QueryPack {
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q_p10_levenshtein" ->
+      """SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS INTEGER) AS dist
+        |FROM nation CROSS JOIN region
+        |WHERE levenshtein(n_name, r_name) <= 8
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "q_r3_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_a17_quantiles" ->
       """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,

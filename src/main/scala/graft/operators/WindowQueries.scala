@@ -90,9 +90,83 @@ object WindowQueries extends QueryPack {
         .dropDuplicates("o_custkey")
         .orderBy("o_custkey")
     }),
+
+    // W7 (engine extension — the reference uses only default frames):
+    // lead/lag — days between consecutive orders per customer, rolled up
+    // into a histogram of gap buckets.
+    "q_w7_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .withColumn("gap_days",
+          datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))))
+        .groupBy((floor(col("gap_days") / 30) * 30).as("gap_bucket_days"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("gap_bucket_days")
+    }),
+
+    // W8: ntile — spend quartiles over per-customer totals.
+    "q_w8_ntile" -> ((s, dir) => {
+      val totals = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("spend"))
+      totals
+        .withColumn("quartile",
+          ntile(4).over(Window.orderBy(desc("spend"), asc("o_custkey"))))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast("double").as("total_spend"))
+        .orderBy("quartile")
+    }),
+
+    // W9: explicit ROWS frame — 3-event moving average of value per
+    // user, summarized as the max smoothed value per user.
+    "q_w9_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("mavg",
+          avg(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w))
+        .groupBy("user_id")
+        .agg(round(max(col("mavg")).cast("double"), 6).as("max_mavg"))
+        .orderBy("user_id")
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_w7_lag_delta" ->
+      """WITH d AS (SELECT o_custkey, o_orderdate,
+        |    LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_date
+        |  FROM orders)
+        |SELECT CAST(FLOOR((CAST(o_orderdate AS DATE) - CAST(prev_date AS DATE)) / 30) * 30 AS BIGINT) AS gap_bucket_days,
+        |  COUNT(*) AS n_gaps
+        |FROM d WHERE prev_date IS NOT NULL
+        |GROUP BY gap_bucket_days ORDER BY gap_bucket_days""".stripMargin,
+
+    "q_w8_ntile" ->
+      """WITH t AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (SELECT o_custkey, spend,
+        |    CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER) AS quartile FROM t)
+        |SELECT quartile, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend) AS DOUBLE) AS total_spend
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "q_w9_moving_avg" ->
+      """WITH m AS (SELECT user_id,
+        |    AVG(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg
+        |  FROM events)
+        |SELECT user_id, ROUND(CAST(MAX(mavg) AS DOUBLE), 6) AS max_mavg
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_w1_partition_count_flag" ->
       """WITH f AS (SELECT o_custkey,
         |    COUNT(*) OVER (PARTITION BY o_custkey) > 1 AS has_multiple
