@@ -3,6 +3,7 @@ package graft.stream
 import graft.operators.Joins
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 
 /** Structured-Streaming re-expression of the reference's micro-batch
@@ -114,6 +115,40 @@ object Streaming {
         sum(col("n_events")).as("total_events"),
         max(col("span_s")).as("max_span_s"),
         round(avg(col("n_events")), 6).as("avg_events_per_session"))
+
+  /** Running per-user totals carried in the state store. */
+  case class UserTotals(n_events: Long, total_value: Double)
+
+  /** Custom state beyond windowed aggregation (SURVEY §2.9's
+    * `flatMapGroupsWithState` seam): a per-user running counter/total
+    * that survives across micro-batches in the state store, emitting one
+    * updated snapshot per user per batch. Works identically in batch
+    * mode (state starts empty, one "batch") — that is what the unit of
+    * truth in StreamingSpec drives through MemoryStream, asserting the
+    * totals accumulate across two batches.
+    *
+    * State is bounded by the user-key cardinality; for unbounded key
+    * spaces a production job sets `GroupStateTimeout` to expire idle
+    * keys — the seam is here, NoTimeout keeps the demo deterministic.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { r => n += 1; total += r._2 }
+          state.update(UserTotals(n, total))
+          Iterator((uid, n, total))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
 
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
     * parquet target by key — re-delivered batches converge to the same

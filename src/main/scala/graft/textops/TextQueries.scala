@@ -101,6 +101,15 @@ object TextQueries extends QueryPack {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")),
 
+    // Flagship curation composition: exact dedup → quality gate →
+    // language gate → per-source report. Every stage is an exact
+    // operator, so the whole pipeline is oracle-checkable end-to-end.
+    "q_t_curate" -> ((s, dir) =>
+      Curation.report(
+        Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+          minQuality = 3.0, keepLangs = Seq("en")),
+        "text")),
+
     // Token statistics rolled up per source.
     "q_t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
@@ -225,6 +234,44 @@ object TextQueries extends QueryPack {
         |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
         |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Mirrors curate(): dedup by min doc_id per fingerprint, then the
+    // q_t_quality score and q_t_langid prediction formulas, then the
+    // per-source rollup.
+    "q_t_curate" ->
+      s"""WITH ranked AS (SELECT doc_id, source, text,
+         |    ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |kept AS (SELECT doc_id, source, text FROM ranked WHERE rn = 1),
+         |b AS (SELECT doc_id, source, text,
+         |    string_split(trim(text), ' ') AS ws,
+         |    string_split(trim(lower(text)), ' ') AS toks,
+         |    LENGTH(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |      - len(string_split(trim(text), ' ')) AS n_punct
+         |  FROM kept),
+         |scored AS (SELECT doc_id, source, len(ws) AS n_toks,
+         |    ROUND(
+         |      LEAST(CAST(len(ws) AS DOUBLE) * 0.2, 4.0)
+         |    + LEAST(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / len(ws) * 10.0, 4.0)
+         |    + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
+         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','y','en','los','que','un'))) AS h_es,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','von','mit','ist','ein'))) AS h_de,
+         |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un'))) AS h_fr,
+         |    len(toks) AS n FROM b),
+         |lang AS (SELECT *, CASE
+         |    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_en AS DOUBLE) / n >= 0.05 THEN 'en'
+         |    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_es AS DOUBLE) / n >= 0.05 THEN 'es'
+         |    WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_de AS DOUBLE) / n >= 0.05 THEN 'de'
+         |    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_fr AS DOUBLE) / n >= 0.05 THEN 'fr'
+         |    ELSE 'unknown' END AS predicted_lang FROM scored)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(ROUND(AVG(CAST(quality_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_quality
+         |FROM lang WHERE quality_score >= 3.0 AND predicted_lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_t_tokens" ->
       """SELECT source,
