@@ -61,6 +61,22 @@ object LakeStorage {
       case None => spark.emptyDataFrame
     }
 
+  /** Bucketed external table write — the co-location lever for repeated
+    * large joins (SURVEY §4: the engine's replacement for the
+    * reference's B-tree indexes on join keys). Two tables bucketed by
+    * the same key into the same bucket count join with ZERO shuffle of
+    * either side (asserted in IngestLakeSpec): at 100 TB that turns the
+    * nightly fact⋈fact join from a full-network shuffle into a local
+    * merge per bucket. `sortBy` keeps each bucket sorted so the join
+    * needs no sort either.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keyCol: String, buckets: Int): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** Drop partitions older than `keepDays` relative to `asOf` (yyyyMMdd).
     * Pure FS operation — no data scan (`storage_manager.py:246-265`).
     */

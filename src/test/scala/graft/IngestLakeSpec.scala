@@ -56,6 +56,28 @@ class IngestLakeSpec extends SparkSpec {
     assert(prof.getAs[Long]("duplicate_rows") === 0)
   }
 
+  test("bucketed tables join with zero shuffle on either side") {
+    // external tables (explicit path) — the warehouse dir is never used
+    val root = Files.createTempDirectory("graft_bucket").toString
+    val facts = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    val dims = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    LakeStorage.writeBucketed(facts, "b_facts", s"$root/b_facts", "k", 4)
+    LakeStorage.writeBucketed(dims, "b_dims", s"$root/b_dims", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      assert(joined.count() === 100)
+      val p = joined.queryExecution.executedPlan.toString
+      // co-located buckets: no Exchange anywhere in the join plan
+      assert(!p.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("lake write/read round-trips with partition pruning and retention") {
     val root = Files.createTempDirectory("graft_lake").toString
     val d1 = Seq((1, "a")).toDF("k", "v")

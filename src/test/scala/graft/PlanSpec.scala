@@ -65,4 +65,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_w2_rank_in_partition")
     assert(p.split("Exchange hashpartitioning").length - 1 <= 1)
   }
+
+  test("as-of join is one shuffle on the key, not a pair-blowup join") {
+    // The union+window shape: the only hash shuffles allowed are the
+    // right-side pre-dedup aggregate and the as-of key partition — and
+    // crucially no join node at all before the final rollup.
+    val p = plan("q_j8_asof")
+    val body = p.split("== Final Plan|== Initial Plan").head + p
+    assert(!body.contains("SortMergeJoin") && !body.contains("BroadcastNestedLoopJoin"))
+    assert(body.contains("RunningWindowFunction") || body.contains("Window"))
+  }
+
+  test("levenshtein match broadcasts the small side") {
+    val p = plan("q_p10_levenshtein")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("rollup and cube plan as one Expand pass, not self-unions") {
+    assert(plan("q_r1_rollup").contains("Expand"))
+    val p2 = plan("q_r2_cube")
+    assert(p2.contains("Expand") && !p2.contains("Union"))
+  }
+
+  test("curation pipeline's only wide shuffle is the dedup fingerprint window") {
+    val p = plan("q_t_curate")
+    // one shuffle for the dedup window + one for the final per-source
+    // aggregate; the quality/language gates must fuse map-side.
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
+  }
 }
