@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for every left row, attach the single right row
   * with the greatest `rightTs <= leftTs` within the same key group —
@@ -23,7 +24,11 @@ import org.apache.spark.sql.functions._
   * semantics as DuckDB/kdb ASOF JOIN's `>=` match.
   *
   * `right` must be unique per (key, rightTs) — pre-dedup it otherwise;
-  * with duplicates the survivor would depend on partition order.
+  * with duplicates the survivor would depend on partition order. Right
+  * rows with a NULL `rightTs` are dropped up front: a null timestamp
+  * never matches under ASOF `>=` semantics (DuckDB/kdb agree), and
+  * without the filter nulls-first ordering would forward-fill their
+  * payload into every row of the key group.
   */
 object AsOf {
 
@@ -31,28 +36,32 @@ object AsOf {
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // Align the two sides on (keys, ts, tag, leftPayload…, rightPayload…).
+    // The whole right payload travels as ONE struct so the running
+    // last(ignoreNulls) picks an entire right row atomically — filling
+    // each payload column with its own window would stitch values from
+    // different right rows whenever a payload field is null.
+    val rPayloadType = StructType(payloadCols.map(c => right.schema(c)).toArray)
+    // Align the two sides on (keys, ts, tag, leftPayload…, _r struct).
     val lAligned = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_tag", lit(1))
       .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rPayloadType).as("_r"): _*)
     val rAligned = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("_ts", col(rightTs))
       .withColumn("_tag", lit(0))
       .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    filled
+    lAligned.unionByName(rAligned)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_r_$c").as(c)): _*)
+        payloadCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

@@ -32,12 +32,14 @@ object RelationalQueries extends QueryPack {
     }),
 
     // P4: point lookup by key (smallest existing orderkey for stability
-    // across scale factors).
+    // across scale factors). The key comes from a 1-row scalar relation
+    // joined lazily (no driver `.first()` before planning); the
+    // user-facing literal-key form — which pushes EqualTo into the scan —
+    // is `QueryService.pointLookup`, plan-asserted in PlanSpec.
     "q_p4_point_lookup" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val minKey = o.agg(min(col("o_orderkey")).as("k"))
-      QueryService.pointLookup(Tables.lineitem(s, dir), "l_orderkey",
-          lit(minKey.first().getLong(0)))
+      val minKey = Tables.orders(s, dir).agg(min(col("o_orderkey")).as("_k"))
+      Joins.withScalar(Tables.lineitem(s, dir), minKey)
+        .filter(col("l_orderkey") === col("_k"))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .orderBy("l_linenumber")
     }),
@@ -95,6 +97,13 @@ object RelationalQueries extends QueryPack {
         QueryService.search(Tables.part(s, dir), "p_name", "widget")
           .select("p_partkey", "p_name"),
         Seq("p_partkey"), offset = 20, limit = 10)),
+
+    // O4 scale path: keyset (seek) pagination — filter + TakeOrdered,
+    // no global window; page cost independent of depth.
+    "q_o4_keyset" -> ((s, dir) =>
+      QueryService.paginateAfter(
+        Tables.customer(s, dir).select("c_custkey", "c_name"),
+        "c_custkey", Some(lit(120L)), limit = 20)),
 
     // D1: SELECT DISTINCT projection.
     "q_d1_distinct" -> ((s, dir) =>
@@ -304,6 +313,10 @@ object RelationalQueries extends QueryPack {
         |  CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS INTEGER) AS row_num
         |FROM part WHERE UPPER(p_name) LIKE '%WIDGET%'
         |ORDER BY p_partkey LIMIT 10 OFFSET 20""".stripMargin,
+
+    "q_o4_keyset" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey > 120 ORDER BY c_custkey LIMIT 20""".stripMargin,
 
     "q_d1_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer

@@ -107,7 +107,12 @@ object WindowQueries extends QueryPack {
         .orderBy("gap_bucket_days")
     }),
 
-    // W8: ntile — spend quartiles over per-customer totals.
+    // W8: ntile — spend quartiles over per-customer totals. The global
+    // Window.orderBy is acceptable ONLY because its input is the
+    // already-aggregated one-row-per-customer frame (same W4/W5 rule);
+    // at 100 TB with billions of customers the scale path is
+    // approx_percentile(spend, [0.25, 0.5, 0.75]) cutpoints joined back
+    // as bucket boundaries — no single-partition sort.
     "q_w8_ntile" -> ((s, dir) => {
       val totals = Tables.orders(s, dir)
         .groupBy("o_custkey")

@@ -60,6 +60,23 @@ object QueryService {
       .withColumn("has_more", col("total_count") > offset + limit)
   }
 
+  /** Keyset (seek) pagination — the scale path beside the faithful
+    * offset forms above. `WHERE key > last ORDER BY key LIMIT n` plans
+    * as a pushed-down filter + TakeOrderedAndProject: no global window,
+    * no single-partition funnel, and page cost is independent of page
+    * depth (offset pagination re-ranks everything before the page; at
+    * the reference's "page the whole businesses table" usage that is
+    * the 100× failure mode). `lastKey = None` fetches the first page.
+    * The caller threads the last row's key into the next call — the
+    * standard cursor-API contract. Single sort key (a composite key
+    * would need a lexicographic tuple predicate).
+    */
+  def paginateAfter(df: DataFrame, sortKey: String, lastKey: Option[Column],
+                    limit: Int): DataFrame = {
+    val base = lastKey.fold(df)(k => df.filter(expr(s"`$sortKey`") > k))
+    base.orderBy(asc(sortKey)).limit(limit)
+  }
+
   /** Per-business nested record (`api/main.py:138-142`): group rows into
     * list-valued columns. `collect_list` skips nulls, matching the
     * reference's `list(x.dropna())`; lists are sorted for deterministic

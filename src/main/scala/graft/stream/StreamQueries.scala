@@ -58,8 +58,10 @@ object StreamQueries extends QueryPack {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
-    // Batched stub decode (mapPartitions seam) — not SQL-expressible;
-    // rows-only here, exercised in MultimodalSpec.
+    // Batched stub decode (mapPartitions seam). The stub's byte
+    // histogram is deterministic integer math, so the whole pipeline IS
+    // SQL-expressible — hash-checked against a DuckDB hex-nibble oracle
+    // (a byte's value mod 8 depends only on its low hex nibble).
     "q_m_features" -> ((s, dir) => {
       val feats = Multimodal.featurize(s, Tables.documents(s, dir), "doc_id", "text")
       feats.agg(count(lit(1)).as("n_media"),
@@ -128,6 +130,21 @@ object StreamQueries extends QueryPack {
         |  MIN(value) AS min_metric, MAX(value) AS max_metric,
         |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // The decode stub counts bytes with (b & 0xFF) % 8 == 0 per doc and
+    // normalizes by byte count in FLOAT32 — mirrored exactly: byte % 8
+    // is the low hex nibble % 8, and the FLOAT casts reproduce the
+    // stub's float32 division before the double sum.
+    "q_m_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |    len(list_filter(range(1, n + 1),
+        |      i -> (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) % 8 = 0)) AS c0
+        |  FROM b)
+        |SELECT COUNT(*) AS n_media, CAST(SUM(n) AS BIGINT) AS total_bytes,
+        |  ROUND(SUM(CAST(CAST(c0 AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)), 2) AS f0_mass
+        |FROM f""".stripMargin,
 
     "q_m_binary" ->
       """SELECT source,

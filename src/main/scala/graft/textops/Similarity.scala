@@ -41,6 +41,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-subquery form of [[cosineTopK]]: the query vector comes
+    * from a 1-row relation attached via broadcast cross join instead of
+    * a driver-side `.first()` fetch — the whole plan stays lazy (no
+    * job runs before planning) and still ends in TakeOrderedAndProject.
+    */
+  def cosineTopKAgainst(df: DataFrame, idCol: String, vecCol: String,
+                        queryDf: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    graft.operators.Joins.withScalar(df, queryDf)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+
   /** Random-hyperplane LSH signature: `planes` sign bits of projections
     * onto fixed seeded Gaussian directions, packed into a long. Vectors
     * with small angle agree on most bits.

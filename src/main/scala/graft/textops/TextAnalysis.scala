@@ -74,18 +74,16 @@ object TextAnalysis {
       .withColumn("n_re_tokens", size(TextFunctions.regexTokens(col(textCol))))
       .withColumn("n_chars_obs", length(col(textCol)))
 
-  /** Polynomial rolling-hash document fingerprint (base-31 over the
-    * characters of `textCol`'s canonical form, wrapping 64-bit) — the
-    * cheap order-sensitive fingerprint; md5 variant in TextFunctions.
-    * Implemented with `aggregate` over the char codes: deterministic,
-    * no UDF.
+  /** Polynomial rolling-hash document fingerprint (base-31 Horner fold
+    * over the code points of `textCol`, mod 1e9+7) — the cheap
+    * order-sensitive fingerprint; md5 variant in TextFunctions.
+    * A native codegen'd Catalyst expression
+    * ([[graft.functions.StringPolyHash]]): the earlier
+    * `aggregate`/`substring` higher-order-function form evaluated its
+    * lambda interpreted per character and re-entered the string per
+    * index. Same values (the modulus keeps both engines overflow-free;
+    * DuckDB's `list_reduce` oracle agrees exactly).
     */
   def rollingHash(textCol: String): Column =
-    // mod 1e9+7 keeps the accumulator < 2^63/31 so the arithmetic is
-    // overflow-free (DuckDB raises on BIGINT overflow; Spark wraps —
-    // the modulus makes both engines agree).
-    expr(s"""aggregate(
-      transform(sequence(1, length(`$textCol`)),
-                i -> ascii(substring(`$textCol`, i, 1))),
-      CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""")
+    graft.functions.HashFunctions.polyHash(col(textCol))
 }

