@@ -19,7 +19,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
-    val n = df.count()
+    // collect (not count) so THIS df's adaptive plan is executed and
+    // finalized — count() would plan a separate query and leave
+    // df.queryExecution at the initial, pre-AQE plan.
+    val n = df.collect().length
     val sec = (System.nanoTime() - t0) / 1e9
     val p = df.queryExecution.executedPlan.toString
     println(p)

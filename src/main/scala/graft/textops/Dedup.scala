@@ -80,7 +80,20 @@ object Dedup {
     * across runs and clusters.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+                        shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol), col("sig"))
+
+  /** Signatures + the per-document distinct-shingle count from ONE
+    * aggregation pass: the set size the Jaccard verifier needs is a
+    * free 65th aggregate on the signature groupBy, so the LSH pipeline
+    * never re-aggregates the shingle relation just for sizes (one less
+    * scan + shuffle; the single shared stage is also what AQE's
+    * stage-level reuse dedups between the banding and verification
+    * branches).
+    */
+  private def signaturesWithSize(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int, numHashes: Int): DataFrame = {
     // Coefficients and the base hash are bounded to 31 bits so a·h + b
     // stays below 2^62 — no overflow under ANSI mode (Spark 4 default),
     // and the same arithmetic would be portable to engines that trap.
@@ -92,11 +105,12 @@ object Dedup {
       .withColumn("h", pmod(col("shingle"), lit(p)))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
-    }
+    } :+ count(lit(1)).as("n_sh")
     sh.groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"),
+        col("n_sh"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`bands` ×
@@ -110,8 +124,8 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-    val banded = sig.select(col(idCol), posexplode(expr(
+    val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
+    val banded = sigSize.select(col(idCol), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r)))"))
       .as(Seq("band", "key")))
     val candidates = banded.toDF("doc_a", "band", "key")
@@ -120,9 +134,10 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     // Exact verification restricted to candidates — the sketch only
-    // prunes, it never decides.
+    // prunes, it never decides. Set sizes ride along with the
+    // signatures (same aggregation pass — see signaturesWithSize).
     val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val sizes = sigSize.select(col(idCol), col("n_sh"))
     pairsJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
