@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.RegistryBridge
+
+/** The engine's native Catalyst expressions as SQL functions.
+  *
+  * `float_vec_dot(array<float>, array<float>)` and
+  * `string_poly_hash(string)` become callable from `spark.sql(...)` —
+  * the standard extension seam for custom expressions (SURVEY §2
+  * preference order (b)): declare the plan in SQL, keep the hot loop
+  * codegen'd.
+  */
+object GraftSqlFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+    (FunctionIdentifier("string_poly_hash"),
+      new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
+      (args: Seq[Expression]) => StringPolyHash(args.head)))
+
+  /** Register into a live session (tests, notebooks). Sessions built
+    * from scratch should use [[GraftExtensions]] via the
+    * `spark.sql.extensions` conf instead.
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, b) =>
+      RegistryBridge.registerFunction(spark, id, info, b)
+    }
+}
+
+/** `SparkSessionExtensions` hook: build sessions with
+  * `.withExtensions(new GraftExtensions)` or set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
+  * engine's SQL functions in every session of the application.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.all.foreach(ext.injectFunction)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernel for the polynomial rolling hash: base-31 Horner fold
@@ -49,7 +49,8 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      // NullType: a bare NULL literal — result is null, like built-ins.
+      case _: StringType | NullType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string argument, got ${other.sql}")
     }

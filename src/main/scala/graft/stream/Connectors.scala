@@ -1,8 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import java.util.Properties
 
@@ -98,4 +98,53 @@ object Connectors {
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: Properties = new Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** HTTP-poll stream source (S13, `streaming_processor.py:105-129`):
+    * the reference GETs a page every 30 s and emits its rows as events.
+    * Spark has no HTTP source; the idiomatic re-platforming is a
+    * 1-row-per-trigger driver stream whose foreachBatch invokes the
+    * pluggable `fetch` (the HTTP-client seam — no egress in this
+    * environment, so specs inject a deterministic fake) and hands the
+    * page to `sink`. Cadence comes from the trigger; checkpointing
+    * makes the poll loop restartable.
+    */
+  def pollingQuery(ticks: DataFrame, trigger: Trigger, checkpointDir: String,
+                   fetch: Long => DataFrame,
+                   sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ticks.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: Dataset[Row], batchId: Long) =>
+        sink(fetch(batchId), batchId)
+      }
+      .start()
+
+  /** Default tick driver for [[pollingQuery]]: the rate source at one
+    * row per second (the trigger, not the rate, sets poll cadence).
+    */
+  def rateTicks(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
+  /** KV cache rows (S14, Redis `setex business_analytics:{id} ttl json`,
+    * `streaming_processor.py:309-329`): key = prefix + key column,
+    * value = full-row JSON.
+    */
+  def kvPairs(df: DataFrame, keyCol: String, keyPrefix: String): DataFrame =
+    df.select(
+      concat(lit(keyPrefix), col(keyCol).cast("string")).as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** KV cache sink (S14) as a foreachBatch hook. `connect` runs once
+    * per partition ON THE EXECUTOR and returns the setex function
+    * (key, json, ttlSeconds) — a Redis client in production, an
+    * in-memory map in specs. Rows stream through the partition
+    * iterator; nothing is collected to the driver.
+    */
+  def cacheSink(keyCol: String, keyPrefix: String, ttlSecs: Int,
+                connect: () => (String, String, Int) => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      kvPairs(batch, keyCol, keyPrefix).foreachPartition { rows: Iterator[Row] =>
+        val setex = connect()
+        rows.foreach(r => setex(r.getString(0), r.getString(1), ttlSecs))
+      }
 }

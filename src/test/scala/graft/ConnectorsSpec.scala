@@ -1,9 +1,19 @@
 package graft
 
 import graft.stream.Connectors
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** In-memory Redis stand-in — an object so executor closures reach it
+  * statically in local mode.
+  */
+object CacheStore {
+  val map = new scala.collection.concurrent.TrieMap[String, (String, Int)]
+}
 
 /** External-endpoint seams: the Kafka payload transforms (batch-mode —
   * no broker in this environment; the stream builders assemble the same
@@ -39,6 +49,36 @@ class ConnectorsSpec extends SparkSpec {
     val raw = Seq("not json at all").toDF("value")
     val out = Connectors.decodeKafkaEvents(raw).collect()
     assert(out.length === 1 && out.head.isNullAt(0))
+  }
+
+  test("KV cache sink writes prefix+key -> row JSON through the partition connection") {
+    CacheStore.map.clear()
+    val sink = Connectors.cacheSink("event_id", "business_analytics:", 3600,
+      () => (k, v, ttl) => CacheStore.map.put(k, (v, ttl)))
+    sink(events, 0L)
+    assert(CacheStore.map.size === 3)
+    val (json, ttl) = CacheStore.map("business_analytics:2")
+    assert(ttl === 3600)
+    assert(json.contains("\"event_type\":\"purchase\"") && json.contains("\"value\":99.0"))
+  }
+
+  test("polling query fetches one page per tick into the sink") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ticks = MemoryStream[Long]
+    val pages = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("poll-ckpt").toString
+    val q = Connectors.pollingQuery(ticks.toDF(), Trigger.ProcessingTime(0), ckpt,
+      fetch = _ => spark.range(5).toDF(),
+      sink = (page, id) => pages.add((id, page.count())))
+    try {
+      ticks.addData(1L)
+      q.processAllAvailable()
+      ticks.addData(2L)
+      q.processAllAvailable()
+      val got = pages.asScala.toSeq
+      assert(got.nonEmpty && got.forall(_._2 === 5L))
+      assert(got.map(_._1).distinct.size === got.size) // one fetch per batch id
+    } finally q.stop()
   }
 
   test("JDBC sink writes and incremental poll reads only past the watermark") {

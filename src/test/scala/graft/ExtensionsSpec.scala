@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.{GraftExtensions, GraftSqlFunctions}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The custom expressions exposed as SQL functions. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftSqlFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].collect().head
+    assert(dot === 11.0)
+    val h = spark.sql("SELECT string_poly_hash('ab') AS h").as[Long].collect().head
+    // Horner: ('a'=97)*31 + ('b'=98) = 3105
+    assert(h === (97L * 31 + 98))
+    assert(spark.sql("SELECT string_poly_hash(NULL)").collect().head.isNullAt(0))
+  }
+
+  test("GraftExtensions injects every function into a session-extensions hook") {
+    // Builder-path smoke test: applying the extension class to a fresh
+    // SparkSessionExtensions must register without error (a brand-new
+    // session would pick these up via spark.sql.extensions).
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("SQL form matches the Column API form on real data") {
+    GraftSqlFunctions.register(spark)
+    val df = Seq("hello world", "Hello  World", "").toDF("t")
+    df.createOrReplaceTempView("_ext_t")
+    val viaSql = spark.sql("SELECT string_poly_hash(t) AS h FROM _ext_t")
+      .as[Long].collect().toSeq
+    val viaApi = df.select(
+        graft.functions.HashFunctions.polyHash($"t").as("h"))
+      .as[Long].collect().toSeq
+    assert(viaSql === viaApi)
+  }
+}
