@@ -97,6 +97,35 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** IVF coarse quantizer — the assignment half of the IVF path
+    * ([[bucketedTopPairs]] is the within-bucket search half): every
+    * vector goes to its nearest centroid by cosine. Centroids arrive as
+    * a small relation (bucket id, centroid vector) — sampled seeds or
+    * k-means output; at 100 TB they are the only broadcast state
+    * (k ≪ n). One codegen'd dot per (vector, centroid) via a broadcast
+    * cross join, then argmax as a struct MAX aggregation whose partial
+    * (map-side) step reduces the shuffle to one row per vector. Fully
+    * lazy — no driver-side centroid collect.
+    */
+  def assignBuckets(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, bucketCol: String,
+                    centroidVecCol: String): DataFrame = {
+    val cent = centroids.select(col(bucketCol).as("_b"),
+      col(centroidVecCol).as("_cv"))
+      .withColumn("_cnrm", norm(col("_cv")))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("_nrm", norm(col(vecCol)))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), struct(
+        round(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
+          .as("sim"),
+        col("_b").as("bucket")).as("_e"))
+      .groupBy(idCol)
+      .agg(max(col("_e")).as("_m"))
+      .select(col(idCol), col("_m.bucket").as("bucket"),
+        col("_m.sim").as("cos_sim"))
+  }
+
   /** IVF-style bucketed search: within each coarse partition (a cluster
     * id / nearest-centroid assignment), exact top-k most-similar pairs.
     * Work is Σ bucket² instead of n² — the standard inverted-file trade;

@@ -79,6 +79,20 @@ object TextQueries extends QueryPack {
           "embedding", "label", k = 2)
         .orderBy("bucket", "id_a", "id_b")),
 
+    // IVF coarse quantization: nearest-centroid assignment (centroids =
+    // the first 4 corpus vectors, a stand-in for k-means seeds),
+    // summarized per bucket. The struct-MAX argmax is exact and
+    // oracle-checkable.
+    "q_t_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cbucket"), col("embedding").as("cvec"))
+      Similarity.assignBuckets(emb, "vec_id", "embedding", cent, "cbucket", "cvec")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), max(col("cos_sim")).as("max_sim"))
+        .orderBy("bucket")
+    }),
+
     // Exact O(n²) cosine near-neighbour pairs above a threshold — the
     // correctness baseline the LSH variants prune towards. Feasible
     // here (n=2000 at sf0.1); the scale paths are the bucketed/banded
@@ -191,6 +205,19 @@ object TextQueries extends QueryPack {
         |    ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM p)
         |SELECT bucket, id_a, id_b, cos_sim FROM r WHERE rn <= 2
         |ORDER BY bucket, id_a, id_b""".stripMargin,
+
+    "q_t_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, bucket,
+        |    ROUND(list_cosine_similarity(v, cv), 6) AS sim FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id,
+        |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s GROUP BY vec_id)
+        |SELECT m.bucket AS bucket, COUNT(*) AS n_vecs, MAX(m.sim) AS max_sim
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

@@ -109,4 +109,30 @@ class TextOpsSpec extends SparkSpec {
     assert(h(1L) === h(2L))
     assert(h(1L) !== h(3L))
   }
+
+  test("IVF assignment picks the nearest centroid; centroids map to themselves") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (10L, Array(0.9f, 0.1f, 0f)), (11L, Array(0.1f, 0.95f, 0f)))
+      .toDF("id", "vec")
+    val cent = vecs.filter($"id" < 2).select($"id".as("b"), $"vec".as("cv"))
+    val out = Similarity.assignBuckets(vecs, "id", "vec", cent, "b", "cv")
+    val buckets = out.select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(buckets === Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L))
+    // a centroid's own assignment has cosine 1
+    val self = out.filter($"id" === 0L).select("cos_sim").as[Double].collect().head
+    assert(self === 1.0)
+  }
+
+  test("approximate aggregates stay within tolerance of exact (100 TB fast path)") {
+    val o = Tables.orders(spark, sfDir)
+    val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val approx = o.agg(approx_count_distinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+
+    val ep = o.agg(expr("percentile(o_totalprice, 0.5D)")).collect().head.getDouble(0)
+    val ap = o.agg(expr("approx_percentile(o_totalprice, 0.5D, 1000)"))
+      .collect().head.getDouble(0)
+    assert(math.abs(ap - ep) / ep < 0.02)
+  }
 }
