@@ -69,6 +69,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard with PREFIX FILTERING (AllPairs, Bayardo et
+    * al., WWW'07) — same results as [[jaccardPairs]], far fewer
+    * candidates. Under any fixed global shingle order, two sets with
+    * J ≥ t must share an element within each one's first
+    * `n − ⌈t·n⌉ + 1` shingles: a pair sharing only suffix shingles
+    * cannot reach the required overlap (⌈t·n⌉ ≤ |A∩B|). So the
+    * candidate self-join runs on the PREFIX relation only — bucket
+    * sizes shrink by ~(1−t), and join cost drops quadratically in
+    * that factor — then exact Jaccard verifies candidates on the full
+    * shingle sets. The global order is the shingle hash itself
+    * (arbitrary but fixed — no frequency statistics needed).
+    *
+    * Scale shape: one extra window over the per-doc shingle groups
+    * (same key as the distinct, AQE-coalesced) buys the smaller join;
+    * the verify stage is identical to [[jaccardPairs]].
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
+    val byDoc = Window.partitionBy(idCol)
+    val ranked = sh
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("shingle").asc)))
+    val prefix = ranked.filter(
+      col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    val candidates = prefix.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sizes = ranked.filter(col("rk") === 1).select(col(idCol), col("n_sh"))
+    pairsJaccard(candidates, sh, sizes, idCol, threshold)
+  }
+
   /** MinHash signatures: `numHashes` permutation hashes
     * h_i(s) = a_i·x + b_i over a 64-bit base hash x = xxhash64(shingle),
     * min-reduced per document. One shuffle (groupBy id) whose partial

@@ -74,6 +74,29 @@ object TextAnalysis {
       .withColumn("n_re_tokens", size(TextFunctions.regexTokens(col(textCol))))
       .withColumn("n_chars_obs", length(col(textCol)))
 
+  /** TF-IDF term scores — the classic relevance / keyword-extraction
+    * primitive for corpus curation. tf = term count / doc length,
+    * idf = ln(N / df). Three hash aggregations (term-in-doc, doc
+    * length, document frequency) + joins; the df relation is
+    * vocabulary-sized, so at 100 TB Catalyst/AQE broadcasts it when it
+    * fits and shuffles on the term key otherwise — no driver-side
+    * vocabulary. Exact integer counts; one rounded double at the end.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, idCol)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") / col("n_toks") * log(col("n_docs") / col("df")), 6))
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
+
   /** Polynomial rolling-hash document fingerprint (base-31 Horner fold
     * over the code points of `textCol`, mod 1e9+7) — the cheap
     * order-sensitive fingerprint; md5 variant in TextFunctions.

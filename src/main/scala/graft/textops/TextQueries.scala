@@ -1,6 +1,7 @@
 package graft.textops
 
 import graft.core.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-checkable queries for the training-data-pipeline operators
@@ -41,6 +42,27 @@ object TextQueries extends QueryPack {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, threshold = 0.4)
         .orderBy("doc_a", "doc_b")),
+
+    // Same semantics via prefix filtering (AllPairs): the candidate
+    // join runs on per-doc shingle prefixes only — identical results
+    // (same oracle SQL as q_t_jaccard_pairs), quadratically fewer
+    // candidate comparisons. The scale path for the exact tier.
+    "q_t_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+        .orderBy("doc_a", "doc_b")),
+
+    // TF-IDF keyword extraction: top-3 terms per document (first 10
+    // docs) with global document frequencies.
+    "q_t_tfidf" -> ((s, dir) => {
+      val scored = TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      scored.filter(col("doc_id") < 10)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
 
     // MinHash + LSH near-dup pairs (candidates via banded signatures,
     // verified with exact Jaccard). No SQL oracle (approximate pruning);
@@ -181,6 +203,35 @@ object TextQueries extends QueryPack {
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Identical semantics to q_t_jaccard_pairs — the prefix filter only
+    // prunes candidates, never results — so the oracle is the same SQL.
+    "q_t_jaccard_prefix" ->
+      s"""WITH $shingleCte,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_t_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+        |  FROM scored WHERE doc_id < 10)
+        |SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "q_t_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

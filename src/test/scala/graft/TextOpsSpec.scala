@@ -110,6 +110,24 @@ class TextOpsSpec extends SparkSpec {
     assert(h(1L) !== h(3L))
   }
 
+  test("prefix-filtered jaccard equals the full shingle-join on corpus and synthetics") {
+    val docs = Tables.documents(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = key(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4))
+    val pref = key(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.4))
+    assert(pref === full)
+    // synthetic edge: near-dup pair whose shared shingles could hide in
+    // a suffix under a bad (non-global) order
+    val syn = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val fullS = key(Dedup.jaccardPairs(syn, "doc_id", "text", 3, 0.3))
+    val prefS = key(Dedup.jaccardPairsPrefix(syn, "doc_id", "text", 3, 0.3))
+    assert(prefS === fullS && fullS.nonEmpty)
+  }
+
   test("IVF assignment picks the nearest centroid; centroids map to themselves") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
