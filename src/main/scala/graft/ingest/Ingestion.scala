@@ -37,14 +37,46 @@ object Ingestion {
     */
   val naSentinels: Seq[String] = Seq("", " ", "N/A", "NULL", "null")
 
-  def readCsv(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(schema).option("header", "true").csv(path)
+  private def normalizeNa(raw: DataFrame): DataFrame =
     schema.fields.filter(_.dataType == StringType).foldLeft(raw) { (df, f) =>
       df.withColumn(f.name,
         when(trim(col(f.name)).isin(naSentinels: _*), lit(null))
           .otherwise(col(f.name)))
     }
-  }
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    normalizeNa(spark.read.schema(schema).option("header", "true").csv(path))
+
+  /** Corrupt-record column name for the audited reader. */
+  val corruptCol = "_corrupt_record"
+
+  /** Auditing variant of [[readCsv]] for hostile inputs: a 100 TB
+    * ingest can neither FAILFAST (one bad line kills the job) nor
+    * silently DROPMALFORMED (data loss with no evidence). PERMISSIVE
+    * parsing keeps the raw text of every row that fails the declared
+    * schema in `_corrupt_record`; [[goodRows]]/[[badRows]] split the
+    * result into the clean relation (same shape as readCsv) and an
+    * audit relation of raw lines for quarantine.
+    */
+  def readCsvAudited(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(schema.fields :+ StructField(corruptCol, StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
+  /** Clean rows of an audited read, NA-normalized like [[readCsv]].
+    * Note: Spark disallows filtering a raw CSV scan on the corrupt
+    * column alone — callers keep the full row set (as here) or cache
+    * the audited frame before splitting.
+    */
+  def goodRows(audited: DataFrame): DataFrame =
+    normalizeNa(audited.filter(col(corruptCol).isNull).drop(corruptCol))
+
+  /** Quarantine relation: the raw text of every malformed line. */
+  def badRows(audited: DataFrame): DataFrame =
+    audited.filter(col(corruptCol).isNotNull).select(col(corruptCol))
 
   /** S1-adjacent cleaning (`ingestion_pipeline.py:76-107`):
     *  - trim+upper every string column, '' → null            (P1)

@@ -81,26 +81,44 @@ object Dedup {
     * shingle sets. The global order is the shingle hash itself
     * (arbitrary but fixed — no frequency statistics needed).
     *
-    * Scale shape: one extra window over the per-doc shingle groups
-    * (same key as the distinct, AQE-coalesced) buys the smaller join;
-    * the verify stage is identical to [[jaccardPairs]].
+    * Scale shape: the prefix is computed MAP-SIDE — each doc's distinct
+    * shingle array is sorted and sliced per row (arrays are doc-sized,
+    * tiny), so the prefix relation costs no window and no extra
+    * shuffle — and verification is a per-row `array_intersect` of the
+    * two docs' arrays (joined back by id against the one-row-per-doc
+    * relation), not a re-aggregation of the exploded shingle table.
+    * Three hash joins total, every one keyed on doc ids or prefix
+    * shingles; intermediate width is one array per doc.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
-    val byDoc = Window.partitionBy(idCol)
-    val ranked = sh
-      .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("shingle").asc)))
-    val prefix = ranked.filter(
-      col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    // Same shingle construction as TextFunctions.shingleTable, kept as
+    // a per-doc array: sorted distinct hashes = the global order.
+    val perDoc = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), expr(
+        s"array_sort(array_distinct(transform(sequence(0, size(toks) - $n), i -> xxhash64(slice(toks, i + 1, $n)))))")
+        .as("sh_arr"))
+      .withColumn("n_sh", size(col("sh_arr")))
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val prefix = perDoc.select(col(idCol),
+      explode(slice(col("sh_arr"), lit(1), greatest(prefixLen, lit(1)))).as("shingle"))
     val candidates = prefix.select(col(idCol).as("doc_a"), col("shingle"))
       .join(prefix.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sizes = ranked.filter(col("rk") === 1).select(col(idCol), col("n_sh"))
-    pairsJaccard(candidates, sh, sizes, idCol, threshold)
+    candidates
+      .join(perDoc.select(col(idCol).as("doc_a"),
+        col("sh_arr").as("_arr_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(perDoc.select(col(idCol).as("doc_b"),
+        col("sh_arr").as("_arr_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("_arr_a"), col("_arr_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash signatures: `numHashes` permutation hashes

@@ -47,6 +47,27 @@ class IngestLakeSpec extends SparkSpec {
     assert(padded._3 === null && padded._4)
   }
 
+  test("audited CSV read quarantines malformed rows instead of crashing or dropping") {
+    val dir = Files.createTempDirectory("graft_bad").toString
+    val csv =
+      """Account Number,Legal Name,Owner First Name,Owner Middle Initial,Owner Last Name,Suffix,Legal Entity Owner,Title
+        |85613,"GOOD ROW LLC",Ron,M,Anderson,,,OTHER
+        |not_a_number,"BAD KEY CO",Amy,,Lee,,,CEO
+        |600100,"ALSO FINE CORP",,,,,HOLDINGS INC,OWNER
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "mixed.csv"), csv)
+    val audited = Ingestion.readCsvAudited(spark, s"$dir/mixed.csv").cache()
+    try {
+      val good = Ingestion.goodRows(audited)
+      assert(good.count() === 2)
+      assert(good.columns.toSeq === Ingestion.schema.fieldNames.toSeq)
+      assert(good.select("Account Number").as[Long].collect().sorted
+        === Array(85613L, 600100L))
+      val bad = Ingestion.badRows(audited).as[String].collect()
+      assert(bad.length === 1 && bad.head.startsWith("not_a_number"))
+    } finally audited.unpersist()
+  }
+
   test("quality profile reports counts, nulls, completeness") {
     val prof = Ingestion.qualityProfile(Ingestion.readCsv(spark, fixtureCsv()))
       .collect().head

@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("append mode finalizes windows at the watermark and drops later stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataEvent]
+    val q = Streaming.windowedHealthStream(input.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // two events in the [10:00, 11:00) window
+    input.addData(
+      ev(1, "2024-01-01 10:15:00", "click", 1.0),
+      ev(2, "2024-01-01 10:30:00", "click", 2.0))
+    q.processAllAvailable()
+    // advance event time to 13:00 → watermark 12:00 → [10,11) finalizes
+    input.addData(ev(3, "2024-01-01 13:00:00", "click", 3.0))
+    q.processAllAvailable()
+    // a straggler at 10:45 arrives AFTER its window finalized → dropped
+    input.addData(ev(4, "2024-01-01 10:45:00", "click", 99.0))
+    q.processAllAvailable()
+    val finalized = spark.table("late_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("n_events")))
+      .toMap
+    // the 10:00 window emitted exactly the pre-watermark events; the
+    // straggler neither re-emits the window nor perturbs its count
+    assert(finalized === Map("2024-01-01 10:00:00.0" -> 2L))
+    q.stop()
+  }
+
   test("alerts fire only when windowed error rate exceeds threshold") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", "error", 1.0),
