@@ -248,6 +248,28 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy("o_orderpriority")),
 
+    // F23: string-function kit — pad/translate/reverse/left/replace in
+    // one projection (the remaining §2.8 string surface in one pass).
+    "q_f23_string_kit" -> ((s, dir) =>
+      Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        lpad(col("n_nationkey").cast("string"), 4, "0").as("padded_key"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("vowels_lowered"),
+        reverse(col("n_name")).as("rev_name"),
+        substring(col("n_name"), 1, 3).as("prefix3"),
+        regexp_replace(col("n_name"), " ", "_").as("snake_name"))
+        .orderBy("n_nationkey")),
+
+    // R4: explicit GROUPING SETS (beyond rollup/cube): per-priority and
+    // per-status subtotals plus the grand total in one Expand pass.
+    "q_r4_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+
     // A17: exact interpolated percentiles (percentile_cont semantics) —
     // the exact counterpart of the approx_percentile scale path.
     "q_a17_quantiles" -> ((s, dir) =>
@@ -398,6 +420,21 @@ object RelationalQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_f23_string_kit" ->
+      """SELECT n_nationkey,
+        |  LPAD(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS vowels_lowered,
+        |  reverse(n_name) AS rev_name,
+        |  substring(n_name, 1, 3) AS prefix3,
+        |  replace(n_name, ' ', '_') AS snake_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_r4_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q_a17_quantiles" ->
       """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,

@@ -127,6 +127,19 @@ object WindowQueries extends QueryPack {
         .orderBy("quartile")
     }),
 
+    // W10: percent_rank / cume_dist — relative standing within an
+    // ordering, over the aggregated per-priority frame (W4/W5 rule:
+    // global windows only on already-aggregated few-row inputs).
+    "q_w10_percent_rank" -> ((s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(asc("cnt"), asc("o_orderpriority"))
+      counts
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("o_orderpriority")
+    }),
+
     // W9: explicit ROWS frame — 3-event moving average of value per
     // user, summarized as the max smoothed value per user.
     "q_w9_moving_avg" -> ((s, dir) => {
@@ -163,6 +176,13 @@ object WindowQueries extends QueryPack {
         |SELECT quartile, COUNT(*) AS n_customers,
         |  CAST(SUM(spend) AS DOUBLE) AS total_spend
         |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "q_w10_percent_rank" ->
+      """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, cnt,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY cnt, o_orderpriority), 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER (ORDER BY cnt, o_orderpriority), 6) AS cume
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
 
     "q_w9_moving_avg" ->
       """WITH m AS (SELECT user_id,
