@@ -210,6 +210,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the Pregel/GraphX pattern expressed in
+    * DataFrames, here used to turn pairwise near-duplicate edges into
+    * transitive dedup CLUSTERS (doc A ~ B and B ~ C puts A and C in one
+    * cluster even when A ≁ C — the survivor rule needs the closure,
+    * not the pairs).
+    *
+    * Each iteration: neighbours' labels union own labels → min per
+    * node — one hash join + one hash aggregation, both keyed on node
+    * id; `localCheckpoint` truncates the growing lineage (the standard
+    * iterative-DataFrame discipline). Converges in graph-diameter
+    * iterations — near-dup clusters are shallow (2-4); the driver only
+    * ever sees the one-row convergence count.
+    *
+    * Returns (node, label) where label = min node id in the component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNbrs = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+      val updated = labels.unionByName(fromNbrs)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "node")
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count() == 0
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: each token hash votes ±1 on each bit;
     * the sketch bit is the vote's sign. One explode + one groupBy(id)
     * with 64 conditional sums, then a bit-assembly fold — all codegen.

@@ -64,6 +64,18 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "rk")
     }),
 
+    // Transitive dedup clusters: exact Jaccard pairs → connected
+    // components (iterative min-label propagation) → per-cluster
+    // membership counts. Hash-checked against a recursive-CTE oracle.
+    "q_t_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // MinHash + LSH near-dup pairs (candidates via banded signatures,
     // verified with exact Jaccard). No SQL oracle (approximate pruning);
     // recall vs q_t_jaccard_pairs is asserted in DedupSpec.
@@ -203,6 +215,27 @@ object TextQueries extends QueryPack {
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Recursive CTE reachability: every (node, seed) pair in a
+    // component, then MIN(seed) per node = the cluster id.
+    "q_t_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b
+         |  FROM p JOIN sizes sa ON doc_a = sa.doc_id
+         |         JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION SELECT doc_b, doc_a FROM jp),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, COUNT(*) AS n_members FROM cc
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // Identical semantics to q_t_jaccard_pairs — the prefix filter only
     // prunes candidates, never results — so the oracle is the same SQL.

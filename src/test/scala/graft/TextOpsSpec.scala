@@ -128,6 +128,15 @@ class TextOpsSpec extends SparkSpec {
     assert(prefS === fullS && fullS.nonEmpty)
   }
 
+  test("connected components closes near-dup chains transitively") {
+    // two components: a 3-chain (1-2, 2-3: 1 and 3 are NOT directly
+    // linked) and a pair (10-11); labels = min id per component
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF assignment picks the nearest centroid; centroids map to themselves") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
