@@ -27,6 +27,23 @@ object Curation {
       col("predicted_lang").isin(keepLangs: _*))
   }
 
+  /** Near-duplicate-aware survivor selection: exact Jaccard pairs →
+    * transitive clusters ([[Dedup.connectedComponents]]) → keep the
+    * minimum-id member of every cluster plus all unclustered docs.
+    * The closure matters: in an A~B~C chain with A≁C, pairwise-greedy
+    * dropping could keep both A and C; the component collapses the
+    * whole chain onto one survivor. Compose BEFORE `curate` for the
+    * full pipeline (near-dedup → exact dedup → gates).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val losers = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-source curation report over `curate` output: kept docs, token
     * mass, mean quality (decimal-cast so the average is exact).
     */

@@ -76,6 +76,15 @@ object TextQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // Near-duplicate-aware survivor selection: transitive clusters →
+    // keep the min-id member per cluster, summarized per source.
+    "q_t_near_dedup" -> ((s, dir) =>
+      Curation.dropNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
+        .orderBy("source")),
+
     // MinHash + LSH near-dup pairs (candidates via banded signatures,
     // verified with exact Jaccard). No SQL oracle (approximate pruning);
     // recall vs q_t_jaccard_pairs is asserted in DedupSpec.
@@ -236,6 +245,27 @@ object TextQueries extends QueryPack {
          |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
          |SELECT cluster_id, COUNT(*) AS n_members FROM cc
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q_t_near_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b
+         |  FROM p JOIN sizes sa ON doc_a = sa.doc_id
+         |         JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION SELECT doc_b, doc_a FROM jp),
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM gnodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM cc WHERE node <> cluster_id)
+         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+         |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // Identical semantics to q_t_jaccard_pairs — the prefix filter only
     // prunes candidates, never results — so the oracle is the same SQL.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.textops.{Dedup, Similarity, TextAnalysis, TextFunctions}
+import graft.textops.{Curation, Dedup, Similarity, TextAnalysis, TextFunctions}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,16 @@ class TextOpsSpec extends SparkSpec {
     val fullS = key(Dedup.jaccardPairs(syn, "doc_id", "text", 3, 0.3))
     val prefS = key(Dedup.jaccardPairsPrefix(syn, "doc_id", "text", 3, 0.3))
     assert(prefS === fullS && fullS.nonEmpty)
+  }
+
+  test("dropNearDuplicates keeps the min-id survivor of each near-dup cluster") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s1"), (2L, "a b c d e f g x", "s1"),
+      (7L, "p q r s t u v w", "s2")).toDF("doc_id", "text", "source")
+    // J(1,2) = 5/7 ≥ 0.6 → one cluster {1,2}, survivor 1; doc 7 untouched
+    val kept = Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 7L))
   }
 
   test("connected components closes near-dup chains transitively") {
