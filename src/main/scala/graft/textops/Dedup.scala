@@ -228,12 +228,25 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Materialize the (possibly expensive) edge derivation ONCE — the
+    // loop joins against `und` every iteration, and without the
+    // checkpoint each round would recompute the whole upstream plan
+    // (e.g. the Jaccard pair generation feeding this).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: min-propagation only
+    // ever DECREASES labels, so an unchanged sum ⟺ no label changed —
+    // one cheap aggregate per round instead of a join-and-compare.
+    // Decimal sum: exact and overflow-free for id sums at any scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -242,10 +255,9 @@ object Dedup {
       val updated = labels.unionByName(fromNbrs)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "node")
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count() == 0
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = updated
       i += 1
     }
