@@ -97,6 +97,13 @@ object Dedup {
     val perDoc = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
+      // perDoc is consumed by four branches (both prefix join sides +
+      // both verification joins) and is deliberately left as a lazy
+      // recomputed map-side plan: materializing it with localCheckpoint
+      // measured 5→35 s (pins the scan's partition count, serializing
+      // the downstream explodes) and a pre-/post-array repartition for
+      // AQE stage reuse measured 4→7 s (the exchange costs more than
+      // the recomputes) — the cheap thing IS the recompute.
       .select(col(idCol), expr(
         s"array_sort(array_distinct(transform(sequence(0, size(toks) - $n), i -> xxhash64(slice(toks, i + 1, $n)))))")
         .as("sh_arr"))
