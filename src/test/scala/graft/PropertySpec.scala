@@ -2,6 +2,7 @@ package graft
 
 import graft.analytics.Demographics
 import graft.serve.QueryService
+import graft.textops.Dedup
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -48,6 +49,54 @@ class PropertySpec extends SparkSpec {
       val nDistinct = vs.distinct.size
       assert(h >= -1e-9 && h <= math.log(nDistinct.toDouble) / math.log(2.0) + 1e-6)
       assert(g >= -1e-9 && g < 1.0)
+    }
+  }
+
+  test("prefix-filtered jaccard equals the full join for random corpora and thresholds") {
+    // tiny vocabulary + short docs → dense shingle overlap, so the
+    // prefix filter is exercised at pair-rich corpora, random t
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g")
+    val doc = Gen.choose(5, 10).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(3, 8).flatMap(m => Gen.listOfN(m, doc))
+    samples(Gen.zip(corpus, Gen.choose(30, 80)), 6).foreach { case (docs, tPct) =>
+      val t = tPct / 100.0
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      def pairs(r: org.apache.spark.sql.DataFrame) =
+        r.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val full = pairs(Dedup.jaccardPairs(df, "doc_id", "text", 3, t))
+      val pref = pairs(Dedup.jaccardPairsPrefix(df, "doc_id", "text", 3, t))
+      assert(pref === full, s"t=$t docs=$docs")
+    }
+  }
+
+  test("keyset walk enumerates any table completely, in order, for any page size") {
+    samples(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 15)), 6).foreach { case (n, ps) =>
+      val df = (1 to n).map(i => (i, s"v$i")).toDF("k", "v")
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var page = QueryService.paginateAfter(df, "k", None, ps)
+        .select("k").as[Int].collect()
+      while (page.nonEmpty) {
+        out ++= page
+        page = QueryService.paginateAfter(df, "k", Some(lit(page.last)), ps)
+          .select("k").as[Int].collect()
+      }
+      assert(out.toSeq === (1 to n).toSeq, s"n=$n pageSize=$ps")
+    }
+  }
+
+  test("string_poly_hash matches the per-code-point Horner reference, in range") {
+    val strGen = Gen.listOf(Gen.oneOf('a', 'Z', '0', ' ', 'é', '中', '\t'))
+      .map(_.mkString)
+    val strs = samples(strGen, 30).distinct
+    val got = strs.zipWithIndex.map { case (s0, i) => (i, s0) }.toDF("i", "t")
+      .select(col("i"), graft.functions.HashFunctions.polyHash(col("t")).as("h"))
+      .as[(Int, Long)].collect().toMap
+    strs.zipWithIndex.foreach { case (s0, i) =>
+      var acc = 0L
+      s0.codePoints().toArray.foreach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      assert(got(i) === acc, s"string=${s0.map(_.toInt).mkString(",")}")
+      assert(got(i) >= 0L && got(i) < 1000000007L)
     }
   }
 
