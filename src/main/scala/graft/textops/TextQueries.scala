@@ -167,6 +167,14 @@ object TextQueries extends QueryPack {
           minQuality = 3.0, keepLangs = Seq("en")),
         "text")),
 
+    // Deterministic hash-based train/test split (10% test): key-stable,
+    // layout-independent, reproducible in any engine with md5.
+    "q_t_split" -> ((s, dir) =>
+      graft.operators.Sampling.withSplit(Tables.documents(s, dir), "doc_id", 10)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")),
+
     // Token statistics rolled up per source.
     "q_t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir), "text")
@@ -413,6 +421,13 @@ object TextQueries extends QueryPack {
          |  CAST(ROUND(AVG(CAST(quality_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_quality
          |FROM lang WHERE quality_score >= 3.0 AND predicted_lang = 'en'
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_split" ->
+      """SELECT source,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "q_t_tokens" ->
       """SELECT source,

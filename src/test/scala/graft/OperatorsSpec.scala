@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Ranking}
+import graft.operators.{Joins, Ranking, Sampling}
 import graft.serve.QueryService
 import graft.analytics.Demographics
 import org.apache.spark.sql.expressions.Window
@@ -50,6 +50,29 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.length === 30 && p2.length === 30 && p4.length === 10)
     assert(p1.toSet.intersect(p2.toSet).isEmpty)
     assert((p1 ++ p2).toSeq === (1 to 60).toSeq)
+  }
+
+  test("hash split is deterministic, layout-independent, and near the target rate") {
+    val df = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val split1 = Sampling.withSplit(df, "id", 10)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // identical assignment after an arbitrary repartition (rand() would fail this)
+    val split2 = Sampling.withSplit(df.repartition(7), "id", 10)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(split1 === split2)
+    val testRate = split1.values.count(_ == "test").toDouble / split1.size
+    assert(math.abs(testRate - 0.10) < 0.03)
+  }
+
+  test("stratified sampling keeps strata and is seed-deterministic") {
+    val df = (1 to 1000).map(i => (i, if (i % 4 == 0) "minor" else "major"))
+      .toDF("id", "cls")
+    val s1 = Sampling.stratified(df, "cls", Map("major" -> 0.1, "minor" -> 1.0), seed = 7L)
+    val s2 = Sampling.stratified(df, "cls", Map("major" -> 0.1, "minor" -> 1.0), seed = 7L)
+    assert(s1.collect().toSet === s2.collect().toSet)
+    val byCls = s1.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("minor") === 250L)             // fraction 1.0 keeps all
+    assert(byCls("major") > 30L && byCls("major") < 150L) // ~10% of 750
   }
 
   test("keyset pages are disjoint, ordered, and complete") {
