@@ -64,9 +64,10 @@ object QueryService {
     * offset forms above. `WHERE key > last ORDER BY key LIMIT n` plans
     * as a pushed-down filter + TakeOrderedAndProject: no global window,
     * no single-partition funnel, and page cost is independent of page
-    * depth (offset pagination re-ranks everything before the page; at
-    * the reference's "page the whole businesses table" usage that is
-    * the 100× failure mode). `lastKey = None` fetches the first page.
+    * depth (offset pagination re-ranks everything before the page; the
+    * reference's endpoint pages the whole businesses table,
+    * `api/main.py:144-156` — at 100× that is the failure mode).
+    * `lastKey = None` fetches the first page.
     * The caller threads the last row's key into the next call — the
     * standard cursor-API contract. Single sort key (a composite key
     * would need a lexicographic tuple predicate).

@@ -1,9 +1,12 @@
 package graft
 
 import graft.analytics.Report
+import graft.core.Tables
 import graft.ingest.Ingestion
 import graft.lake.LakeStorage
+import graft.operators.Sampling
 import graft.serve.QueryService
+import graft.textops.Curation
 import graft.warehouse.StarSchema
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -66,5 +69,27 @@ class EndToEndSpec extends SparkSpec {
       === Seq("AMY STONE", "BOB J STONE"))
     val page = QueryService.paginate(detail, Seq("Account Number"), 0, 2)
     assert(page.count() === 2)
+  }
+
+  test("training-data lifecycle: near-dedup -> curate -> split -> report") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val nearDeduped = Curation.dropNearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    val curated = Curation.curate(nearDeduped, "doc_id", "text",
+      minQuality = 3.0, keepLangs = Seq("en")).cache()
+    val kept = curated.count()
+    assert(kept > 0 && kept < total) // the gates actually gate
+    // deterministic split covers the curated set exactly
+    val bySplit = Sampling.withSplit(curated, "doc_id", 20)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum === kept)
+    assert(bySplit.keySet.subsetOf(Set("train", "test")))
+    // per-source report over the curated corpus
+    val rep = Curation.report(curated, "text").collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall(r => r.getAs[Long]("n_docs") > 0 &&
+      r.getAs[Double]("avg_quality") >= 3.0))
+    curated.unpersist()
   }
 }
