@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -26,6 +26,24 @@ object Monitoring {
         .as("failure_rate"),
       round(avg(unix_timestamp(col(processedCol)) - unix_timestamp(col(createdCol))), 6)
         .as("avg_latency_s"))
+
+  /** Zero-extra-pass pipeline metrics via Spark's native `observe`
+    * (the Prometheus-counter role of `pipeline_monitor.py:253-310`,
+    * Spark-first): the metrics accumulate ON the job's own action — no
+    * second scan, no scheduled query. Attach to any frame in a
+    * pipeline; after the action, `observation.get` holds rows-seen,
+    * anomaly count, and value mass. Works on streaming queries too
+    * (metrics surface per micro-batch in the progress events).
+    */
+  def observed(df: DataFrame, valueCol: String,
+               anomalyThreshold: Double): (DataFrame, Observation) = {
+    val obs = Observation("graft_pipeline")
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(valueCol) > anomalyThreshold, 1L).otherwise(0L)).as("n_anomalies"),
+      sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("value_mass"))
+    (observed, obs)
+  }
 
   /** Quality-trend aggregates per period (A16,
     * `pipeline_monitor.py:214-251`): avg/min/max of a quality metric and

@@ -50,6 +50,21 @@ object Streaming {
   def dedupeEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming exact CONTENT dedup — the curation pipeline's
+    * fingerprint dedup applied incrementally: the md5 of the canonical
+    * text keys the state store, so a duplicate document arriving in any
+    * later micro-batch (within the watermark horizon) is dropped
+    * without re-reading the corpus. State is one 128-bit key per
+    * distinct document, bounded by the watermark.
+    */
+  def dedupeByContent(docs: DataFrame, textCol: String, tsCol: String,
+                      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", graft.textops.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** Windowed health metrics (T7, `pipeline_monitor.py:158-204`):
     * tumbling event-time windows with per-window counts, error counts,
     * and error rate. Works for batch (oracle) and streaming alike.

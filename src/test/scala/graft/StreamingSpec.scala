@@ -77,6 +77,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming content dedup drops re-sent documents across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.dedupeByContent(docs, "text", "ts")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "hello world"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "something else"))
+    q.processAllAvailable()
+    // canonical duplicate (case/whitespace) arriving a batch later
+    input.addData((3L, Timestamp.valueOf("2024-01-01 10:02:00"), " Hello   WORLD "))
+    q.processAllAvailable()
+    val kept = spark.table("content_dedup").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("observe metrics ride the job's own action — no second scan") {
+    val df = Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)).toDF("id", "value")
+    val (obsDf, obs) = graft.stream.Monitoring.observed(df, "value", 150.0)
+    assert(obsDf.count() === 3)
+    val m = obs.get
+    assert(m("n_rows") === 3L)
+    assert(m("n_anomalies") === 1L)
+    assert(m("value_mass") === 240.0)
+  }
+
   test("alerts fire only when windowed error rate exceeds threshold") {
     val batch = Seq(
       ev(1, "2024-01-01 10:00:00", "error", 1.0),
