@@ -34,6 +34,16 @@ object LakeStorage {
   def read(spark: SparkSession, root: String, layer: String, table: String): DataFrame =
     spark.read.parquet(tablePath(root, layer, table))
 
+  /** Schema-evolution read: partitions written at different pipeline
+    * versions may carry different (compatible) schemas — `mergeSchema`
+    * unions the footers so old partitions surface the new columns as
+    * nulls instead of failing the scan. Costs a footer read per file at
+    * planning (why it is not the default read).
+    */
+  def readMerged(spark: SparkSession, root: String, layer: String,
+                 table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tablePath(root, layer, table))
+
   /** Partition listing via the filesystem (no full scan). */
   def listPartitions(spark: SparkSession, root: String, layer: String,
                      table: String): Seq[String] = {

@@ -77,6 +77,20 @@ class IngestLakeSpec extends SparkSpec {
     assert(prof.getAs[Long]("duplicate_rows") === 0)
   }
 
+  test("schema-evolution read merges old and new partition schemas") {
+    val root = Files.createTempDirectory("graft_evo").toString
+    LakeStorage.write(Seq((1L, "a")).toDF("id", "v"),
+      root, "processed", "evo", "20240101")
+    // a later pipeline version adds a column
+    LakeStorage.write(Seq((2L, "b", 9.5)).toDF("id", "v", "score"),
+      root, "processed", "evo", "20240102")
+    val merged = LakeStorage.readMerged(spark, root, "processed", "evo")
+    assert(merged.columns.toSet === Set("id", "v", "score", "date"))
+    val byId = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9.5))) // old partition → null
+  }
+
   test("bucketed tables join with zero shuffle on either side") {
     // external tables (explicit path) — the warehouse dir is never used
     val root = Files.createTempDirectory("graft_bucket").toString
