@@ -16,13 +16,21 @@ import org.apache.spark.sql.graftbridge.RegistryBridge
 object GraftSqlFunctions {
   type Builder = Seq[Expression] => Expression
 
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Builder =
+    args => {
+      // a clear arity error instead of an opaque IndexOutOfBounds from
+      // inside function resolution
+      require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
+      b(args)
+    }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+      arity("float_vec_dot", 2)(args => FloatVecDot(args(0), args(1)))),
     (FunctionIdentifier("string_poly_hash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
-      (args: Seq[Expression]) => StringPolyHash(args.head)))
+      arity("string_poly_hash", 1)(args => StringPolyHash(args.head))))
 
   /** Register into a live session (tests, notebooks). Sessions built
     * from scratch should use [[GraftExtensions]] via the

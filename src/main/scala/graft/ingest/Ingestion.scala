@@ -66,17 +66,20 @@ object Ingestion {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
 
-  /** Clean rows of an audited read, NA-normalized like [[readCsv]].
-    * Note: Spark disallows filtering a raw CSV scan on the corrupt
-    * column alone — callers keep the full row set (as here) or cache
-    * the audited frame before splitting.
-    */
+  /** Clean rows of an audited read, NA-normalized like [[readCsv]]. */
   def goodRows(audited: DataFrame): DataFrame =
     normalizeNa(audited.filter(col(corruptCol).isNull).drop(corruptCol))
 
-  /** Quarantine relation: the raw text of every malformed line. */
+  /** Quarantine relation: the raw text of every malformed line.
+    * Caches the audited frame first — Spark refuses a raw-CSV query
+    * whose referenced columns are ONLY the internal corrupt-record
+    * column (projection pruning would reduce this plan to exactly
+    * that), and caching the parse is its documented requirement.
+    * Callers splitting both ways want the cache anyway: one parse,
+    * two consumers.
+    */
   def badRows(audited: DataFrame): DataFrame =
-    audited.filter(col(corruptCol).isNotNull).select(col(corruptCol))
+    audited.cache().filter(col(corruptCol).isNotNull).select(col(corruptCol))
 
   /** S1-adjacent cleaning (`ingestion_pipeline.py:76-107`):
     *  - trim+upper every string column, '' → null            (P1)

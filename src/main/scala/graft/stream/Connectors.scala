@@ -80,15 +80,27 @@ object Connectors {
     * :batch` every 10 s. The comparison predicate is pushed down into
     * the database query (Catalyst JDBC filter pushdown), so each poll
     * reads only the increment, not the table.
+    *
+    * Tie safety: the batch is extended to the timestamp boundary — every
+    * row sharing the batch's max watermark value is included even past
+    * `batchSize` (the reference's literal `LIMIT :batch` silently LOSES
+    * rows when ties straddle the cut: the caller advances the cursor to
+    * the boundary value and the strict `>` never revisits the tied rows
+    * the limit dropped). Advancing `lastSeen` to the returned frame's
+    * max watermark is therefore always safe.
     */
   def readIncremental(spark: SparkSession, url: String, table: String,
                       watermarkCol: String, lastSeen: java.sql.Timestamp,
                       batchSize: Int,
-                      props: Properties = new Properties()): DataFrame =
-    spark.read.jdbc(url, table, props)
+                      props: Properties = new Properties()): DataFrame = {
+    val base = spark.read.jdbc(url, table, props)
       .filter(col(watermarkCol) > lit(lastSeen))
+    val boundary = base.orderBy(col(watermarkCol).asc).limit(batchSize)
+      .agg(max(col(watermarkCol)).as("_hi"))
+    base.join(broadcast(boundary), col(watermarkCol) <= col("_hi"))
+      .drop("_hi")
       .orderBy(col(watermarkCol).asc)
-      .limit(batchSize)
+  }
 
   /** JDBC bulk append sink (S8): the staging-table bulk insert.
     * Each partition writes through its own connection in batched

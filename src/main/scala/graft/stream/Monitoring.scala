@@ -27,22 +27,35 @@ object Monitoring {
       round(avg(unix_timestamp(col(processedCol)) - unix_timestamp(col(createdCol))), 6)
         .as("avg_latency_s"))
 
+  private def pipelineMetrics(valueCol: String, anomalyThreshold: Double) = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(when(col(valueCol) > anomalyThreshold, 1L).otherwise(0L)).as("n_anomalies"),
+    sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("value_mass"))
+
   /** Zero-extra-pass pipeline metrics via Spark's native `observe`
     * (the Prometheus-counter role of `pipeline_monitor.py:253-310`,
     * Spark-first): the metrics accumulate ON the job's own action — no
-    * second scan, no scheduled query. Attach to any frame in a
-    * pipeline; after the action, `observation.get` holds rows-seen,
-    * anomaly count, and value mass. Works on streaming queries too
-    * (metrics surface per micro-batch in the progress events).
+    * second scan, no scheduled query. BATCH form: after the action,
+    * `observation.get` holds rows-seen, anomaly count, and value mass.
+    * (The `Observation` object is batch-only by Spark's contract —
+    * streaming frames use [[observedStream]].)
     */
   def observed(df: DataFrame, valueCol: String,
                anomalyThreshold: Double): (DataFrame, Observation) = {
     val obs = Observation("graft_pipeline")
-    val observed = df.observe(obs,
-      count(lit(1)).as("n_rows"),
-      sum(when(col(valueCol) > anomalyThreshold, 1L).otherwise(0L)).as("n_anomalies"),
-      sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("value_mass"))
-    (observed, obs)
+    val m = pipelineMetrics(valueCol, anomalyThreshold)
+    (df.observe(obs, m.head, m.tail: _*), obs)
+  }
+
+  /** Streaming form of [[observed]]: the name-based `observe` attaches
+    * the same metrics to a streaming frame; they surface per
+    * micro-batch in `StreamingQueryProgress.observedMetrics(name)`.
+    */
+  def observedStream(df: DataFrame, valueCol: String,
+                     anomalyThreshold: Double,
+                     name: String = "graft_pipeline"): DataFrame = {
+    val m = pipelineMetrics(valueCol, anomalyThreshold)
+    df.observe(name, m.head, m.tail: _*)
   }
 
   /** Quality-trend aggregates per period (A16,

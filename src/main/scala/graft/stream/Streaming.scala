@@ -52,17 +52,21 @@ object Streaming {
 
   /** Streaming exact CONTENT dedup — the curation pipeline's
     * fingerprint dedup applied incrementally: the md5 of the canonical
-    * text keys the state store, so a duplicate document arriving in any
-    * later micro-batch (within the watermark horizon) is dropped
-    * without re-reading the corpus. State is one 128-bit key per
-    * distinct document, bounded by the watermark.
+    * text keys the state store, so a duplicate document arriving in a
+    * later micro-batch is dropped without re-reading the corpus.
+    * `dropDuplicatesWithinWatermark` is what actually BOUNDS the state:
+    * plain `dropDuplicates` on a non-event-time key would keep every
+    * fingerprint forever (unbounded state → eventual OOM on a
+    * long-running stream). The trade is explicit: duplicates farther
+    * apart than the watermark can both survive — re-dedup at rest
+    * (dropExactDuplicates) catches those.
     */
   def dedupeByContent(docs: DataFrame, textCol: String, tsCol: String,
                       watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("_fp", graft.textops.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** Windowed health metrics (T7, `pipeline_monitor.py:158-204`):

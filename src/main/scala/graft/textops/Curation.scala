@@ -34,10 +34,19 @@ object Curation {
     * dropping could keep both A and C; the component collapses the
     * whole chain onto one survivor. Compose BEFORE `curate` for the
     * full pipeline (near-dedup → exact dedup → gates).
+    *
+    * `usePrefixFilter` switches pair generation to the AllPairs
+    * prefix-filtered join — identical results (property-tested); pick
+    * it when the Σ bucket² candidate join dominates (large corpora /
+    * heavy shingle collision; at small scale the full join measures
+    * faster — SCALING.md).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         usePrefixFilter: Boolean = false): DataFrame = {
+    val pairs =
+      if (usePrefixFilter) Dedup.jaccardPairsPrefix(df, idCol, textCol, shingleN, threshold)
+      else Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
     val losers = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))

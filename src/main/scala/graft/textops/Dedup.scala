@@ -268,6 +268,13 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // A silent partial propagation would yield WRONG clusters (several
+    // "survivors" in one logical component) — refuse instead. The check
+    // is conservative: a graph whose diameter equals maxIter exactly
+    // still needs one confirming iteration; raise maxIter.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(component diameter too large) — raise maxIter")
     labels
   }
 

@@ -99,5 +99,14 @@ class ConnectorsSpec extends SparkSpec {
     val one = Connectors.readIncremental(spark, url, "events_stage",
       "ts", ts("2024-01-01 09:00:00"), batchSize = 2)
     assert(one.select("event_id").as[Long].collect().toSeq === Seq(1L, 2L))
+
+    // tie safety: a second row at the batch-boundary timestamp must be
+    // included past batchSize — advancing the cursor to max(ts) would
+    // otherwise skip it forever under the strict '>' filter
+    Connectors.writeJdbc(events.filter(col("event_id") === 2L)
+      .withColumn("event_id", lit(5L)), url, "events_stage")
+    val tied = Connectors.readIncremental(spark, url, "events_stage",
+      "ts", ts("2024-01-01 09:00:00"), batchSize = 2)
+    assert(tied.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
   }
 }

@@ -56,15 +56,18 @@ class IngestLakeSpec extends SparkSpec {
         |600100,"ALSO FINE CORP",,,,,HOLDINGS INC,OWNER
         |""".stripMargin
     Files.writeString(java.nio.file.Paths.get(dir, "mixed.csv"), csv)
-    val audited = Ingestion.readCsvAudited(spark, s"$dir/mixed.csv").cache()
+    val audited = Ingestion.readCsvAudited(spark, s"$dir/mixed.csv")
     try {
+      // badRows first and WITHOUT a caller-side cache: it must be
+      // self-sufficient (Spark rejects corrupt-column-only CSV scans;
+      // badRows carries its own cache)
+      val bad = Ingestion.badRows(audited).as[String].collect()
+      assert(bad.length === 1 && bad.head.startsWith("not_a_number"))
       val good = Ingestion.goodRows(audited)
       assert(good.count() === 2)
       assert(good.columns.toSeq === Ingestion.schema.fieldNames.toSeq)
       assert(good.select("Account Number").as[Long].collect().sorted
         === Array(85613L, 600100L))
-      val bad = Ingestion.badRows(audited).as[String].collect()
-      assert(bad.length === 1 && bad.head.startsWith("not_a_number"))
     } finally audited.unpersist()
   }
 

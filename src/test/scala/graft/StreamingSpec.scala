@@ -96,6 +96,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming observe surfaces per-micro-batch metrics in query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataEvent]
+    val observed = graft.stream.Monitoring.observedStream(
+      input.toDF(), "value", anomalyThreshold = 150.0)
+    val q = observed.writeStream.format("memory").queryName("obs_stream_out").start()
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", "click", 10.0),
+      ev(2, "2024-01-01 10:01:00", "click", 200.0))
+    q.processAllAvailable()
+    val metrics = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("graft_pipeline"))).lastOption
+    assert(metrics.isDefined)
+    assert(metrics.get.getAs[Long]("n_rows") === 2L)
+    assert(metrics.get.getAs[Long]("n_anomalies") === 1L)
+    q.stop()
+  }
+
   test("observe metrics ride the job's own action — no second scan") {
     val df = Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)).toDF("id", "value")
     val (obsDf, obs) = graft.stream.Monitoring.observed(df, "value", 150.0)

@@ -138,6 +138,24 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Array(1L, 7L))
   }
 
+  test("connected components refuses to return partially-propagated labels") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dropNearDuplicates yields the same survivors with either pair generator") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val full = ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5))
+    val pref = ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
+      usePrefixFilter = true))
+    assert(full === pref)
+  }
+
   test("connected components closes near-dup chains transitively") {
     // two components: a 3-chain (1-2, 2-3: 1 and 3 are NOT directly
     // linked) and a pair (10-11); labels = min id per component
