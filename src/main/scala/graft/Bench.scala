@@ -23,14 +23,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Timings at millisecond precision: the driver parses this line from
-    // a bounded tail of the build output, so it must stay short — full
-    // double precision on 60+ queries overflows the capture window.
+    // The driver parses JSON from a bounded tail of the build output. At
+    // 87 queries a single line with the full per-query map overflows that
+    // window and the total is lost (BENCH_r03 parsed=null). So: emit the
+    // per-query detail first, sharded into short lines, and end with one
+    // short summary line carrying the total plus only the slowest queries
+    // — the final line is always intact within any reasonable tail.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def toJson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    results.grouped(12).zipWithIndex.foreach { case (part, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"queries":${toJson(part)}}""")
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(8)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,8 +228,17 @@ object Dedup {
     * node — one hash join + one hash aggregation, both keyed on node
     * id; `localCheckpoint` truncates the growing lineage (the standard
     * iterative-DataFrame discipline). Converges in graph-diameter
-    * iterations — near-dup clusters are shallow (2-4); the driver only
-    * ever sees the one-row convergence count.
+    * iterations — near-dup clusters are shallow (2-4).
+    *
+    * Convergence costs NO extra job: the same aggregation that takes
+    * the min label also carries the node's previous label (its
+    * `own = true` row), and an `observe` counter on the changed rows is
+    * collected by the checkpoint's own materialization pass. Comparing
+    * old vs new label per row is also type-agnostic — it works for
+    * string node ids, where a numeric label-sum check would silently
+    * cast to null. An empty edge list converges on the first pass and
+    * returns the empty labelling (no-near-dups corpora are valid
+    * input, not an error).
     *
     * Returns (node, label) where label = min node id in the component.
     */
@@ -246,25 +255,28 @@ object Dedup {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    // Convergence via the label-sum invariant: min-propagation only
-    // ever DECREASES labels, so an unchanged sum ⟺ no label changed —
-    // one cheap aggregate per round instead of a join-and-compare.
-    // Decimal sum: exact and overflow-free for id sums at any scale.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .first().getDecimal(0)
-    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val fromNbrs = und.join(labels, und("dst") === labels("node"))
-        .select(und("src").as("node"), col("label"))
-      val updated = labels.unionByName(fromNbrs)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      val s = labelSum(updated)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+        .select(und("src").as("node"), col("label"), lit(false).as("own"))
+      // One aggregation produces both the new min label and the node's
+      // previous label (min over its single own=true row), so "did
+      // anything change" is a per-row comparison — no second pass.
+      val merged = labels.withColumn("own", lit(true)).unionByName(fromNbrs)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("_old"))
+      val obs = org.apache.spark.sql.Observation()
+      val updated = merged
+        .observe(obs, sum(when(col("label") =!= col("_old"), 1L).otherwise(0L))
+          .as("changed"))
+        .select("node", "label")
+        .localCheckpoint() // materializes AND collects the observe metric
+      // Null sum ⟺ zero rows observed (empty graph) ⟺ converged.
+      val changed = obs.get.get("changed").flatMap(Option(_))
+        .fold(0L)(_.asInstanceOf[Long])
+      converged = changed == 0L
       labels = updated
       i += 1
     }

@@ -146,6 +146,25 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dropNearDuplicates returns the corpus unchanged when no near-dups exist") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "one two three four five six", "s1"),
+      (3L, "cats dogs birds fish mice", "s2")).toDF("doc_id", "text", "source")
+    val kept = Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L))
+  }
+
+  test("connected components handles string node ids and empty edge lists") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val cc = Dedup.connectedComponents(edges, "x", "y")
+      .as[(String, String)].collect().toMap
+    assert(cc === Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
   test("dropNearDuplicates yields the same survivors with either pair generator") {
     val docs = Tables.documents(spark, sfDir)
     def ids(df: org.apache.spark.sql.DataFrame) =
