@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** The rank is a LONG by default: beyond 2^31−1 rows an int rank
+    * overflows (ANSI mode fails the job), defeating the unbounded-input
+    * design goal. Pass `asInt = true` only when `row_number`-identical
+    * schema parity matters and the frame is known int-bounded.
+    */
   def globalRowNumber(df: DataFrame, orderExprs: Seq[Column],
-                      outCol: String): DataFrame = {
+                      outCol: String, asInt: Boolean = false): DataFrame = {
     val parted = df.repartitionByRange(orderExprs: _*)
       .withColumn("_pid", spark_partition_id())
     val local = parted.withColumn("_lrn",
@@ -40,8 +45,37 @@ object Ranking {
         coalesce(sum(col("_n")).over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_offset")
+    val rank = col("_lrn") + col("_offset")
     local.join(broadcast(offsets), "_pid")
-      .withColumn(outCol, (col("_lrn") + col("_offset")).cast("int"))
+      .withColumn(outCol, if (asInt) rank.cast("int") else rank)
       .drop("_pid", "_lrn")
+  }
+
+  /** Exact `ntile(k)` without a single-partition window: two-phase
+    * global rank, then the NTILE bucket formula applied per row against
+    * the broadcast total count. SQL NTILE semantics: with n rows the
+    * first n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — a pure
+    * function of (rank, n, k), so once the distributed rank exists the
+    * bucket is a map-side expression. This is the scale path for
+    * "quartile every customer": an `approx_percentile` cutpoint join
+    * would avoid the rank entirely but changes tie/boundary semantics;
+    * this form is bit-identical to `ntile` at any input size.
+    */
+  def globalNtile(df: DataFrame, orderExprs: Seq[Column], k: Int,
+                  outCol: String): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val ranked = globalRowNumber(df, orderExprs, "_grn")
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    // All-long DIV arithmetic (Column./ would be double division). CASE
+    // WHEN evaluates lazily, so the small-bucket branch's division is
+    // never executed when n < k makes the floor bucket size zero.
+    val bucket = expr(
+      s"""CASE WHEN _grn <= (_n % $k) * ((_n DIV $k) + 1)
+         |THEN (_grn - 1) DIV ((_n DIV $k) + 1)
+         |ELSE (_n % $k) + (_grn - (_n % $k) * ((_n DIV $k) + 1) - 1) DIV (_n DIV $k)
+         |END""".stripMargin)
+    ranked.crossJoin(broadcast(total))
+      .withColumn(outCol, (bucket + 1L).cast("int"))
+      .drop("_grn", "_n")
   }
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.5).
   *
   * Scale notes: W1/W2/W3/W6 windows partition on a key — they shuffle
-  * once on that key and scale linearly. W4/W5 are windows over an
+  * once on that key and scale linearly. W4/W5/W10 are windows over an
   * already-aggregated frame (a few rows), where a single-partition global
   * window is fine; the raw-data global-window variant is deliberately
   * avoided (SURVEY §4's "one true hotspot") in favor of orderBy.limit or
-  * aggregate-then-window.
+  * aggregate-then-window. W8's frame is one row per CUSTOMER — unbounded
+  * — so it goes through the two-phase [[Ranking.globalNtile]], never a
+  * single-partition sort.
   */
 object WindowQueries extends QueryPack {
 
@@ -107,20 +109,19 @@ object WindowQueries extends QueryPack {
         .orderBy("gap_bucket_days")
     }),
 
-    // W8: ntile — spend quartiles over per-customer totals. The global
-    // Window.orderBy is acceptable ONLY because its input is the
-    // already-aggregated one-row-per-customer frame (same W4/W5 rule);
-    // at 100 TB with billions of customers the scale path is
-    // approx_percentile(spend, [0.25, 0.5, 0.75]) cutpoints joined back
-    // as bucket boundaries — no single-partition sort.
+    // W8: ntile — spend quartiles over per-customer totals. The
+    // per-customer frame is UNBOUNDED (billions of customers at the
+    // design point), so a plain ntile(4).over(Window.orderBy(...))
+    // would funnel it through one partition. Ranking.globalNtile keeps
+    // every stage distributed (range partition + local rank + NTILE
+    // bucket formula) and is bit-identical to ntile — the oracle's
+    // NTILE(4) hash-matches it.
     "q_w8_ntile" -> ((s, dir) => {
       val totals = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice")
           .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("spend"))
-      totals
-        .withColumn("quartile",
-          ntile(4).over(Window.orderBy(desc("spend"), asc("o_custkey"))))
+      Ranking.globalNtile(totals, Seq(desc("spend"), asc("o_custkey")), 4, "quartile")
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("spend")).cast("double").as("total_spend"))

@@ -32,14 +32,41 @@ class OperatorsSpec extends SparkSpec {
     val df = (1 to 500).map(i => (i % 37, s"k%03d".format(i))).toDF("v", "k")
     val order = Seq(desc("v"), asc("k"))
     val expected = df.withColumn("rn",
-        row_number().over(Window.orderBy(order: _*)))
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
       .orderBy("rn").select("v", "k", "rn").collect().toSeq
     val ranked = Ranking.globalRowNumber(df, order, "rn")
     val got = ranked.orderBy("rn").select("v", "k", "rn").collect().toSeq
     assert(got === expected)
+    // overflow-proof long by default; int only under the parity flag
+    assert(ranked.schema("rn").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(Ranking.globalRowNumber(df, order, "rn", asInt = true)
+      .schema("rn").dataType === org.apache.spark.sql.types.IntegerType)
     // phase 1 really is a distributed range repartition on the sort keys,
     // not a funnel of the whole frame into one partition
     assert(ranked.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+  }
+
+  test("globalNtile is bit-identical to ntile, without the global window") {
+    val df = (1 to 503).map(i => (i % 37, s"k%03d".format(i))).toDF("v", "k")
+    val order = Seq(desc("v"), asc("k"))
+    for (k <- Seq(4, 7)) {
+      val expected = df.withColumn("b", ntile(k).over(Window.orderBy(order: _*)))
+        .select("v", "k", "b").collect().toSet
+      val got = Ranking.globalNtile(df, order, k, "b")
+        .select("v", "k", "b").collect().toSet
+      assert(got === expected, s"k=$k")
+    }
+    // n < k: every row its own bucket (NTILE degenerate case)
+    val tiny = Seq((3, "a"), (1, "b")).toDF("v", "k")
+    val buckets = Ranking.globalNtile(tiny, Seq(desc("v")), 4, "b")
+      .select("v", "b").as[(Int, Int)].collect().toMap
+    assert(buckets === Map(3 -> 1, 1 -> 2))
+    // the quartile phase is a distributed range repartition, not a
+    // single-partition sort of the input frame
+    val plan = Ranking.globalNtile(df, order, 4, "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
   }
 
   test("pagination pages are disjoint, ordered, and complete") {

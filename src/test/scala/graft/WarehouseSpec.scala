@@ -50,8 +50,8 @@ class WarehouseSpec extends SparkSpec {
 
     val demo = wh("fact_owner_demographics").collect()
     assert(demo.forall(_.getAs[Boolean]("is_unique_name")))
-    val ranks = demo.map(_.getAs[Int]("name_frequency_rank")).sorted
-    assert(ranks.toSeq === (1 to demo.length))
+    val ranks = demo.map(_.getAs[Long]("name_frequency_rank")).sorted
+    assert(ranks.toSeq === (1L to demo.length.toLong))
 
     val pct = wh("agg_role_distribution")
       .agg(sum(col("percentage"))).as[Double].collect().head
