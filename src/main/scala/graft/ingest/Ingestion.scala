@@ -71,15 +71,36 @@ object Ingestion {
     normalizeNa(audited.filter(col(corruptCol).isNull).drop(corruptCol))
 
   /** Quarantine relation: the raw text of every malformed line.
-    * Caches the audited frame first — Spark refuses a raw-CSV query
-    * whose referenced columns are ONLY the internal corrupt-record
-    * column (projection pruning would reduce this plan to exactly
-    * that), and caching the parse is its documented requirement.
-    * Callers splitting both ways want the cache anyway: one parse,
-    * two consumers.
+    *
+    * CACHE CONTRACT: Spark refuses a raw-CSV query whose referenced
+    * columns are ONLY the internal corrupt-record column (projection
+    * pruning would reduce this plan to exactly that), and caching the
+    * parse is its documented requirement — so this caches `audited` as
+    * a side effect unless the caller already did. The caller owns the
+    * lifetime: `audited.unpersist()` when done with BOTH splits (a
+    * splitting caller wants the cache anyway — one parse, two
+    * consumers). For a write-and-release shape use
+    * [[writeQuarantine]], which scopes the cache itself.
     */
-  def badRows(audited: DataFrame): DataFrame =
-    audited.cache().filter(col(corruptCol).isNotNull).select(col(corruptCol))
+  def badRows(audited: DataFrame): DataFrame = {
+    if (audited.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      audited.cache()
+    audited.filter(col(corruptCol).isNotNull).select(col(corruptCol))
+  }
+
+  /** Scoped quarantine: cache, write the malformed raw lines as text to
+    * `path`, unpersist — no storage-memory residue for callers that
+    * only want the audit file. Returns the quarantined line count.
+    */
+  def writeQuarantine(audited: DataFrame, path: String): Long = {
+    val alreadyCached =
+      audited.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val bad = badRows(audited)
+    try {
+      bad.write.mode("overwrite").text(path)
+      bad.count()
+    } finally if (!alreadyCached) audited.unpersist()
+  }
 
   /** S1-adjacent cleaning (`ingestion_pipeline.py:76-107`):
     *  - trim+upper every string column, '' → null            (P1)

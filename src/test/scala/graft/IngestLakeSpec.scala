@@ -71,6 +71,22 @@ class IngestLakeSpec extends SparkSpec {
     } finally audited.unpersist()
   }
 
+  test("writeQuarantine writes the audit file and releases its cache") {
+    val dir = Files.createTempDirectory("graft_bad2").toString
+    val csv =
+      """Account Number,Legal Name,Owner First Name,Owner Middle Initial,Owner Last Name,Suffix,Legal Entity Owner,Title
+        |85613,"GOOD ROW LLC",Ron,M,Anderson,,,OTHER
+        |oops,"BAD KEY CO",Amy,,Lee,,,CEO
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "mixed.csv"), csv)
+    val audited = Ingestion.readCsvAudited(spark, s"$dir/mixed.csv")
+    val n = Ingestion.writeQuarantine(audited, s"$dir/quarantine")
+    assert(n === 1)
+    assert(spark.read.text(s"$dir/quarantine").count() === 1)
+    // the scoped form must not leave the parse pinned in storage memory
+    assert(audited.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("quality profile reports counts, nulls, completeness") {
     val prof = Ingestion.qualityProfile(Ingestion.readCsv(spark, fixtureCsv()))
       .collect().head
