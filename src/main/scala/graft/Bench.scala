@@ -37,7 +37,16 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val slowest = results.sortBy(-_._2).take(8)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slowest)},"sf":"$sfDir"}""")
+    // Early queries_part lines can scroll out of the driver's bounded tail
+    // capture, so the complete map is also written to a file — the one
+    // durable record of every per-query timing.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // `slowest` (not `queries`): this is a subset — summing it would NOT
+    // reproduce the total. Full map: BENCH_QUERIES.json + the part lines.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

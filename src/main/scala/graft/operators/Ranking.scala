@@ -28,13 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Working columns the two-phase machinery claims internally.
+    * `withColumn` silently REPLACES a same-named input column, which
+    * would corrupt results rather than error — so refuse such inputs
+    * up front.
+    */
+  private val ReservedCols = Set("_pid", "_lrn", "_n", "_offset", "_grn", "_total")
+
+  private def assertNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.filter(ReservedCols.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Ranking's " +
+        s"reserved working names (${ReservedCols.mkString(", ")}) — rename them first")
+  }
+
   /** The rank is a LONG by default: beyond 2^31−1 rows an int rank
     * overflows (ANSI mode fails the job), defeating the unbounded-input
     * design goal. Pass `asInt = true` only when `row_number`-identical
     * schema parity matters and the frame is known int-bounded.
     */
-  def globalRowNumber(df: DataFrame, orderExprs: Seq[Column],
-                      outCol: String, asInt: Boolean = false): DataFrame = {
+  /** Shared two-phase machinery: partition-locally ranked rows plus the
+    * numPartitions-row offsets frame (per-partition count, running
+    * offset, grand total). The offsets frame re-executes the child's
+    * aggregation subplan when materialized for broadcast — identical
+    * exchanges, so Spark's exchange reuse dedupes the heavy stages.
+    */
+  private def localRankAndOffsets(df: DataFrame,
+                                  orderExprs: Seq[Column]): (DataFrame, DataFrame) = {
+    assertNoReserved(df)
     val parted = df.repartitionByRange(orderExprs: _*)
       .withColumn("_pid", spark_partition_id())
     val local = parted.withColumn("_lrn",
@@ -44,11 +65,18 @@ object Ranking {
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
+      .withColumn("_total", sum(col("_n")).over(Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    (local, offsets)
+  }
+
+  def globalRowNumber(df: DataFrame, orderExprs: Seq[Column],
+                      outCol: String, asInt: Boolean = false): DataFrame = {
+    val (local, offsets) = localRankAndOffsets(df, orderExprs)
     val rank = col("_lrn") + col("_offset")
-    local.join(broadcast(offsets), "_pid")
+    local.join(broadcast(offsets.select("_pid", "_offset")), "_pid")
       .withColumn(outCol, if (asInt) rank.cast("int") else rank)
-      .drop("_pid", "_lrn")
+      .drop("_pid", "_lrn", "_offset")
   }
 
   /** Exact `ntile(k)` without a single-partition window: two-phase
@@ -64,18 +92,23 @@ object Ranking {
   def globalNtile(df: DataFrame, orderExprs: Seq[Column], k: Int,
                   outCol: String): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
-    val ranked = globalRowNumber(df, orderExprs, "_grn")
-    val total = ranked.agg(count(lit(1)).as("_n"))
+    // The grand total rides the SAME numPartitions-row offsets frame the
+    // rank join already broadcasts — no separate count subquery. (An
+    // earlier form counted the ranked frame itself, which re-executed the
+    // whole two-phase pipeline as a broadcast subquery: 14.6 s vs ~1 s at
+    // sf0.1 on q_w8_ntile.)
+    val (local, offsets) = localRankAndOffsets(df, orderExprs)
     // All-long DIV arithmetic (Column./ would be double division). CASE
     // WHEN evaluates lazily, so the small-bucket branch's division is
     // never executed when n < k makes the floor bucket size zero.
     val bucket = expr(
-      s"""CASE WHEN _grn <= (_n % $k) * ((_n DIV $k) + 1)
-         |THEN (_grn - 1) DIV ((_n DIV $k) + 1)
-         |ELSE (_n % $k) + (_grn - (_n % $k) * ((_n DIV $k) + 1) - 1) DIV (_n DIV $k)
+      s"""CASE WHEN _grn <= (_total % $k) * ((_total DIV $k) + 1)
+         |THEN (_grn - 1) DIV ((_total DIV $k) + 1)
+         |ELSE (_total % $k) + (_grn - (_total % $k) * ((_total DIV $k) + 1) - 1) DIV (_total DIV $k)
          |END""".stripMargin)
-    ranked.crossJoin(broadcast(total))
+    local.join(broadcast(offsets.select("_pid", "_offset", "_total")), "_pid")
+      .withColumn("_grn", col("_lrn") + col("_offset"))
       .withColumn(outCol, (bucket + 1L).cast("int"))
-      .drop("_grn", "_n")
+      .drop("_pid", "_lrn", "_offset", "_total", "_grn")
   }
 }

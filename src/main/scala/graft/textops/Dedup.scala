@@ -273,8 +273,26 @@ object Dedup {
           .as("changed"))
         .select("node", "label")
         .localCheckpoint() // materializes AND collects the observe metric
+      // The checkpoint has already materialized, so the metric should be
+      // present NOW. `obs.get` blocks indefinitely, though, and its
+      // delivery relies on localCheckpoint materializing under a tracked
+      // SQL execution — undocumented behavior; if a future Spark changes
+      // it, an unbounded wait would hang the driver forever. Bound it and
+      // fail loudly instead. (`getOrEmpty` is private[sql].)
+      val metrics = try {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get), scala.concurrent.duration.Duration(60, "s"))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            "connectedComponents: observe metric never arrived after " +
+              "checkpoint materialization — this Spark no longer runs " +
+              "localCheckpoint under a tracked execution; count changed " +
+              "rows with an explicit action instead")
+      }
       // Null sum ⟺ zero rows observed (empty graph) ⟺ converged.
-      val changed = obs.get.get("changed").flatMap(Option(_))
+      val changed = metrics.get("changed").flatMap(Option(_))
         .fold(0L)(_.asInstanceOf[Long])
       converged = changed == 0L
       labels = updated
