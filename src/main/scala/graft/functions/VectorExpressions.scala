@@ -14,12 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * through the interpreted path per element — fine for occasional use,
   * but the inner loop of ANN search at 100 TB deserves a tight
   * codegen'd loop. This emits straight-line Java: one fused loop over
-  * the two float arrays accumulating in double.
+  * the two arrays accumulating in double.
   *
-  * Arithmetic is (double)a[i] * (double)b[i] summed left-to-right —
-  * bit-identical to the higher-order-function formulation it replaces
-  * (and to the DuckDB oracle), so swapping it in changes nothing
-  * numerically.
+  * Each side may be `array<float>` or `array<double>` (k-means
+  * centroids are double-precision means while the corpus stays float);
+  * a float element is widened to double before multiplying, summed
+  * left-to-right — bit-identical to the higher-order-function
+  * formulation it replaces (and to the DuckDB oracle), so swapping it
+  * in changes nothing numerically.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,25 +29,35 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(elemType(_).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, " +
+      s"$prettyName requires two array<float|double> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def get(d: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => d.getFloat(i).toDouble
+    case _ => d.getDouble(i)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left).get
+    val rt = elemType(right).get
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
     acc
@@ -56,11 +68,15 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      def getter(v: String, t: DataType): String = t match {
+        case FloatType => s"((double) $v.getFloat($i))"
+        case _ => s"$v.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${getter(a, elemType(left).get)} * ${getter(b, elemType(right).get)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -72,7 +88,7 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Codegen'd Σ aᵢ·bᵢ over two `array<float>` columns. */
+  /** Codegen'd Σ aᵢ·bᵢ over two `array<float|double>` columns. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

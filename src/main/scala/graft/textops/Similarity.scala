@@ -126,6 +126,74 @@ object Similarity {
         col("_m.sim").as("cos_sim"))
   }
 
+  /** Lloyd k-means trainer for the IVF coarse quantizer — produces the
+    * `(bucket, centroid)` relation [[assignBuckets]] consumes, as pure
+    * DataFrame ops (no driver-side vector math, unlike the classic
+    * collect-centroids-each-round formulation):
+    *
+    *   - seed: the `k` lowest-id vectors (deterministic and
+    *     layout-independent — no sampled or random seeds, so results are
+    *     reproducible across engines and partitionings);
+    *   - assign: broadcast cross join + struct-MAX argmax by cosine
+    *     (the [[assignBuckets]] shape, inlined to keep the vector);
+    *   - update: per-bucket element-wise mean via `posexplode` →
+    *     `groupBy(bucket, pos)` — sums run over DECIMAL(38,16) so they
+    *     are exact and order-independent (double sums would make the
+    *     result depend on partitioning), then round to 6 dp;
+    *   - empty buckets keep their previous centroid (standard Lloyd
+    *     fallback), via left join + coalesce.
+    *
+    * Each iteration ends in a `localCheckpoint` of the k-row centroid
+    * frame: the next round's broadcast starts from materialized rows
+    * instead of replaying every previous assign+update. Iteration count
+    * is fixed (no convergence test) — deterministic output, bounded
+    * cost; centroids are means of cosine-assigned buckets (spherical
+    * k-means assignment with a Euclidean mean update).
+    *
+    * Cost per iteration at scale: one broadcast of k·d doubles, one
+    * map-side-combined shuffle of k·d partial sums — the corpus is
+    * never shuffled.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"cluster count must be positive, got $k")
+    require(iters >= 0, s"iteration count must be non-negative, got $iters")
+    var cent = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("bucket"),
+        transform(col(vecCol), v => v.cast("double")).as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cnorm = cent.withColumn("_cnrm", norm(col("centroid")))
+      val assigned = df.select(col(idCol), col(vecCol))
+        .withColumn("_nrm", norm(col(vecCol)))
+        .crossJoin(broadcast(cnorm))
+        .select(col(idCol), col(vecCol), struct(
+          round(dot(col(vecCol), col("centroid")) / (col("_nrm") * col("_cnrm")), 6)
+            .as("sim"),
+          col("bucket").as("bucket")).as("_e"))
+        .groupBy(idCol)
+        // Every replicated row of one vector carries the same array, so
+        // first() is deterministic here.
+        .agg(max(col("_e")).as("_m"), first(col(vecCol)).as("_v"))
+        .select(col("_m.bucket").as("bucket"), col("_v").as("_v"))
+      val means = assigned
+        .select(col("bucket"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos")
+        .agg(round(
+          sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 16))).cast("double")
+            / count(lit(1)), 6).as("m"))
+        .groupBy("bucket")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("_newc"))
+      cent = cent.join(means, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("_newc"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   /** IVF-style bucketed search: within each coarse partition (a cluster
     * id / nearest-centroid assignment), exact top-k most-similar pairs.
     * Work is Σ bucket² instead of n² — the standard inverted-file trade;

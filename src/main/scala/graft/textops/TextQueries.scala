@@ -122,15 +122,27 @@ object TextQueries extends QueryPack {
           "embedding", "label", k = 2)
         .orderBy("bucket", "id_a", "id_b")),
 
-    // IVF coarse quantization: nearest-centroid assignment (centroids =
-    // the first 4 corpus vectors, a stand-in for k-means seeds),
+    // One Lloyd step of the k-means trainer, exploded to (bucket,
+    // dim_pos, c_val) rows: assignment (argmax cosine vs the 4 lowest-id
+    // seeds) then the per-bucket element-wise mean. Exact DECIMAL sums
+    // and 6-dp rounding make the whole step integer-exact arithmetic
+    // DuckDB reproduces bit-for-bit.
+    "q_t_kmeans" -> ((s, dir) =>
+      Similarity.trainCentroids(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 4, iters = 1)
+        .select(col("bucket"),
+          posexplode(col("centroid")).as(Seq("dim_pos", "c_val")))
+        .orderBy("bucket", "dim_pos")),
+
+    // IVF coarse quantization: nearest-centroid assignment against
+    // TRAINED centroids (one Lloyd step from the 4 lowest-id seeds),
     // summarized per bucket. The struct-MAX argmax is exact and
     // oracle-checkable.
     "q_t_ivf_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cent = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cbucket"), col("embedding").as("cvec"))
-      Similarity.assignBuckets(emb, "vec_id", "embedding", cent, "cbucket", "cvec")
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 1)
+      Similarity.assignBuckets(emb, "vec_id", "embedding", cent, "bucket", "centroid")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), max(col("cos_sim")).as("max_sim"))
         .orderBy("bucket")
@@ -328,18 +340,44 @@ object TextQueries extends QueryPack {
         |SELECT bucket, id_a, id_b, cos_sim FROM r WHERE rn <= 2
         |ORDER BY bucket, id_a, id_b""".stripMargin,
 
-    "q_t_ivf_assign" ->
-      """WITH c AS (SELECT vec_id AS bucket,
+    "q_t_kmeans" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings WHERE vec_id < 4),
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT e.vec_id, bucket,
-        |    ROUND(list_cosine_similarity(v, cv), 6) AS sim FROM e CROSS JOIN c),
-        |a AS (SELECT vec_id,
-        |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s GROUP BY vec_id)
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
+        |    CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim_pos FROM a)
+        |SELECT bucket, dim_pos,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_t_ivf_assign" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
+        |    generate_subscripts(v, 1) AS dim_pos FROM a),
+        |mn AS (SELECT bucket, dim_pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |  FROM u GROUP BY 1, 2),
+        |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
+        |s2 AS (SELECT e.vec_id, cl.bucket,
+        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |a2 AS (SELECT vec_id,
+        |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s2 GROUP BY vec_id)
         |SELECT m.bucket AS bucket, COUNT(*) AS n_vecs, MAX(m.sim) AS max_sim
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

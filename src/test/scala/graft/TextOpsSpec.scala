@@ -198,6 +198,52 @@ class TextOpsSpec extends SparkSpec {
     assert(self === 1.0)
   }
 
+  test("k-means trainer pulls centroids toward the true cluster directions") {
+    // two tight angular clusters around the x- and y-axes
+    val rnd = new scala.util.Random(11)
+    def around(base: Array[Float]) =
+      base.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+    val xs = (0L to 9L).map(i => (i, around(Array(1f, 0f, 0f)).toSeq))
+    val ys = (10L to 19L).map(i => (i, around(Array(0f, 1f, 0f)).toSeq))
+    val df = (xs ++ ys).toDF("id", "vec")
+    // seeds = ids 0 and 1: BOTH start inside the x-cluster; Lloyd must
+    // migrate one of them to the y-cluster for this to pass.
+    val cent = Similarity.trainCentroids(df, "id", "vec", k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(cent.keySet === Set(0L, 1L))
+    def dir(v: Array[Double]) = v.indexOf(v.map(math.abs).max)
+    assert(cent.values.map(dir).toSet === Set(0, 1)) // one centroid per axis
+    // and the trained assignment separates the clusters exactly
+    val centDf = Similarity.trainCentroids(df, "id", "vec", k = 2, iters = 4)
+    val assigned = Similarity.assignBuckets(df, "id", "vec", centDf,
+        "bucket", "centroid")
+      .select("id", "bucket").as[(Long, Long)].collect()
+    val byBucket = assigned.groupBy(_._2).map { case (b, rows) =>
+      b -> rows.map(_._1).toSet
+    }
+    assert(byBucket.values.toSet === Set((0L to 9L).toSet, (10L to 19L).toSet))
+  }
+
+  test("k-means with zero iterations returns the k lowest-id seed vectors") {
+    val df = Seq((3L, Seq(1f, 2f)), (1L, Seq(3f, 4f)), (2L, Seq(5f, 6f)))
+      .toDF("id", "vec")
+    val cent = Similarity.trainCentroids(df, "id", "vec", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cent === Map(1L -> Seq(3.0, 4.0), 2L -> Seq(5.0, 6.0)))
+  }
+
+  test("k-means keeps the previous centroid for a bucket that attracts nothing") {
+    // seeds 0 and 1 are IDENTICAL vectors: every point ties on cosine and
+    // the struct-MAX tie-break sends all of them to bucket 1, leaving
+    // bucket 0 empty — the Lloyd fallback must retain its seed centroid.
+    val df = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("id", "vec")
+    val cent = Similarity.trainCentroids(df, "id", "vec", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cent(0L) === Seq(1.0, 0.0)) // untouched seed
+    assert(cent(1L)(1) > 0.0)          // mean of all three pulled off-axis
+  }
+
   test("approximate aggregates stay within tolerance of exact (100 TB fast path)") {
     val o = Tables.orders(spark, sfDir)
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
