@@ -169,6 +169,106 @@ object Streaming {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** One micro-batch step of incremental NEAR-duplicate dedup — the
+    * MinHash-LSH analogue of [[dedupeByContent]]'s exact-fingerprint
+    * dedup. State is the persisted (band, key, ts) LSH banding relation
+    * of previously-admitted documents at `storePath`; each batch:
+    *
+    *   1. computes its documents' band signatures
+    *      ([[graft.textops.Dedup.bandSignatures]]);
+    *   2. expires store entries older than `retention` behind the
+    *      batch's max event time, then drops any document whose bands
+    *      collide with the live store (a near-duplicate of
+    *      earlier-admitted content) or with a smaller-id document in
+    *      the same batch;
+    *   3. appends the SURVIVORS' bands to the pruned store — the same
+    *      horizon trade `dropDuplicatesWithinWatermark` makes, so state
+    *      is bounded by construction: `bands` rows per admitted
+    *      document within the retention window, regardless of stream
+    *      lifetime. Near-duplicates farther apart than the retention
+    *      both survive — batch re-dedup at rest catches those.
+    *
+    * Band collision is the drop criterion (no exact-Jaccard verify):
+    * for unrelated documents a full band of `numHashes/bands` minhashes
+    * agreeing is vanishingly rare, while a true near-dup collides on
+    * some band with probability 1 − (1 − J^r)^bands — the standard LSH
+    * operating point. Verification would need stored shingle sets
+    * (state ∝ corpus text size, unbounded) — the precision trade is
+    * deliberate and documented in SCALING.md.
+    *
+    * Every stage is an equi-join or aggregation on hashed keys; the
+    * 1-row horizon aggregate rides a broadcast join, nothing collects
+    * to the driver. Survivors are `localCheckpoint`ed before the store
+    * is swapped so the returned frame does not depend on the
+    * just-replaced files.
+    */
+  def nearDedupBatchStep(batch: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, storePath: String,
+                         retention: String = "1 hour", shingleN: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(storePath)
+    val store =
+      if (fs.exists(target)) spark.read.parquet(storePath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("band", IntegerType), StructField("key", LongType),
+          StructField("_ts", TimestampType))))
+    val bandsDf = graft.textops.Dedup.bandSignatures(
+      batch.select(col(idCol), col(textCol)), idCol, textCol,
+      shingleN, numHashes, bands)
+    // Expire state BEFORE the collision decision, against the batch's
+    // own max event time: content older than the retention horizon must
+    // not suppress admission (the exact-path analogue finalizes state at
+    // the watermark the same way). An empty batch has a null horizon —
+    // keep the store untouched rather than wiping it.
+    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
+    val liveStore = store.crossJoin(broadcast(batchMax))
+      .filter(col("_mx").isNull ||
+        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+      .select("band", "key", "_ts")
+    val vsStore = bandsDf
+      .join(liveStore.select("band", "key"), Seq("band", "key"))
+      .select(col(idCol))
+    val vsBatch = bandsDf.select(col("band"), col("key"), col(idCol).as("_a"))
+      .join(bandsDf.select(col("band"), col("key"), col(idCol).as("_b")),
+        Seq("band", "key"))
+      .filter(col("_a") < col("_b"))
+      .select(col("_b").as(idCol))
+    val dropped = vsStore.unionByName(vsBatch).distinct()
+    val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val survBands = bandsDf
+      .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
+      .select("band", "key", "_ts")
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
+    liveStore.unionByName(survBands).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    survivors
+  }
+
+  /** `foreachBatch` wrapper over [[nearDedupBatchStep]]: admitted
+    * (near-dup-free) documents append to `survivorsPath`. Replay-safe
+    * in the useful direction: a re-delivered batch's documents collide
+    * with their OWN bands already in the store and are dropped, so the
+    * sink never double-appends. The inverse failure (store swapped,
+    * sink append crashed before completing) loses that batch's
+    * survivors from the sink — a transactional table format would close
+    * that window; with plain parquet, re-ingest the gap at rest.
+    */
+  def nearDedupWriter(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, storePath: String, survivorsPath: String,
+                      retention: String = "1 hour")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        nearDedupBatchStep(batch, idCol, textCol, tsCol, storePath, retention)
+          .write.mode("append").parquet(survivorsPath)
+    }
+
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
     * parquet target by key — re-delivered batches converge to the same
     * state. For real deployments the write would target a transactional

@@ -172,6 +172,28 @@ object Dedup {
         col("n_sh"))
   }
 
+  /** Banding expression over a `sig` array column: band j's key is the
+    * xxhash64 of its `r` consecutive signature entries.
+    */
+  private def bandKeysExpr(r: Int, bands: Int) = expr(
+    s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r)))")
+
+  /** The (id, band, key) LSH banding relation on its own — the
+    * candidate-generation half of [[minhashLshPairs]], exposed for
+    * incremental consumers (the streaming near-dedup keeps exactly this
+    * relation as its persisted state and equi-joins each micro-batch's
+    * bands against it). Documents with fewer than `shingleN` tokens
+    * produce no rows — they have no signature to collide on.
+    */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol), posexplode(bandKeysExpr(r, bands)).as(Seq("band", "key")))
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signature (`bands` ×
     * `rowsPerBand`), hash each band, bucket-join on (band, key) for
     * candidates, then verify candidates with EXACT Jaccard — the sketch
@@ -184,9 +206,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
-    val banded = sigSize.select(col(idCol), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r)))"))
-      .as(Seq("band", "key")))
+    val banded = sigSize.select(col(idCol),
+      posexplode(bandKeysExpr(r, bands)).as(Seq("band", "key")))
     val candidates = banded.toDF("doc_a", "band", "key")
       .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))

@@ -96,6 +96,46 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dedup drops cross-batch near-duplicates and expires old state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    val q = Streaming.nearDedupWriter(docs, "doc_id", "text", "ts",
+        dir + "/store", dir + "/survivors", retention = "1 hour")
+      .option("checkpointLocation", dir + "/chk").start()
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+        "completely different words about stars planets moons comets asteroids orbits"))
+    q.processAllAvailable()
+    // batch 2: a NEAR-duplicate (one token changed — exact-fingerprint
+    // dedup would miss it) of batch-1 content, plus a fresh doc
+    input.addData(
+      (3L, Timestamp.valueOf("2024-01-01 10:05:00"), base.replace("dog", "cat")),
+      (4L, Timestamp.valueOf("2024-01-01 10:06:00"),
+        "fresh unrelated content mentioning rivers mountains valleys forests deserts plains"))
+    q.processAllAvailable()
+    val kept = spark.read.parquet(dir + "/survivors")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 4L))
+    // batch 3 arrives beyond the retention horizon: doc 1's bands are
+    // expired before the decision, so its near-dup is RE-admitted — the
+    // bounded-state trade, demonstrated
+    input.addData(
+      (5L, Timestamp.valueOf("2024-01-01 12:30:00"), base.replace("dog", "hen")))
+    q.processAllAvailable()
+    val kept2 = spark.read.parquet(dir + "/survivors")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
+    // state is bounded: only bands of docs within the horizon remain
+    val storeTs = spark.read.parquet(dir + "/store")
+      .select("_ts").distinct().as[Timestamp].collect()
+    assert(storeTs.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
+    q.stop()
+  }
+
   test("streaming observe surfaces per-micro-batch metrics in query progress") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DataEvent]
