@@ -74,12 +74,36 @@ object Connectors {
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
 
+  /** The one-statement incremental poll (see [[readIncremental]]): the
+    * tie-safe boundary is a scalar subquery the DATABASE evaluates, so
+    * a poll costs one round-trip instead of a boundary probe plus a
+    * batch read. `{ts '...'}` is the JDBC escape every driver rewrites
+    * to its native timestamp literal; `FETCH FIRST n ROWS ONLY` is the
+    * ANSI row-limit form (Derby, Postgres, Oracle, SQL Server ≥2012).
+    * The watermark column is double-quoted verbatim — Spark's JDBC
+    * writer creates case-exact quoted columns, so an unquoted name
+    * would case-normalize away from them. Identifiers come from
+    * deployment config, not user input — they are interpolated, not
+    * bound.
+    */
+  def incrementalQuerySql(table: String, watermarkCol: String,
+                          lastSeen: java.sql.Timestamp, batchSize: Int): String = {
+    val last = s"{ts '${lastSeen.toString}'}"
+    val wm = "\"" + watermarkCol + "\""
+    s"""SELECT t.* FROM $table t
+       |WHERE t.$wm > $last AND t.$wm <= (
+       |  SELECT MAX(b.$wm) FROM (
+       |    SELECT $wm FROM $table WHERE $wm > $last
+       |    ORDER BY $wm ASC FETCH FIRST $batchSize ROWS ONLY) AS b)""".stripMargin
+  }
+
   /** JDBC incremental watermark poll (S9): rows strictly newer than the
     * last-seen watermark, oldest first, one bounded batch — the
     * reference's `WHERE created_at > :last ORDER BY created_at LIMIT
-    * :batch` every 10 s. The comparison predicate is pushed down into
-    * the database query (Catalyst JDBC filter pushdown), so each poll
-    * reads only the increment, not the table.
+    * :batch` every 10 s, as ONE database query: the tie-safe batch
+    * boundary rides a scalar subquery inside the same statement
+    * ([[incrementalQuerySql]]), so per poll the database sees a single
+    * data query (plus Spark's zero-row schema probe at planning).
     *
     * Tie safety: the batch is extended to the timestamp boundary — every
     * row sharing the batch's max watermark value is included even past
@@ -93,13 +117,13 @@ object Connectors {
                       watermarkCol: String, lastSeen: java.sql.Timestamp,
                       batchSize: Int,
                       props: Properties = new Properties()): DataFrame = {
-    val base = spark.read.jdbc(url, table, props)
-      .filter(col(watermarkCol) > lit(lastSeen))
-    val boundary = base.orderBy(col(watermarkCol).asc).limit(batchSize)
-      .agg(max(col(watermarkCol)).as("_hi"))
-    base.join(broadcast(boundary), col(watermarkCol) <= col("_hi"))
-      .drop("_hi")
-      .orderBy(col(watermarkCol).asc)
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", incrementalQuerySql(table, watermarkCol, lastSeen, batchSize))
+    props.stringPropertyNames().forEach { k =>
+      reader.option(k, props.getProperty(k)); ()
+    }
+    reader.load().orderBy(col(watermarkCol).asc)
   }
 
   /** JDBC bulk append sink (S8): the staging-table bulk insert.

@@ -109,4 +109,21 @@ class ConnectorsSpec extends SparkSpec {
       "ts", ts("2024-01-01 09:00:00"), batchSize = 2)
     assert(tied.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
   }
+
+  test("incremental poll is one database statement with the boundary inside it") {
+    val sql = Connectors.incrementalQuerySql("events_stage", "ts",
+      ts("2024-01-01 09:00:00"), batchSize = 2)
+    // a single statement: no separators, and the tie-safe boundary is a
+    // scalar subquery the database evaluates — not a second round-trip
+    assert(!sql.contains(";"))
+    assert(sql.contains("FETCH FIRST 2 ROWS ONLY"))
+    assert("SELECT MAX".r.findAllIn(sql).size === 1)
+    // and the pushed form still returns exactly the tie-extended batch
+    // when handed to Derby verbatim (same data as the previous test)
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("query", sql).load()
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 5L))
+  }
 }
