@@ -273,4 +273,27 @@ class StreamingSpec extends SparkSpec {
     // histogram is normalized: sums to ~1
     assert(math.abs(feats(1L)._2.sum - 1.0f) < 1e-5)
   }
+
+  test("real ImageIO decode produces luminance histograms from generated PNGs") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left half black (luminance 0 → bin 0), right half white (255 → bin 7)
+    val bw = png(4, 4, (x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    // solid red: Rec.601 integer luminance 76 → bin 2
+    val red = png(2, 2, (_, _) => 0xFF0000)
+    val corrupt = Array[Byte](1, 2, 3)
+    val df = Seq((1L, bw), (2L, red), (3L, corrupt)).toDF("id", "payload")
+    val out = Multimodal.decodeImage(spark, df).collect().map(m => m.id -> m).toMap
+    assert(out(1L).features.toSeq === Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    assert(out(2L).features.toSeq === Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    assert(out(1L).n_bytes === bw.length)
+    // a payload ImageIO cannot decode is quarantined, not thrown
+    assert(out(3L).features.isEmpty)
+  }
 }
