@@ -35,18 +35,24 @@ object Curation {
     * whole chain onto one survivor. Compose BEFORE `curate` for the
     * full pipeline (near-dedup → exact dedup → gates).
     *
-    * `usePrefixFilter` switches pair generation to the AllPairs
-    * prefix-filtered join — identical results (property-tested); pick
-    * it when the Σ bucket² candidate join dominates (large corpora /
-    * heavy shingle collision; at small scale the full join measures
-    * faster — SCALING.md).
+    * Pair generation defaults to `"auto"`: [[Dedup.preferPrefixFilter]]
+    * picks the full shingle join or the AllPairs prefix-filtered join
+    * from sampled corpus statistics (the winner is a property of the
+    * corpus's sharing structure — boilerplate-heavy corpora want the
+    * prefix filter, short high-entropy ones want the full join;
+    * measured crossover in SCALING.md). `"full"` / `"prefix"` force a
+    * variant — identical results either way (property-tested).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         usePrefixFilter: Boolean = false): DataFrame = {
-    val pairs =
-      if (usePrefixFilter) Dedup.jaccardPairsPrefix(df, idCol, textCol, shingleN, threshold)
-      else Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+                         pairStrategy: String = "auto"): DataFrame = {
+    val pairs = pairStrategy match {
+      case "auto" => Dedup.jaccardPairsAuto(df, idCol, textCol, shingleN, threshold)
+      case "prefix" => Dedup.jaccardPairsPrefix(df, idCol, textCol, shingleN, threshold)
+      case "full" => Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+      case other => throw new IllegalArgumentException(
+        s"pairStrategy must be auto|full|prefix, got '$other'")
+    }
     val losers = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))

@@ -90,27 +90,38 @@ object Dedup {
     * Three hash joins total, every one keyed on doc ids or prefix
     * shingles; intermediate width is one array per doc.
     */
-  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, threshold: Double): DataFrame = {
-    // Same shingle construction as TextFunctions.shingleTable, kept as
-    // a per-doc array: sorted distinct hashes = the global order.
-    val perDoc = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+  /** One row per document: sorted distinct 64-bit shingle hashes as an
+    * array (the sorted order IS the AllPairs global order) + set size.
+    * Deliberately a lazy recomputed map-side plan even though consumers
+    * branch on it: materializing with localCheckpoint measured 5→35 s
+    * (pins the scan's partition count, serializing the downstream
+    * explodes) and a pre-/post-array repartition for AQE stage reuse
+    * measured 4→7 s (the exchange costs more than the recomputes) —
+    * the cheap thing IS the recompute.
+    */
+  private def perDocShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
-      // perDoc is consumed by four branches (both prefix join sides +
-      // both verification joins) and is deliberately left as a lazy
-      // recomputed map-side plan: materializing it with localCheckpoint
-      // measured 5→35 s (pins the scan's partition count, serializing
-      // the downstream explodes) and a pre-/post-array repartition for
-      // AQE stage reuse measured 4→7 s (the exchange costs more than
-      // the recomputes) — the cheap thing IS the recompute.
       .select(col(idCol), expr(
         s"array_sort(array_distinct(transform(sequence(0, size(toks) - $n), i -> xxhash64(slice(toks, i + 1, $n)))))")
         .as("sh_arr"))
       .withColumn("n_sh", size(col("sh_arr")))
+
+  /** The AllPairs prefix relation: each doc's first
+    * `n_sh − ⌈t·n_sh⌉ + 1` shingles under the global order.
+    */
+  private def prefixRelation(perDoc: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
-    val prefix = perDoc.select(col(idCol),
+    perDoc.select(col(idCol),
       explode(slice(col("sh_arr"), lit(1), greatest(prefixLen, lit(1)))).as("shingle"))
+  }
+
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val perDoc = perDocShingles(df, idCol, textCol, n)
+    val prefix = prefixRelation(perDoc, idCol, threshold)
     val candidates = prefix.select(col(idCol).as("doc_a"), col("shingle"))
       .join(prefix.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
@@ -127,6 +138,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Decide [[jaccardPairs]] vs [[jaccardPairsPrefix]] from SAMPLED
+    * corpus statistics — the two genuinely cross over, and the winner
+    * is a property of the corpus's sharing STRUCTURE, not its size
+    * (measured: a boilerplate-heavy template corpus runs 9.5 s full vs
+    * 5.6 s prefix; the short high-entropy documents table runs 4.8 s
+    * full vs 21 s prefix — same code, opposite verdicts; SCALING.md).
+    *
+    * The signal: the full join's cost is the candidate multiplicity
+    * Σ bucket² (every shared shingle of every pair is a join row,
+    * but they collapse map-side into per-pair counts); the prefix
+    * variant's cost is DISTINCT candidate pairs × avg set size (each
+    * candidate carries two doc-sized arrays through two joins and an
+    * `array_intersect`). When duplication is clustered (boilerplate:
+    * many shared shingles per duplicate pair), candidates dedup
+    * strongly below Σ bucket² and the prefix form wins; when sharing is
+    * diffuse (common phrases across non-duplicates: ~1 shared shingle
+    * per candidate), it doesn't, and the full join's skinny count rows
+    * win. So: prefix iff candidates × avgSetSize < Σ bucket².
+    *
+    * Both sides of the inequality scale ~quadratically under document
+    * sampling (a pair survives iff both endpoints are sampled; buckets
+    * shrink linearly, their squares quadratically), so the comparison
+    * is estimated on a `sampleFraction` sample at ~q² of the real
+    * candidate-join cost. The decision is a driver-side boolean off
+    * two 1-row aggregates — planning statistics, the AQE pattern, not
+    * data collection. Tiny samples under-detect candidates and fall
+    * back to the full join — the safe default at small scale, where
+    * the full join is the measured winner anyway.
+    */
+  def preferPrefixFilter(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         sampleFraction: Double = 0.15,
+                         seed: Long = 42): Boolean = {
+    val pd = perDocShingles(df.sample(sampleFraction, seed), idCol, textCol, n)
+    val bucketStats = pd.select(explode(col("sh_arr")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("b"))
+      .agg(sum(col("b") * col("b")).as("sumsq"))
+      .collect().head
+    val sumsq = Option(bucketStats.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val prefix = prefixRelation(pd, idCol, threshold)
+    val candStats = prefix.toDF("doc_a", "shingle")
+      .join(prefix.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .agg(count(lit(1)).as("cands"))
+      .crossJoin(pd.agg(avg(col("n_sh")).as("avg_sh")))
+      .collect().head
+    val cands = candStats.getLong(0)
+    val avgSh = Option(candStats.get(1)).fold(0.0)(_.asInstanceOf[Double])
+    cands > 0 && cands * avgSh < sumsq.toDouble
+  }
+
+  /** Near-duplicate pairs with the generator chosen by
+    * [[preferPrefixFilter]]'s sampled statistics. Identical output
+    * either way (property-tested equivalence); only the plan differs.
+    */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       sampleFraction: Double = 0.15,
+                       seed: Long = 42): DataFrame =
+    if (preferPrefixFilter(df, idCol, textCol, n, threshold, sampleFraction, seed))
+      jaccardPairsPrefix(df, idCol, textCol, n, threshold)
+    else jaccardPairs(df, idCol, textCol, n, threshold)
 
   /** MinHash signatures: `numHashes` permutation hashes
     * h_i(s) = a_i·x + b_i over a 64-bit base hash x = xxhash64(shingle),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.textops.{Curation, Dedup, Similarity, TextAnalysis, TextFunctions}
+import graft.textops.{Curation, Dedup, Similarity, SyntheticCorpus, TextAnalysis, TextFunctions}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 
@@ -169,10 +169,27 @@ class TextOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().toSet
-    val full = ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5))
+    val full = ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
+      pairStrategy = "full"))
     val pref = ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
-      usePrefixFilter = true))
+      pairStrategy = "prefix"))
     assert(full === pref)
+    // and the data-driven default returns the same survivors
+    assert(ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5)) === full)
+  }
+
+  test("pair-generator auto-choice follows the corpus's sharing structure") {
+    // boilerplate-heavy template corpus: clustered duplication, dense
+    // buckets — candidates dedup far below the sum-of-bucket-squares
+    // multiplicity, so the prefix filter is the predicted winner
+    val dense = SyntheticCorpus.templateCorpus(spark, nTemplates = 20,
+      variants = 10, docLen = 100)
+    assert(Dedup.preferPrefixFilter(dense, "doc_id", "text", 3, 0.6,
+      sampleFraction = 0.5))
+    // short high-entropy corpus: diffuse sharing — full join wins
+    val docs = Tables.documents(spark, sfDir)
+    assert(!Dedup.preferPrefixFilter(docs, "doc_id", "text", 3, 0.4,
+      sampleFraction = 0.5))
   }
 
   test("connected components closes near-dup chains transitively") {
