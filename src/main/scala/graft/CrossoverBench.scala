@@ -2,6 +2,7 @@ package graft
 
 import graft.textops.{Dedup, SyntheticCorpus}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev tool: measure the full-shingle-join vs prefix-filtered Jaccard
   * crossover on corpora at both density poles — the short high-entropy
@@ -43,6 +44,43 @@ object CrossoverBench {
     val t = sys.env.getOrElse("XT_DENSE", "0.6").toDouble
     timeMin("dense/full")(Dedup.jaccardPairs(dense, "doc_id", "text", 3, t).count())
     timeMin("dense/prefix")(Dedup.jaccardPairsPrefix(dense, "doc_id", "text", 3, t).count())
+
+    // Variant probe: does persisting the per-doc shingle relation to
+    // disk beat the 4x lazy recompute the prefix form makes by default?
+    // (localCheckpoint measured 5->35s and repartition 4->7s in round 3;
+    // DISK_ONLY is the cluster-realistic alternative not yet measured.)
+    {
+      import org.apache.spark.storage.StorageLevel
+      val t0 = System.nanoTime()
+      val perDoc = dense
+        .select(col("doc_id"), graft.textops.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          "array_sort(array_distinct(transform(sequence(0, size(toks) - 3), i -> xxhash64(slice(toks, i + 1, 3)))))")
+          .as("sh_arr"))
+        .withColumn("n_sh", size(col("sh_arr")))
+        .persist(StorageLevel.DISK_ONLY)
+      val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
+      val prefix = perDoc.select(col("doc_id"),
+        explode(slice(col("sh_arr"), lit(1), greatest(prefixLen, lit(1)))).as("shingle"))
+      def run(): Long = {
+        val candidates = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        candidates
+          .join(perDoc.select(col("doc_id").as("doc_a"),
+            col("sh_arr").as("_a"), col("n_sh").as("n_a")), "doc_a")
+          .join(perDoc.select(col("doc_id").as("doc_b"),
+            col("sh_arr").as("_b"), col("n_sh").as("n_b")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("_a"), col("_b"))))
+          .withColumn("j", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .filter(col("j") >= t).count()
+      }
+      timeMin("dense/prefix-diskpersist")(run())
+      perDoc.unpersist()
+      println(f"[crossover] (incl. first-run persist population: ${(System.nanoTime() - t0) / 1e9}%.2fs total)")
+    }
 
     // Pole 2: the short high-entropy documents table at sf0.1.
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -139,6 +139,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION — the training-pipeline gate that keeps
+    * evaluation data out of the training corpus: a corpus document is
+    * contaminated when it shares at least `minShared` distinct n-gram
+    * shingles with the benchmark set (the n-gram-overlap rule the major
+    * LLM training reports use, typically with 8-13-grams).
+    *
+    * Shape: corpus shingle relation ⋈ DISTINCT benchmark shingles —
+    * the benchmark side is eval-set-sized (≪ corpus), so at scale
+    * Catalyst/AQE broadcasts it and the corpus is never shuffled for
+    * candidate detection; the per-doc shared-shingle count is one
+    * map-side-combined aggregation on the (rare) matching rows. Both
+    * relations carry 8-byte xxhash64 shingle keys, never strings.
+    *
+    * Returns (idCol, n_shared) for contaminated documents only.
+    */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       n: Int, minShared: Long = 1L): DataFrame = {
+    val cs = TextFunctions.shingleTable(corpus, idCol, textCol, n)
+    // A constant id collapses the per-doc distinct into one global
+    // distinct-shingle relation — one shuffle, no second dedup pass.
+    val bs = TextFunctions
+      .shingleTable(benchmark.select(lit(0L).as("_bid"), col(benchTextCol)),
+        "_bid", benchTextCol, n)
+      .select("shingle")
+    cs.join(bs, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The corpus with contaminated documents removed (left anti join on
+    * [[contaminatedDocs]]). Compose before near-dedup in a full
+    * curation pipeline: decontaminate → near-dedup → gates.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int, minShared: Long = 1L): DataFrame =
+    corpus.join(
+      contaminatedDocs(corpus, idCol, textCol, benchmark, benchTextCol, n, minShared)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Decide [[jaccardPairs]] vs [[jaccardPairsPrefix]] from SAMPLED
     * corpus statistics — the two genuinely cross over, and the winner
     * is a property of the corpus's sharing STRUCTURE, not its size

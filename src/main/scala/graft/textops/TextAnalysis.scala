@@ -74,6 +74,64 @@ object TextAnalysis {
       .withColumn("n_re_tokens", size(TextFunctions.regexTokens(col(textCol))))
       .withColumn("n_chars_obs", length(col(textCol)))
 
+  /** Gopher/C4-style repetition heuristics — the quality gates that
+    * catch boilerplate and degenerate generations before training:
+    *
+    *   - `dup_token_frac`: 1 − distinct/total tokens (per-row
+    *     `array_distinct`, no shuffle);
+    *   - `top_bigram_frac`: the most frequent bigram's share of all
+    *     bigrams (explode + two keyed aggregations — the per-doc
+    *     bigram table never materializes globally);
+    *   - `mean_token_len`: Σ token length / tokens, computed as
+    *     `length(concat_ws('', toks))` — codegen string length, no
+    *     per-element lambda.
+    *
+    * Bigrams stay token STRINGS (`a b`), not hashes, so the identical
+    * SQL runs in the DuckDB oracle. Documents with < 2 tokens are
+    * excluded (no bigram frame). All ratios rounded at 6 dp.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_toks", size(col("toks")))
+    val topBigram = base
+      .select(col(idCol), col("n_toks"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bg"))
+      .groupBy(col(idCol), col("n_toks"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_toks"))
+      .agg(max(col("c")).as("max_bg"))
+    base.join(topBigram, Seq(idCol, "n_toks"))
+      .select(col(idCol), col("n_toks"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / col("n_toks"), 6).as("dup_token_frac"),
+        round(col("max_bg").cast("double") / (col("n_toks") - 1), 6)
+          .as("top_bigram_frac"),
+        round(length(concat_ws("", col("toks"))).cast("double")
+          / col("n_toks"), 6).as("mean_token_len"))
+  }
+
+  /** PII redaction: e-mail and phone patterns replaced with typed
+    * placeholder tags, plus per-row match counts (the audit trail a
+    * compliance pass needs). Patterns are backreference-free character
+    * classes, valid in both Java regex (Spark) and RE2 (DuckDB), so the
+    * operator is oracle-checkable verbatim. Pure per-row
+    * `regexp_replace`/`regexp_extract_all` — codegen, no shuffle.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))))
+      .withColumn("redacted_text",
+        regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+
   /** TF-IDF term scores — the classic relevance / keyword-extraction
     * primitive for corpus curation. tf = term count / doc length,
     * idf = ln(N / df). Three hash aggregations (term-in-doc, doc

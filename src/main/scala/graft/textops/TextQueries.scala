@@ -170,6 +170,43 @@ object TextQueries extends QueryPack {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: remove corpus docs sharing ≥2 distinct
+    // 3-shingles with the "evaluation set" (every 20th doc), summarized
+    // per source. The benchmark shingle relation broadcasts at scale.
+    "q_t_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+          n = 3, minShared = 2L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
+        .orderBy("source")
+    }),
+
+    // Gopher/C4 repetition heuristics per document: duplicate-token
+    // fraction, top-bigram share, mean token length.
+    "q_t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+          Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // PII redaction with audit counts. The corpus has no PII, so the
+    // query plants deterministic e-mails/phones first — the operator
+    // and its counts are then exactly oracle-checkable.
+    "q_t_redact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com")))
+            .when(col("doc_id") % 7 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      TextAnalysis.redactPii(d, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("redacted_text"))
+        .orderBy("doc_id")
+    }),
+
     // Flagship curation composition: exact dedup → quality gate →
     // language gate → per-source report. Every stage is an exact
     // operator, so the whole pipeline is oracle-checkable end-to-end.
@@ -339,6 +376,47 @@ object TextQueries extends QueryPack {
         |    ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM p)
         |SELECT bucket, id_a, id_b, cos_sim FROM r WHERE rn <= 2
         |ORDER BY bucket, id_a, id_b""".stripMargin,
+
+    "q_t_decontam" ->
+      s"""WITH $shingleCte,
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |shared AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+         |  FROM sh JOIN bsh ON sh.s = bsh.s GROUP BY 1),
+         |bad AS (SELECT doc_id FROM shared WHERE n_shared >= 2)
+         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_toks
+        |  FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, n_toks, UNNEST(list_transform(
+        |    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM b),
+        |bc AS (SELECT doc_id, n_toks, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |mb AS (SELECT doc_id, n_toks, MAX(c) AS max_bg FROM bc GROUP BY 1, 2)
+        |SELECT b.doc_id, b.n_toks,
+        |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / b.n_toks, 6) AS dup_token_frac,
+        |  ROUND(CAST(max_bg AS DOUBLE) / (b.n_toks - 1), 6) AS top_bigram_frac,
+        |  ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE) / b.n_toks, 6) AS mean_token_len
+        |FROM b JOIN mb ON b.doc_id = mb.doc_id AND b.n_toks = mb.n_toks
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_t_redact" ->
+      """WITH d AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |    WHEN doc_id % 7 = 0 THEN ' call 555-123-4567'
+        |    ELSE '' END AS text2
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\d{3}[-.]\d{3}[-.]\d{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS redacted_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_t_kmeans" ->
       """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,

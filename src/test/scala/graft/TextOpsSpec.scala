@@ -178,6 +178,48 @@ class TextOpsSpec extends SparkSpec {
     assert(ids(Curation.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5)) === full)
   }
 
+  test("decontamination removes docs overlapping the benchmark, keeps the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = benchmark: all shingles shared
+      (2L, "the quick brown fox runs under a red fence"),  // shares 'the quick brown', 'quick brown fox'
+      (3L, "completely unrelated words about other topics entirely"),
+      (4L, "too short")).toDF("doc_id", "text")            // < 3 tokens: no shingles
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val kept2 = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      n = 3, minShared = 2L).select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq === Seq(3L, 4L))
+    // a stricter threshold lets the partial-overlap doc through
+    val kept3 = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      n = 3, minShared = 3L).select("doc_id").as[Long].collect().sorted
+    assert(kept3.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("repetition stats quantify degenerate and healthy documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four fresh distinct words"),
+      (3L, "one")).toDF("doc_id", "text") // single token: excluded
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((0.75, 1.0, 4.0)))  // 1 distinct of 4; 'spam spam' x3 of 3
+    assert(out(2L)._1 === 0.0)
+    assert(out(2L)._2 === (1.0 / 3 * 1000000).round / 1000000.0)
+    assert(!out.contains(3L))
+  }
+
+  test("PII redaction replaces emails and phones and counts the matches") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 555-123-4567 today"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted_text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((1, 1, "reach me at <EMAIL> or <PHONE> today")))
+    assert(out(2L) === ((0, 0, "no pii here")))
+  }
+
   test("pair-generator auto-choice follows the corpus's sharing structure") {
     // boilerplate-heavy template corpus: clustered duplication, dense
     // buckets — candidates dedup far below the sum-of-bucket-squares
