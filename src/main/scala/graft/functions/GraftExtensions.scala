@@ -30,7 +30,10 @@ object GraftSqlFunctions {
       arity("float_vec_dot", 2)(args => FloatVecDot(args(0), args(1)))),
     (FunctionIdentifier("string_poly_hash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
-      arity("string_poly_hash", 1)(args => StringPolyHash(args.head))))
+      arity("string_poly_hash", 1)(args => StringPolyHash(args.head))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(args => NormalizeUnicode(args.head, "NFC"))))
 
   /** Register into a live session (tests, notebooks). Sessions built
     * from scratch should use [[GraftExtensions]] via the

@@ -37,4 +37,56 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Fine-grained stable bucket in [0, 2^24) — 6 md5 hex digits. The
+    * percent-granular [[hashBucket]] is too coarse for corpus-mixing
+    * fractions like 0.0042; 24 bits give ~6e-8 granularity while
+    * keeping the same engine-portable md5 derivation.
+    */
+  def fineBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Corpus mixing: deterministically downsample each source to a
+    * per-source token budget. The keep fraction for source s is
+    * `min(1, targetTokens / total_tokens_s)` and a row survives iff its
+    * key's [[fineBucket]] falls under that fraction — so the sampled
+    * token mass lands on the target in expectation, oversampled sources
+    * shrink, under-target sources pass through whole, and membership is
+    * a pure function of the key (stable across runs, layouts, engines).
+    *
+    * Scale shape: the per-source totals relation is |sources| rows —
+    * aggregated map-side, then joined back by broadcast. The big side
+    * never shuffles: one scan, one broadcast hash join, one map-side
+    * filter. (A window-over-source formulation would shuffle the full
+    * corpus on a skewed key; this form moves only the totals.)
+    */
+  def sampleToTokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
+                          tokensCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("_source_tokens"))
+    val frac = least(lit(1.0),
+      lit(targetTokens.toDouble) / col("_source_tokens").cast("double"))
+    df.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("keep_frac", frac)
+      .filter(fineBucket(col(keyCol)).cast("double") <
+        col("keep_frac") * lit((1L << 24).toDouble))
+      .drop("_source_tokens")
+  }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * stable position `outCol` = its rank under `md5(seed || key)` (key
+    * as tie-break). Reordering a 100 TB corpus is a range shuffle no
+    * matter what; what this buys is reproducibility — same seed, same
+    * order, on any cluster, any partitioning, any engine that can md5.
+    * The rank comes from [[Ranking.globalRowNumber]], so there is no
+    * single-partition window anywhere.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: String,
+                   outCol: String = "ord"): DataFrame =
+    Ranking.globalRowNumber(
+        df.withColumn("_shuffle_key",
+          md5(concat(lit(seed), col(keyCol).cast("string")))),
+        Seq(col("_shuffle_key"), col(keyCol)), outCol)
+      .drop("_shuffle_key")
 }

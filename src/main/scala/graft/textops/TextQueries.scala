@@ -234,10 +234,81 @@ object TextQueries extends QueryPack {
           round(avg(col("n_ws_tokens")), 6).as("avg_ws_tokens"),
           max(col("n_chars_obs")).as("max_chars"))
         .orderBy("source")),
+
+    // Greedy sequence packing: per-source 200-token context windows,
+    // summarized per pack. The oracle replays the same greedy walk as a
+    // recursive CTE.
+    "q_t_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      graft.operators.Packing.packSummary(
+        graft.operators.Packing.packGreedy(docs, "source", "doc_id",
+          "n_tokens", budget = 200L),
+        "source", "n_tokens")
+    }),
+
+    // Corpus mixing: deterministically downsample every source to a
+    // 400-token budget (hash-stable membership), per-source report.
+    "q_t_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      graft.operators.Sampling
+        .sampleToTokenBudget(docs, "source", "doc_id", "n_tokens",
+          targetTokens = 400L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          round(min(col("keep_frac")), 6).as("keep_frac"))
+        .orderBy("source")
+    }),
+
+    // Deterministic global training-order shuffle: seeded md5 rank via
+    // the two-phase global row number (no single-partition window).
+    "q_t_order" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleOrder(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
+        .orderBy("doc_id")),
+
+    // Bloom-prefiltered anti join: new docs (id%10>=3) deduped against
+    // the "already ingested" corpus (id%10<3) by content fingerprint.
+    // Bit-identical to a plain left_anti — fpp only tunes cost.
+    "q_t_bloom_anti" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val ref = docs.filter(col("doc_id") % 10 < 3).select("fp")
+      graft.operators.Joins.antiJoinBloom(
+          docs.filter(col("doc_id") % 10 >= 3), ref, "fp",
+          expectedItems = 1000000L, fpp = 0.03)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"))
+        .orderBy("source")
+    }),
+
+    // Unicode NFC normalization (native codegen expression): appending
+    // a decomposed tail makes the composition observable — the length
+    // shrinks and the post-NFC fingerprint matches DuckDB's
+    // nfc_normalize byte-for-byte.
+    "q_t_nfc" -> ((s, dir) => {
+      val dirty = concat(col("text"), lit(DecomposedTail))
+      val nfc = graft.functions.UnicodeFunctions.nfc(dirty)
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          length(dirty).as("len_raw"),
+          length(nfc).as("len_nfc"),
+          md5(nfc).as("fp_nfc"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val fpSql =
     "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+  /** Decomposed-form tail for the NFC query: e+U+0301 (é), A+U+030A
+    * (Å), o+U+0308 (ö). Shared verbatim by the Spark literal and the
+    * oracle SQL literal, so both engines normalize the identical byte
+    * sequence (NFC shortens it by exactly 3 code points per row).
+    */
+  private val DecomposedTail = " cafe\u0301 A\u030Angstro\u0308m"
 
   // DuckDB-side 3-shingle relation (LEAD-based; equivalent to the
   // Spark transform/slice construction).
@@ -552,5 +623,66 @@ object TextQueries extends QueryPack {
         |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
         |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Recursive CTE replays the same greedy walk: seed each source's
+    // first doc with pack 0, then step in id order.
+    "q_t_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens, rn, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack_seq
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN packed.acc + d.n_tokens > 200 THEN d.n_tokens
+        |         ELSE packed.acc + d.n_tokens END,
+        |    CASE WHEN packed.acc + d.n_tokens > 200 THEN packed.pack_seq + 1
+        |         ELSE packed.pack_seq END
+        |  FROM packed JOIN d ON d.source = packed.source AND d.rn = packed.rn + 1)
+        |SELECT source, pack_seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM packed GROUP BY source, pack_seq ORDER BY source, pack_seq""".stripMargin,
+
+    "q_t_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS st
+        |  FROM d GROUP BY source),
+        |k AS (SELECT d.*, LEAST(1.0, 400.0 / t.st) AS keep_frac
+        |  FROM d JOIN t USING (source)
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      < LEAST(1.0, 400.0 / t.st) * 16777216.0)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |  ROUND(MIN(keep_frac), 6) AS keep_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // NOT EXISTS (not NOT IN): matches left_anti's null-keeping
+    // semantics if a fingerprint is ever null.
+    "q_t_bloom_anti" ->
+      s"""WITH f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
+         |ref AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 3)
+         |SELECT source, COUNT(*) AS n_new
+         |FROM f WHERE doc_id % 10 >= 3
+         |  AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = f.fp)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_nfc" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text || '$DecomposedTail') AS INTEGER) AS len_raw,
+         |  CAST(length(nfc_normalize(text || '$DecomposedTail')) AS INTEGER) AS len_nfc,
+         |  md5(nfc_normalize(text || '$DecomposedTail')) AS fp_nfc
+         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
   )
 }
