@@ -155,6 +155,39 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
+  /** Sliding-window document chunking: split each document into
+    * overlapping token windows of `chunkTokens` tokens every `stride`
+    * tokens — the step between curation and sequence packing when
+    * documents exceed the model's context length. Window starts are
+    * `1, 1+stride, …` up to the last full-window start, plus the final
+    * full window itself so the document's tail is always covered (the
+    * HF-datasets convention). One row per (doc, window), identified by
+    * the window's 1-based `start_tok` — a pure function of the token
+    * count, so the output is layout- and engine-independent.
+    *
+    * Scale shape: pure per-row narrow work — tokenize once, build the
+    * (tiny) start list with `sequence`, `explode`, `slice`. No shuffle,
+    * no state, fully parallel; the explode fan-out is bounded by
+    * n/stride rows per doc. Everything is built-in Catalyst HOFs on one
+    * pass over the text.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    df.withColumn("_toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") >= 1)
+      .withColumn("start_tok", explode(expr(
+        s"""array_distinct(concat(
+           |  sequence(1, greatest(1, _n - $chunkTokens + 1), $stride),
+           |  array(greatest(1, _n - $chunkTokens + 1))))""".stripMargin)))
+      .withColumn("_chunk", expr(s"slice(_toks, start_tok, $chunkTokens)"))
+      .select(col(idCol), col("start_tok").cast("long").as("start_tok"),
+        size(col("_chunk")).as("n_chunk_tokens"),
+        md5(array_join(col("_chunk"), " ")).as("chunk_fp"))
+  }
+
   /** Polynomial rolling-hash document fingerprint (base-31 Horner fold
     * over the code points of `textCol`, mod 1e9+7) — the cheap
     * order-sensitive fingerprint; md5 variant in TextFunctions.

@@ -284,6 +284,14 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Sliding-window chunking: 16-token windows every 8 tokens (final
+    // full window always included), fingerprinted per chunk.
+    "q_t_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+          Tables.documents(s, dir).filter(col("doc_id") < 30),
+          "doc_id", "text", chunkTokens = 16, stride = 8)
+        .orderBy("doc_id", "start_tok")),
+
     // Unicode NFC normalization (native codegen expression): appending
     // a decomposed tail makes the composition observable — the length
     // shrinks and the post-NFC fingerprint matches DuckDB's
@@ -677,6 +685,22 @@ object TextQueries extends QueryPack {
          |FROM f WHERE doc_id % 10 >= 3
          |  AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = f.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // list_distinct reorders in DuckDB — harmless, the output is sorted
+    // by start_tok. Slices clamp at the list end in both engines.
+    "q_t_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 30),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |s AS (SELECT doc_id, toks, n,
+        |    UNNEST(list_distinct(list_append(
+        |      generate_series(1, greatest(1, n - 16 + 1), 8),
+        |      greatest(1, n - 16 + 1)))) AS start_tok
+        |  FROM b)
+        |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(toks[start_tok : start_tok + 15]) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[start_tok : start_tok + 15], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, start_tok""".stripMargin,
 
     "q_t_nfc" ->
       s"""SELECT doc_id,

@@ -116,6 +116,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(2))
   }
 
+  // ---- Chunking ----------------------------------------------------
+
+  test("chunkDocuments covers every token with overlapping windows plus the tail") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text10), (2L, "only three tokens"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.textops.TextAnalysis
+      .chunkDocuments(df, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .select("doc_id", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2))
+    // doc 1 (n=10): starts sequence(1,7,3)=[1,4,7] and the final full
+    // window start 7 is already present; all full windows of 4
+    assert(got.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 1L, 4), (1L, 4L, 4), (1L, 7L, 4)))
+    // doc 2 (n=3 < chunk): one window at 1 with all 3 tokens
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 3)))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 1)))
+    // every token of doc 1 is inside some window
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(r => r._2 until (r._2 + r._3)).toSet
+    assert(covered == (1L to 10L).toSet)
+  }
+
   // ---- Unicode normalization --------------------------------------
 
   test("NFC composes decomposed sequences; eval and codegen agree") {
