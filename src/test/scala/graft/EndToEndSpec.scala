@@ -4,7 +4,7 @@ import graft.analytics.Report
 import graft.core.Tables
 import graft.ingest.Ingestion
 import graft.lake.LakeStorage
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import graft.serve.QueryService
 import graft.textops.Curation
 import graft.warehouse.StarSchema
@@ -91,5 +91,40 @@ class EndToEndSpec extends SparkSpec {
     assert(rep.forall(r => r.getAs[Long]("n_docs") > 0 &&
       r.getAs[Double]("avg_quality") >= 3.0))
     curated.unpersist()
+  }
+
+  test("train-prep lifecycle: decontaminate -> mix -> chunk -> pack -> order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    // 1. benchmark decontamination against a held-out eval slice
+    val bench = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+    val clean = textops.Dedup.decontaminate(docs, "doc_id", "text",
+      bench, "text", n = 3, minShared = 2L)
+    // 2. mix sources to a token budget
+    val sized = clean.withColumn("n_tokens",
+      size(textops.TextFunctions.tokens(col("text"))).cast("long"))
+    val mixed = Sampling.sampleToTokenBudget(sized, "source", "doc_id",
+      "n_tokens", targetTokens = 300L).cache()
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed < docs.count())
+    // 3. chunk long docs into 16-token windows
+    val chunks = textops.TextAnalysis.chunkDocuments(mixed, "doc_id",
+      "text", chunkTokens = 16, stride = 8)
+    assert(chunks.count() >= nMixed) // at least one window per doc
+    // 4. greedily pack chunks into 64-token training sequences per source
+    val chunkRows = chunks.join(mixed.select("doc_id", "source"), "doc_id")
+      .withColumn("chunk_id",
+        col("doc_id") * 10000L + col("start_tok")) // stable unique id
+    val packed = Packing.packGreedy(chunkRows, "source", "chunk_id",
+      "n_chunk_tokens", budget = 64L)
+    val overBudget = Packing.packSummary(packed, "source", "n_chunk_tokens")
+      .filter(col("pack_tokens") > 64L).count()
+    assert(overBudget == 0L) // chunks are ≤16 tokens, so no overflow packs
+    // 5. deterministic training order over the packed rows
+    val ordered = Sampling.shuffleOrder(packed, "chunk_id", "epoch0")
+    val n = packed.count()
+    assert(ordered.agg(max("ord")).as[Long].head() == n)
+    assert(ordered.select("ord").distinct().count() == n)
+    mixed.unpersist()
   }
 }
