@@ -69,6 +69,15 @@ object Joins {
     * 1/fpp. The `mightContain` probe is a closure over the broadcast
     * sketch (no codegen) — acceptable because it REPLACES a shuffle,
     * not a codegen'd expression; everything around it stays fused.
+    *
+    * Cost honesty: the two complementary filters are separate plan
+    * branches, so `left` (scan + any upstream projection) is evaluated
+    * TWICE. That trade is deliberate — two columnar scans are far
+    * cheaper than the full shuffle of `left` a plain anti join pays,
+    * and scans pipeline while shuffles barrier. If `left` is an
+    * expensive derivation rather than a scan, persist it first (or
+    * accept the recompute); don't "fix" this with a checkpoint inside
+    * the operator — that pins partitioning and spills 100 TB to disk.
     */
   def antiJoinBloom(left: DataFrame, right: DataFrame, keyCol: String,
                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Greedy sequence packing: assemble documents into fixed-token-budget
@@ -30,37 +30,50 @@ object Packing {
 
   /** Pack `df` rows into per-shard greedy packs.
     *
-    * @param tokensCol integral column with the document's token count
-    * @return input columns (shardCol, idCol, tokensCol) plus `pack_seq`
-    *         (0-based pack index within the shard)
+    * Shard and id keep their native types — the walk order is the id
+    * column's OWN ordering (longs numerically, strings
+    * lexicographically), so fingerprint-keyed corpora work unchanged.
+    * The id should be unique within its shard: duplicate ids make the
+    * walk order — and therefore pack boundaries — partition-dependent.
+    * A null token count contributes 0 tokens (the row still lands in a
+    * pack).
+    *
+    * @param tokensCol numeric column with the document's token count
+    * @return input columns (shardCol, idCol, tokensCol as long) plus
+    *         `pack_seq` (0-based pack index within the shard)
     */
   def packGreedy(df: DataFrame, shardCol: String, idCol: String,
                  tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(
-        col(shardCol).cast("string").as("shard"),
-        col(idCol).cast("long").as("id"),
-        col(tokensCol).cast("long").as("n_tokens"))
-      .as[(String, Long, Long)]
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "id")
-      .mapPartitions { it =>
-        // Runs of one shard are contiguous after the sort; state resets
-        // at each shard boundary, so memory is O(1) per task regardless
-        // of shard size.
-        var curShard: String = null
-        var acc = 0L
-        var pack = -1L
-        it.map { case (shard, id, tok) =>
-          if (shard != curShard) { curShard = shard; acc = 0L; pack = -1L }
-          if (pack < 0 || acc + tok > budget) { pack += 1; acc = tok }
-          else acc += tok
-          (shard, id, tok, pack)
-        }
+    require(df.schema(tokensCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tokensCol '$tokensCol' must be numeric, got ${df.schema(tokensCol).dataType}")
+    require(!df.columns.contains("pack_seq"),
+      "input already has a pack_seq column — rename it first")
+    val sorted = df
+      .select(col(shardCol), col(idCol), col(tokensCol).cast("long").as(tokensCol))
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(idCol))
+    val outSchema = sorted.schema
+      .add("pack_seq", org.apache.spark.sql.types.LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      // Runs of one shard are contiguous after the sort; state resets
+      // at each shard boundary, so memory is O(1) per task regardless
+      // of shard size. The sentinel start value differs from every real
+      // shard value INCLUDING null, so the first row always resets.
+      val fresh = new AnyRef
+      var curShard: Any = fresh
+      var acc = 0L
+      var pack = -1L
+      it.map { r =>
+        val shard = r.get(0)
+        if (shard != curShard) { curShard = shard; acc = 0L; pack = -1L }
+        val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
+        if (pack < 0 || acc + tok > budget) { pack += 1; acc = tok }
+        else acc += tok
+        Row.fromSeq(r.toSeq :+ pack)
       }
-      .toDF(shardCol, idCol, tokensCol, "pack_seq")
+    }(Encoders.row(outSchema))
   }
 
   /** Pack-level summary: documents and token mass per pack. Every pack

@@ -63,6 +63,15 @@ object Sampling {
   def sampleToTokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
                           tokensCol: String, targetTokens: Long): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val clash = df.columns.filter(Set("_source_tokens", "keep_frac").contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with sampleToTokenBudget's " +
+        "working/output names (_source_tokens, keep_frac) — rename them first")
+    // SQL-engine semantics the oracle shares: a null key hashes to a
+    // null bucket and a null source never equi-matches the totals —
+    // both are EXCLUDED from the sample. Keys and sources should be
+    // non-null (they are ids); the output adds a `keep_frac` column
+    // with the source's applied fraction.
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).as("_source_tokens"))
     val frac = least(lit(1.0),
@@ -75,18 +84,29 @@ object Sampling {
   }
 
   /** Deterministic global training-order shuffle: every row gets a
-    * stable position `outCol` = its rank under `md5(seed || key)` (key
-    * as tie-break). Reordering a 100 TB corpus is a range shuffle no
-    * matter what; what this buys is reproducibility — same seed, same
-    * order, on any cluster, any partitioning, any engine that can md5.
-    * The rank comes from [[Ranking.globalRowNumber]], so there is no
-    * single-partition window anywhere.
+    * stable position `outCol` = its rank under `md5(seed \\0 key)`
+    * (key as tie-break). Reordering a 100 TB corpus is a range shuffle
+    * no matter what; what this buys is reproducibility — same seed,
+    * same order, on any cluster, any partitioning, any engine that can
+    * md5. The rank comes from [[Ranking.globalRowNumber]], so there is
+    * no single-partition window anywhere.
+    *
+    * The NUL byte between seed and key keeps distinct (seed, key)
+    * pairs distinct — bare concatenation would make seed "epoch1" +
+    * key "23" collide with "epoch12" + "3", correlating epochs that
+    * must shuffle independently. `keyCol` must be UNIQUE and non-null:
+    * duplicate keys tie on both order expressions, and
+    * [[Ranking.globalRowNumber]] requires a total order for
+    * deterministic output.
     */
   def shuffleOrder(df: DataFrame, keyCol: String, seed: String,
-                   outCol: String = "ord"): DataFrame =
+                   outCol: String = "ord"): DataFrame = {
+    require(!df.columns.contains("_shuffle_key"),
+      "input already has a _shuffle_key column — rename it first")
     Ranking.globalRowNumber(
         df.withColumn("_shuffle_key",
-          md5(concat(lit(seed), col(keyCol).cast("string")))),
+          md5(concat(lit(seed), lit("\u0000"), col(keyCol).cast("string")))),
         Seq(col("_shuffle_key"), col(keyCol)), outCol)
       .drop("_shuffle_key")
+  }
 }

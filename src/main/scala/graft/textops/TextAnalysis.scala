@@ -175,6 +175,15 @@ object TextAnalysis {
                      chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0,
       s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    // withColumn silently replaces same-named input columns — refuse
+    // inputs that collide with the working/output names (the Ranking
+    // reserved-name discipline).
+    val reserved = Set("_toks", "_n", "start_tok", "_chunk",
+      "n_chunk_tokens", "chunk_fp")
+    val clash = df.columns.filter(c => reserved.contains(c) && c != idCol)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with chunkDocuments' " +
+        s"working/output names (${reserved.mkString(", ")}) — rename them first")
     df.withColumn("_toks", TextFunctions.tokens(col(textCol)))
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") >= 1)

@@ -670,10 +670,11 @@ object TextQueries extends QueryPack {
         |  ROUND(MIN(keep_frac), 6) AS keep_frac
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
+    // chr(0): the NUL seed/key separator shuffleOrder uses.
     "q_t_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (
-        |    ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+        |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // NOT EXISTS (not NOT IN): matches left_anti's null-keeping

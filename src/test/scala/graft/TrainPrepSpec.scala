@@ -36,6 +36,16 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 1L), ("a", 3L, 2L)))
   }
 
+  test("packGreedy keeps native id types — fingerprint keys walk lexicographically") {
+    val got = Packing.packGreedy(
+        Seq(("a", "ff", 60L), ("a", "aa", 50L), ("a", "cc", 60L))
+          .toDF("shard", "id", "n_tokens"),
+        "shard", "id", "n_tokens", budget = 100L)
+      .select("id", "pack_seq").as[(String, Long)].collect().sortBy(_._1)
+    // lexicographic walk aa(50) -> cc(60) overflows -> ff(60) overflows
+    assert(got.toSeq == Seq(("aa", 0L), ("cc", 1L), ("ff", 2L)))
+  }
+
   test("packGreedy is invariant to input partitioning") {
     val rows = (1L to 200L).map(i => (s"s${i % 7}", i, 5L + i % 40L))
     val one = packs(rows, 120L)
