@@ -296,4 +296,48 @@ class StreamingSpec extends SparkSpec {
     // a payload ImageIO cannot decode is quarantined, not thrown
     assert(out(3L).features.isEmpty)
   }
+
+  test("real javax.sound decode extracts envelope/pitch/duration from generated WAVs") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        channels, channels * 2, rate, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+        fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rate = 8000f
+    val amp = 16384 // half full-scale
+    // 1 s of 440 Hz mono sine
+    val sine = wav(Array.tabulate(8000)(i =>
+      (amp * math.sin(2 * math.Pi * 440 * i / rate)).toShort), 1, rate)
+    // stereo: L = constant +8192, R = constant -8192 -> mono fold = 0
+    val stereo = wav(Array.tabulate(1600)(i =>
+      if (i % 2 == 0) 8192.toShort else (-8192).toShort), 2, rate)
+    val corrupt = Array[Byte](9, 9, 9)
+    val df = Seq((1L, sine), (2L, stereo), (3L, corrupt)).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(spark, df).collect().map(m => m.id -> m).toMap
+    val f = out(1L).features
+    assert(f.length === 8)
+    // sine RMS = amp/sqrt(2) -> normalized ~0.3536, in every quarter
+    (0 to 3).foreach(q => assert(math.abs(f(q) - 0.3536f) < 0.01f, s"q$q=${f(q)}"))
+    // 440 Hz crosses zero ~880x/s -> fraction ~0.11
+    assert(math.abs(f(4) - 0.11f) < 0.01f)
+    assert(math.abs(f(5) - 0.5f) < 0.01f)   // peak = half full-scale
+    assert(math.abs(f(6) - 1.0f) < 1e-3f)   // 1 second
+    assert(f(7) === 1f)
+    // stereo fold cancels to silence; channel count preserved
+    val g = out(2L).features
+    assert(g(5) === 0f && g(7) === 2f)
+    assert(math.abs(g(6) - 0.1f) < 1e-3f)   // 800 frames at 8 kHz
+    // undecodable payload is quarantined, not thrown
+    assert(out(3L).features.isEmpty)
+  }
 }
