@@ -111,4 +111,59 @@ class PropertySpec extends SparkSpec {
       pages.foreach(p => assert(p.size <= pageSize))
     }
   }
+
+  test("packGreedy matches a sequential reference walk for any corpus and budget") {
+    val row = Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.choose(1L, 40L))
+    val corpus = Gen.nonEmptyListOf(row)
+    val budgetGen = Gen.choose(10L, 80L)
+    samples(Gen.zip(corpus, budgetGen), 8).foreach { case (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((s, t), i) => (s, i.toLong, t) }
+        .toDF("shard", "id", "n_tokens")
+      val got = graft.operators.Packing
+        .packGreedy(df, "shard", "id", "n_tokens", budget)
+        .select("shard", "id", "pack_seq")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      // driver-side reference: same greedy walk per shard in id order
+      val expected = rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) }
+        .groupBy(_._1).view.mapValues { shardRows =>
+          var acc = 0L; var pack = -1L
+          shardRows.sortBy(_._2).map { case (_, _, tok) =>
+            if (pack < 0 || acc + tok > budget) { pack += 1; acc = tok }
+            else acc += tok
+            pack
+          }.toSeq
+        }.toMap
+      assert(got === expected, s"budget=$budget rows=$rows")
+    }
+  }
+
+  test("chunkDocuments windows cover all tokens and respect stride for any doc") {
+    val gen = Gen.zip(Gen.choose(1, 30), Gen.choose(1, 8), Gen.choose(1, 8))
+    samples(gen, 12).foreach { case (n, chunk, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val got = graft.textops.TextAnalysis
+        .chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", chunk, stride)
+        .select("start_tok", "n_chunk_tokens")
+        .as[(Long, Int)].collect().sortBy(_._1)
+      val lastStart = math.max(1, n - chunk + 1)
+      // starts are exactly the stride grid plus the final full window
+      val expectedStarts =
+        ((1L to lastStart.toLong by stride.toLong) ++ Seq(lastStart.toLong)).distinct.sorted
+      assert(got.map(_._1).toSeq === expectedStarts, s"n=$n chunk=$chunk stride=$stride")
+      // coverage: every token index appears in some window — holds iff
+      // windows at least touch (stride ≤ chunk); a larger stride is
+      // legitimate subsampling and skips tokens by design
+      if (stride <= chunk) {
+        val covered = got.flatMap { case (s, len) => s until (s + len) }.toSet
+        assert(covered === (1L to n.toLong).toSet)
+      }
+      // no window exceeds the chunk size; the final window is full-size
+      // whenever the doc has at least chunk tokens
+      assert(got.forall(_._2 <= chunk))
+      if (n >= chunk) assert(got.last._2 === chunk)
+    }
+  }
 }
