@@ -106,4 +106,33 @@ class PlanSpec extends SparkSpec {
     // aggregate; the quality/language gates must fuse map-side.
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
   }
+
+  test("corpus mixing broadcasts the totals — the corpus side never pre-shuffles") {
+    // The keep filter must ride a broadcast hash join of the |sources|-row
+    // totals; the only hash exchanges are building that broadcast and the
+    // small post-filter report aggregate — never the corpus before the join.
+    val p = plan("q_t_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the keep predicate fuses into the join (post-join condition),
+    // not a separate shuffle stage
+    assert(p.contains("conv(substring(md5"))
+  }
+
+  test("greedy packing shuffles once by shard before the streaming pass") {
+    val p = plan("q_t_pack")
+    // exactly one REPARTITION_BY_COL (the shard shuffle); the walk is a
+    // MapPartitions over a partition-local sort, never a global sort
+    assert(p.split("REPARTITION_BY_COL").length - 1 == 1)
+    assert(p.contains("MapPartitions"))
+    // the partition-local sort is non-global (the flag after the ordering)
+    assert("Sort \\[shard.*\\], false".r.findFirstIn(p).isDefined ||
+      "Sort \\[source.*\\], false".r.findFirstIn(p).isDefined)
+  }
+
+  test("bloom anti join confirms on a real anti hash join; no nested loop") {
+    val p = plan("q_t_bloom_anti")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
