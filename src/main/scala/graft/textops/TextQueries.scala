@@ -284,6 +284,21 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Markup stripping: each doc wrapped in a deterministic HTML shell
+    // (tags, a script block, named/numeric entities), then cleaned back
+    // to text — regex pipeline identical in both engines.
+    "q_t_strip_html" -> ((s, dir) => {
+      val html = concat(lit("<html><body><h1>Doc</h1><p>"), col("text"),
+        lit("</p><script>var x = 1;</script>" +
+          "<p>tail &amp; &lt;end&gt;&nbsp;&#39;q&#39;</p></body></html>"))
+      val clean = TextFunctions.stripMarkup(html)
+      Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          length(clean).as("clean_len"),
+          md5(clean).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Sliding-window chunking: 16-token windows every 8 tokens (final
     // full window always included), fingerprinted per chunk.
     "q_t_chunk" -> ((s, dir) =>
@@ -686,6 +701,24 @@ object TextQueries extends QueryPack {
          |FROM f WHERE doc_id % 10 >= 3
          |  AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = f.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_strip_html" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><h1>Doc</h1><p>' || text ||
+        |    '</p><script>var x = 1;</script><p>tail &amp; &lt;end&gt;&nbsp;&#39;q&#39;</p></body></html>' AS h
+        |  FROM documents WHERE doc_id < 60),
+        |c AS (SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(h,
+        |        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', CHR(39)), '&nbsp;', ' '),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM d)
+        |SELECT doc_id, CAST(length(clean) AS INTEGER) AS clean_len,
+        |  md5(clean) AS clean_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // list_distinct reorders in DuckDB — harmless, the output is sorted
     // by start_tok. Slices clamp at the list end in both engines.

@@ -149,6 +149,24 @@ class TrainPrepSpec extends SparkSpec {
     assert(covered == (1L to 10L).toSet)
   }
 
+  // ---- Markup stripping --------------------------------------------
+
+  test("stripMarkup removes blocks and tags, decodes entities, collapses space") {
+    val html = """<html><body ><h1>Title</h1>
+      |<script type="x">var a = "<p>not text</p>";</script>
+      |<STYLE>p { color: red }</STYLE>
+      |<p>Hello &amp; welcome to &quot;graft&quot;&nbsp;&#39;v5&#39; &lt;now&gt;</p>
+      |</body></html>""".stripMargin
+    val got = Seq(html).toDF("t")
+      .select(graft.textops.TextFunctions.stripMarkup($"t").as("c"))
+      .as[String].head()
+    assert(got == "Title Hello & welcome to \"graft\" 'v5' <now>")
+    // plain text is a fixpoint
+    val plain = Seq("no markup at all").toDF("t")
+      .select(graft.textops.TextFunctions.stripMarkup($"t")).as[String].head()
+    assert(plain == "no markup at all")
+  }
+
   // ---- Unicode normalization --------------------------------------
 
   test("NFC composes decomposed sequences; eval and codegen agree") {
