@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, batched feature extraction over partitions.
   *
   * The Spark-side architecture is real — schema, partition-wise batched
-  * iteration, feature array output. Two decoders plug into the same
+  * iteration, feature array output. Three decoders plug into the same
   * `mapPartitions` seam: [[decodeImage]] is a REAL image decoder (the
-  * JDK's ImageIO — PNG/BMP/GIF need no external codecs), and
-  * [[decodeStub]] is the clearly-marked deterministic stand-in for
-  * modalities whose codecs this container lacks (audio/video).
+  * JDK's ImageIO — PNG/BMP/GIF need no external codecs), [[decodeAudio]]
+  * is a REAL audio decoder (the JDK's `javax.sound.sampled` — WAV/AIFF/
+  * AU PCM), and [[decodeStub]] is the clearly-marked deterministic
+  * stand-in for the modality whose codecs this container lacks (video).
   * Swapping decoders changes only that one function; nothing in the
   * surrounding plan.
   */
@@ -118,7 +119,10 @@ object Multimodal {
       .mapPartitions { rows =>
         import javax.sound.sampled.{AudioFormat, AudioSystem}
         rows.map { r =>
-          val decoded =
+          // The whole decode runs under the quarantine try: a malformed
+          // header discovered mid-stream (or any codec surprise) yields
+          // the empty-features row, never a task failure.
+          val feats =
             try {
               val in = AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(r.payload))
@@ -127,58 +131,75 @@ object Multimodal {
                 f.getSampleRate, 16, f.getChannels,
                 f.getChannels * 2, f.getSampleRate, false)
               val pcm = AudioSystem.getAudioInputStream(target, in)
-              val bytes = pcm.readAllBytes()
-              Some((target, bytes))
-            } catch { case _: Exception => None }
-          decoded match {
-            case None => MediaFeatures(r.id, r.payload.length, Array.empty[Float])
-            case Some((fmt, bytes)) =>
-              val ch = fmt.getChannels
-              val nFrames = bytes.length / (2 * ch)
-              if (nFrames == 0) MediaFeatures(r.id, r.payload.length, Array.empty[Float])
+              val ch = target.getChannels
+              val frameBytes = 2 * ch
+              // Total frames up front (WAV/AIFF/AU headers carry it) so
+              // the time-quarter of each frame is known while STREAMING
+              // through fixed-size buffers — per-row memory is the 64 KiB
+              // buffer, never the decoded stream (readAllBytes on an
+              // hours-long blob would allocate gigabytes per row).
+              val nFrames = pcm.getFrameLength
+              if (nFrames <= 0) Array.empty[Float]
               else {
-                // mono fold + integer accumulation
                 val sumSq = new Array[Long](4)
                 val qLen = new Array[Long](4)
                 var crossings = 0L
                 var peak = 0L
                 var prevSign = 0
-                var i = 0
-                while (i < nFrames) {
-                  var acc = 0L
-                  var c = 0
-                  while (c < ch) {
-                    val o = (i * ch + c) * 2
-                    acc += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
-                    c += 1
+                var i = 0L
+                val buf = new Array[Byte](65536 - 65536 % frameBytes)
+                var carry = 0 // bytes of an incomplete frame held over
+                var read = pcm.read(buf, carry, buf.length - carry)
+                while (read > 0 && i < nFrames) {
+                  val avail = carry + read
+                  val full = avail / frameBytes
+                  var fr = 0
+                  while (fr < full && i < nFrames) {
+                    var acc = 0L
+                    var c = 0
+                    while (c < ch) {
+                      val o = fr * frameBytes + c * 2
+                      acc += ((buf(o) & 0xFF) | (buf(o + 1) << 8)).toShort
+                      c += 1
+                    }
+                    val s = acc / ch
+                    // long division: i*4 would overflow Int past 2^29 frames
+                    val q = (i * 4 / nFrames).toInt
+                    sumSq(q) += s * s
+                    qLen(q) += 1
+                    if (math.abs(s) > peak) peak = math.abs(s)
+                    val sign = java.lang.Long.signum(s).toInt
+                    if (sign != 0) {
+                      if (prevSign != 0 && sign != prevSign) crossings += 1
+                      prevSign = sign
+                    }
+                    fr += 1
+                    i += 1
                   }
-                  val s = acc / ch
-                  val q = i * 4 / nFrames
-                  sumSq(q) += s * s
-                  qLen(q) += 1
-                  if (math.abs(s) > peak) peak = math.abs(s)
-                  val sign = java.lang.Long.signum(s).toInt
-                  if (sign != 0) {
-                    if (prevSign != 0 && sign != prevSign) crossings += 1
-                    prevSign = sign
+                  carry = avail - full * frameBytes
+                  if (carry > 0)
+                    System.arraycopy(buf, full * frameBytes, buf, 0, carry)
+                  read = pcm.read(buf, carry, buf.length - carry)
+                }
+                if (i == 0L) Array.empty[Float]
+                else {
+                  val out = new Array[Float](8)
+                  var q = 0
+                  while (q < 4) {
+                    out(q) =
+                      if (qLen(q) == 0) 0f
+                      else (math.sqrt(sumSq(q).toDouble / qLen(q)) / 32768.0).toFloat
+                    q += 1
                   }
-                  i += 1
+                  out(4) = (crossings.toDouble / i).toFloat
+                  out(5) = (peak / 32768.0).toFloat
+                  out(6) = (i / target.getSampleRate.toDouble).toFloat
+                  out(7) = ch.toFloat
+                  out
                 }
-                val feats = new Array[Float](8)
-                var q = 0
-                while (q < 4) {
-                  feats(q) =
-                    if (qLen(q) == 0) 0f
-                    else (math.sqrt(sumSq(q).toDouble / qLen(q)) / 32768.0).toFloat
-                  q += 1
-                }
-                feats(4) = (crossings.toDouble / nFrames).toFloat
-                feats(5) = (peak / 32768.0).toFloat
-                feats(6) = (nFrames / fmt.getSampleRate.toDouble).toFloat
-                feats(7) = ch.toFloat
-                MediaFeatures(r.id, r.payload.length, feats)
               }
-          }
+            } catch { case _: Exception => Array.empty[Float] }
+          MediaFeatures(r.id, r.payload.length, feats)
         }
       }
   }

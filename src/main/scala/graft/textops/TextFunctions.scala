@@ -32,13 +32,24 @@ object TextFunctions {
     * engine-portable, so the DuckDB oracle replays them identically.
     */
   def stripMarkup(html: Column): Column = {
+    // The opener's tag name must end at '>' or an attribute delimiter —
+    // RE2 has no lookahead (and \b passes hyphens: <style\b matches
+    // <style-guide>), so the delimiter is an explicit alternation. The
+    // closer requires an exact tag. A script closed by </style> (or
+    // vice versa) still ends the block early — the documented limit of
+    // regex stripping (RE2 has no backreferences to pair tags).
     val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+      "(?is)<(script|style)(>|[ \\t\\n\\r/][^>]*>).*?</(script|style)[ \\t\\n\\r]*>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: decoding it first would turn double-escaped
+    // text (&amp;lt; — a page showing the literal string "&lt;") into
+    // &lt; and then wrongly decode that too.
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java \s includes U+000B, RE2's does not —
+    // the explicit class makes Spark and the DuckDB oracle byte-identical
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** BPE-ish regex tokens: words, digit runs, single punctuation. */

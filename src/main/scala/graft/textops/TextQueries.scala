@@ -710,11 +710,11 @@ object TextQueries extends QueryPack {
         |c AS (SELECT doc_id, trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_replace(h,
-        |        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '(?is)<(script|style)(>|[ \t\n\r/][^>]*>).*?</(script|style)[ \t\n\r]*>', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
-        |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', CHR(39)), '&nbsp;', ' '),
-        |    '\s+', ' ', 'g')) AS clean
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |  FROM d)
         |SELECT doc_id, CAST(length(clean) AS INTEGER) AS clean_len,
         |  md5(clean) AS clean_fp

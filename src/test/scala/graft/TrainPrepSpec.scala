@@ -165,6 +165,16 @@ class TrainPrepSpec extends SparkSpec {
     val plain = Seq("no markup at all").toDF("t")
       .select(graft.textops.TextFunctions.stripMarkup($"t")).as[String].head()
     assert(plain == "no markup at all")
+    // double-escaped entities decode exactly once (&amp; decodes last)
+    val dbl = Seq("write &amp;lt;b&amp;gt; for bold").toDF("t")
+      .select(graft.textops.TextFunctions.stripMarkup($"t")).as[String].head()
+    assert(dbl == "write &lt;b&gt; for bold")
+    // tag-name prefixes are NOT blocks: <style-guide> strips as a tag,
+    // its content survives
+    val pfx = Seq("<style-guide>Intro</style-guide><style>p{}</style>done")
+      .toDF("t")
+      .select(graft.textops.TextFunctions.stripMarkup($"t")).as[String].head()
+    assert(pfx == "Intro done")
   }
 
   // ---- Unicode normalization --------------------------------------
