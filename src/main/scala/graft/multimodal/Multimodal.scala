@@ -204,6 +204,26 @@ object Multimodal {
       }
   }
 
+  /** Synthesize a 16-bit little-endian PCM WAV payload — the fixture
+    * generator for audio queries/specs (deterministic bytes, so decoded
+    * features are closed-form predictable).
+    */
+  def pcmWav(samples: Array[Short], channels: Int, sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16,
+      channels, channels * 2, sampleRate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** End-to-end media pipeline: binary wrap → batched decode →
     * features table keyed by id (join-ready with the source table).
     */

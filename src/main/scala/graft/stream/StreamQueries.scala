@@ -68,6 +68,28 @@ object StreamQueries extends QueryPack {
         sum(col("n_bytes")).as("total_bytes"),
         round(sum(element_at(col("features"), 1).cast("double")), 2).as("f0_mass"))
     }),
+
+    // REAL audio decode, hash-checked: square-wave WAVs have closed-form
+    // features (constant |amplitude| ⇒ RMS = peak = a/32768 exactly,
+    // sign flips every half-period ⇒ 399 crossings over 8000 frames),
+    // so DuckDB verifies the decoded output analytically without any
+    // audio codec. Amplitudes are powers-of-two multiples ⇒ every
+    // float32 value is exact.
+    "q_m_audio" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0L to 3L).map { k =>
+        val amp = (4096 * (k + 1)).toInt
+        val samples = Array.tabulate(8000)(i =>
+          if ((i / 20) % 2 == 0) amp.toShort else (-amp).toShort)
+        (k, Multimodal.pcmWav(samples, 1, 8000f))
+      }
+      Multimodal.decodeAudio(s, rows.toDF("id", "payload")).toDF()
+        .select(col("id").as("wav_id"),
+          posexplode(col("features")).as(Seq("feat_idx", "f")))
+        .select(col("wav_id"), col("feat_idx"),
+          round(col("f").cast("double"), 6).as("fval"))
+        .orderBy("wav_id", "feat_idx")
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -152,5 +174,20 @@ object StreamQueries extends QueryPack {
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Analytic expectations for the square-wave WAVs: quarters 0-3 and
+    // peak are a/32768; crossings are 399/8000; duration 1 s; 1 channel.
+    "q_m_audio" ->
+      """WITH w AS (SELECT UNNEST(generate_series(0, 3)) AS wav_id),
+        |i AS (SELECT UNNEST(generate_series(0, 7)) AS feat_idx)
+        |SELECT CAST(wav_id AS BIGINT) AS wav_id,
+        |  CAST(feat_idx AS INTEGER) AS feat_idx,
+        |  ROUND(CASE
+        |    WHEN feat_idx <= 3 THEN (4096.0 * (wav_id + 1)) / 32768.0
+        |    WHEN feat_idx = 4 THEN 399.0 / 8000.0
+        |    WHEN feat_idx = 5 THEN (4096.0 * (wav_id + 1)) / 32768.0
+        |    WHEN feat_idx = 6 THEN 1.0
+        |    ELSE 1.0 END, 6) AS fval
+        |FROM w CROSS JOIN i ORDER BY wav_id, feat_idx""".stripMargin,
   )
 }
