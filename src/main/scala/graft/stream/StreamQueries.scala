@@ -69,6 +69,31 @@ object StreamQueries extends QueryPack {
         round(sum(element_at(col("features"), 1).cast("double")), 2).as("f0_mass"))
     }),
 
+    // REAL image decode, hash-checked: solid-color PNGs land every pixel
+    // in one analytically-known luminance bin (integer Rec.601 weights),
+    // so DuckDB verifies the ImageIO decode without any image codec.
+    // Colors: black->bin0, red(76)->bin2, gray 0x808080(128)->bin4,
+    // white(255)->bin7.
+    "q_m_image" -> ((s, dir) => {
+      import s.implicits._
+      val colors = Seq(0L -> 0x000000, 1L -> 0xFF0000, 2L -> 0x808080,
+        3L -> 0xFFFFFF)
+      val rows = colors.map { case (k, rgb) =>
+        val img = new java.awt.image.BufferedImage(5, 3,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k, bos.toByteArray)
+      }
+      Multimodal.decodeImage(s, rows.toDF("id", "payload")).toDF()
+        .select(col("id").as("img_id"),
+          posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("img_id"), col("bin"),
+          round(col("f").cast("double"), 6).as("fval"))
+        .orderBy("img_id", "bin")
+    }),
+
     // REAL audio decode, hash-checked: square-wave WAVs have closed-form
     // features (constant |amplitude| ⇒ RMS = peak = a/32768 exactly,
     // sign flips every half-period ⇒ 399 crossings over 8000 frames),
@@ -174,6 +199,18 @@ object StreamQueries extends QueryPack {
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Every pixel of a solid image falls in one bin: fval=1 at the
+    // color's Rec.601 luminance bin, 0 elsewhere.
+    "q_m_image" ->
+      """WITH im AS (SELECT UNNEST(generate_series(0, 3)) AS img_id),
+        |b AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
+        |lum AS (SELECT img_id, CASE img_id
+        |    WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 7 END AS hot
+        |  FROM im)
+        |SELECT CAST(img_id AS BIGINT) AS img_id, CAST(bin AS INTEGER) AS bin,
+        |  ROUND(CAST(CASE WHEN bin = hot THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS fval
+        |FROM lum CROSS JOIN b ORDER BY img_id, bin""".stripMargin,
 
     // Analytic expectations for the square-wave WAVs: quarters 0-3 and
     // peak are a/32768; crossings are 399/8000; duration 1 s; 1 channel.
