@@ -127,4 +127,35 @@ class EndToEndSpec extends SparkSpec {
     assert(ordered.select("ord").distinct().count() == n)
     mixed.unpersist()
   }
+
+  test("incremental lake dedup: day-2 ingest bloom-anti'd against the day-1 fingerprint store") {
+    import org.apache.spark.sql.functions._
+    import graft.textops.TextFunctions
+    val work = Files.createTempDirectory("graft-incr-dedup").toString
+    val docs = Tables.documents(spark, sfDir)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("fp", TextFunctions.fingerprint(col("text")))
+    // day 1: first 60% of the corpus lands; persist its fingerprints
+    val day1 = fp(docs.filter(col("doc_id") % 10 < 6))
+    LakeStorage.write(day1.select("fp").distinct(),
+      work, "processed", "fingerprints", "2026-08-11")
+    // day 2 arrives with half re-deliveries of day-1 content + new docs
+    val day2 = fp(docs.filter(col("doc_id") % 10 >= 3))
+    val store = LakeStorage.read(spark, work, "processed", "fingerprints")
+    val fresh = graft.operators.Joins.antiJoinBloom(
+      day2, store, "fp", expectedItems = 100000L, fpp = 0.03)
+    // exactly the genuinely-new content survives (ids 6..9 mod 10, minus
+    // any text that exactly duplicates a day-1 doc's content)
+    val expected = day2.join(store, Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    val got = fresh.select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+    // append day-2's new fingerprints; the store now dedups both days
+    LakeStorage.write(fresh.select("fp").distinct(),
+      work, "processed", "fingerprints", "2026-08-12")
+    val store2 = LakeStorage.read(spark, work, "processed", "fingerprints")
+    val rerun = graft.operators.Joins.antiJoinBloom(
+      day2, store2, "fp", 100000L, 0.03)
+    assert(rerun.count() == 0L) // idempotent re-delivery drops everything
+  }
 }
