@@ -132,13 +132,15 @@ class EndToEndSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.textops.TextFunctions
     val work = Files.createTempDirectory("graft-incr-dedup").toString
-    val docs = Tables.documents(spark, sfDir)
+    // null text would yield a null fingerprint, which no anti join can
+    // ever drop — exclude it up front like a real ingest gate would
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
     def fp(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("fp", TextFunctions.fingerprint(col("text")))
     // day 1: first 60% of the corpus lands; persist its fingerprints
     val day1 = fp(docs.filter(col("doc_id") % 10 < 6))
     LakeStorage.write(day1.select("fp").distinct(),
-      work, "processed", "fingerprints", "2026-08-11")
+      work, "processed", "fingerprints", "20260811")
     // day 2 arrives with half re-deliveries of day-1 content + new docs
     val day2 = fp(docs.filter(col("doc_id") % 10 >= 3))
     val store = LakeStorage.read(spark, work, "processed", "fingerprints")
@@ -152,7 +154,7 @@ class EndToEndSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq && got.nonEmpty)
     // append day-2's new fingerprints; the store now dedups both days
     LakeStorage.write(fresh.select("fp").distinct(),
-      work, "processed", "fingerprints", "2026-08-12")
+      work, "processed", "fingerprints", "20260812")
     val store2 = LakeStorage.read(spark, work, "processed", "fingerprints")
     val rerun = graft.operators.Joins.antiJoinBloom(
       day2, store2, "fp", 100000L, 0.03)

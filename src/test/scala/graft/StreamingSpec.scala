@@ -298,21 +298,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("real javax.sound decode extracts envelope/pitch/duration from generated WAVs") {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
-      val bytes = new Array[Byte](samples.length * 2)
-      samples.indices.foreach { i =>
-        bytes(2 * i) = (samples(i) & 0xFF).toByte
-        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
-      }
-      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
-        channels, channels * 2, rate, false)
-      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
-        fmt, samples.length / channels)
-      val bos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
-    }
+    def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] =
+      Multimodal.pcmWav(samples, channels, rate)
     val rate = 8000f
     val amp = 16384 // half full-scale
     // 1 s of 440 Hz mono sine
