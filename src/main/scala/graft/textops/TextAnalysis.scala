@@ -155,6 +155,43 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
+  /** Unigram log-probability quality score — the cheap approximation of
+    * KenLM-style perplexity filtering: score each document by the mean
+    * log probability of its tokens under the corpus's own unigram
+    * distribution (add-one smoothed, so the same scorer handles unseen
+    * tokens when applied to NEW documents against a reference corpus).
+    * Low scores flag gibberish/rare-token soup; high scores flag
+    * natural, typical text — the standard second quality gate after
+    * the rule-based heuristics.
+    *
+    * Scale shape: the frequency relation is vocabulary-sized; the
+    * (doc, term, tf) relation joins it ON term — a shuffle on a
+    * near-uniform key (AQE broadcasts the frequency side while it
+    * fits); the grand totals are a 1-row broadcast. Parity discipline:
+    * each term's `tf·ln p` is cast to DECIMAL(28,12) BEFORE the per-doc
+    * sum, so the aggregation is exact decimal addition —
+    * order-independent across partitionings and engines — with one
+    * double division + round at the end (the entropy pattern).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    tf.join(freq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp",
+        (col("tf") * log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_toks"), sum(col("_lp")).as("_slp"))
+      .select(col(idCol), col("n_toks"),
+        round(col("_slp").cast("double") / col("n_toks"), 6).as("avg_logprob"))
+  }
+
   /** Sliding-window document chunking: split each document into
     * overlapping token windows of `chunkTokens` tokens every `stride`
     * tokens — the step between curation and sequence packing when

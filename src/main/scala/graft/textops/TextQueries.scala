@@ -284,6 +284,14 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Unigram log-prob quality score (KenLM-style filter approximation):
+    // mean smoothed token log-probability under the corpus's own
+    // distribution. DECIMAL-cast per-term contributions keep the sum
+    // order-independent (hash-matchable).
+    "q_t_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Markup stripping: each doc wrapped in a deterministic HTML shell
     // (tags, a script block, named/numeric entities), then cleaned back
     // to text — regex pipeline identical in both engines.
@@ -701,6 +709,21 @@ object TextQueries extends QueryPack {
          |FROM f WHERE doc_id % 10 >= 3
          |  AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = f.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_t_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |fr AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |    COUNT(*) AS v_size FROM fr)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |  ROUND(CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
+        |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / SUM(tf), 6) AS avg_logprob
+        |FROM tf JOIN fr USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_t_strip_html" ->
       """WITH d AS (SELECT doc_id,

@@ -149,6 +149,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(covered == (1L to 10L).toSet)
   }
 
+  // ---- Unigram log-prob quality ------------------------------------
+
+  test("unigramLogProb ranks typical text above rare-token soup, invariant to layout") {
+    val common = (1 to 20).map(_ => "the cat sat on the mat")
+    val docs = (common.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "zxqv wkjh pqrst mnbvc xyzzy qwert")).toDF("doc_id", "text")
+    val scored = graft.textops.TextAnalysis
+      .unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(99L) < scored(0L)) // gibberish is less probable
+    // exact same scores under a different partitioning (decimal sums)
+    val re = graft.textops.TextAnalysis
+      .unigramLogProb(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(re === scored)
+  }
+
   // ---- Markup stripping --------------------------------------------
 
   test("stripMarkup removes blocks and tags, decodes entities, collapses space") {
