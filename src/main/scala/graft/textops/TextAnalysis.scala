@@ -140,10 +140,19 @@ object TextAnalysis {
     * fits and shuffles on the term key otherwise — no driver-side
     * vocabulary. Exact integer counts; one rounded double at the end.
     */
-  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Shared (doc, term) explode and (doc, term, tf) aggregation — the
+    * common front of [[tfidf]] and [[unigramLogProb]]; one place pins
+    * the tokenization convention the oracles replay.
+    */
+  private def termFrequencies(df: DataFrame, idCol: String,
+                              textCol: String): (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    (toks, toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+  }
+
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (toks, tf) = termFrequencies(df, idCol, textCol)
     val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
@@ -158,9 +167,11 @@ object TextAnalysis {
   /** Unigram log-probability quality score — the cheap approximation of
     * KenLM-style perplexity filtering: score each document by the mean
     * log probability of its tokens under the corpus's own unigram
-    * distribution (add-one smoothed, so the same scorer handles unseen
-    * tokens when applied to NEW documents against a reference corpus).
-    * Low scores flag gibberish/rare-token soup; high scores flag
+    * distribution. Add-one smoothing keeps the formula well-defined at
+    * c = 0, so the same arithmetic extends unchanged to a two-corpus
+    * variant (scoring new documents against a stored reference
+    * distribution) — here the corpus scores itself, so every token has
+    * c ≥ 1. Low scores flag gibberish/rare-token soup; high scores flag
     * natural, typical text — the standard second quality gate after
     * the rule-based heuristics.
     *
@@ -174,9 +185,15 @@ object TextAnalysis {
     * double division + round at the end (the entropy pattern).
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // withColumn/agg silently replace same-named columns — refuse an
+    // idCol that collides with the working/output names (the Ranking
+    // reserved-name discipline).
+    val reserved = Set("term", "tf", "c", "n_total", "v_size",
+      "_lp", "_slp", "n_toks", "avg_logprob")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with unigramLogProb's working/output " +
+        s"names (${reserved.mkString(", ")}) — rename it first")
+    val (toks, tf) = termFrequencies(df, idCol, textCol)
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum(col("c")).as("n_total"),
       count(lit(1)).as("v_size"))
