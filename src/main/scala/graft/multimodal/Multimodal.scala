@@ -204,6 +204,111 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(id: Long, width: Int, height: Int, payload: Array[Byte])
+  case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** REAL image resize (JDK only): decode via ImageIO, scale with
+    * integer nearest-neighbor — `src(x·W/w, y·H/h)` — and re-encode as
+    * PNG. Nearest-neighbor deliberately, not Graphics2D interpolation:
+    * the integer index math is bit-deterministic across JVMs and
+    * platforms, which makes resized training corpora reproducible (and
+    * spec-checkable pixel-exactly). Undecodable payloads quarantine as
+    * a 0×0 row with an empty payload.
+    */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+                  w: Int, h: Int): Dataset[ResizedMedia] = {
+    require(w > 0 && h > 0, s"target size must be positive, got ${w}x$h")
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ResizedMedia(r.id, 0, 0, Array.empty[Byte])
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y,
+                  img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(r.id, w, h, bos.toByteArray)
+          }
+        }
+      }
+  }
+
+  /** The deterministic frame-container format the video seam uses while
+    * this environment lacks real video codecs: magic "GFV0", 4-byte BE
+    * frame count, then per frame a 4-byte BE length + the frame bytes
+    * (any image format ImageIO can decode). [[packFrames]] builds it;
+    * [[sampleFrames]] parses it. Swapping in a real demuxer changes
+    * only the parse step — the sampling plumbing, schema, and per-frame
+    * decode are the real thing.
+    */
+  def packFrames(id: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GFV0")
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling: parse the container, keep every `every`-th
+    * frame (a training pipeline never featurizes all ~30 fps), one
+    * output row per kept frame — the explode shape downstream
+    * per-frame decode ([[decodeImage]]) consumes directly. Malformed
+    * containers (bad magic, truncated frame, negative length) yield
+    * zero rows — quarantine by absence; anti-join against the input to
+    * list them. Pure per-row narrow work, no shuffle.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   every: Int): Dataset[FrameRow] = {
+    require(every > 0, s"sampling interval must be positive, got $every")
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val magic = new Array[Byte](4)
+            in.readFully(magic)
+            if (!java.util.Arrays.equals(magic, "GFV0".getBytes("US-ASCII")))
+              Iterator.empty
+            else {
+              val n = in.readInt()
+              if (n < 0) Iterator.empty
+              else {
+                // parse eagerly so a truncated tail quarantines the
+                // WHOLE container (partial frames are worse than none)
+                val frames = (0 until n).map { _ =>
+                  val len = in.readInt()
+                  if (len < 0) throw new java.io.IOException("negative frame length")
+                  val f = new Array[Byte](len)
+                  in.readFully(f)
+                  f
+                }
+                frames.zipWithIndex.collect {
+                  case (f, i) if i % every == 0 => FrameRow(r.id, i, f)
+                }.iterator
+              }
+            }
+          } catch { case _: java.io.IOException => Iterator.empty }
+        }
+      }
+  }
+
   /** Synthesize a 16-bit little-endian PCM WAV payload — the fixture
     * generator for audio queries/specs (deterministic bytes, so decoded
     * features are closed-form predictable).

@@ -297,6 +297,48 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).features.isEmpty)
   }
 
+  test("nearest-neighbor resize is pixel-exact; frame sampling feeds per-frame decode") {
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // resize 4x4 checkerboard-of-quadrants to 2x2: nearest-neighbor
+    // picks the top-left pixel of each quadrant exactly
+    val quad = png(4, 4, (x, y) =>
+      (if (x < 2) 0 else 0xFF0000) | (if (y < 2) 0 else 0x0000FF))
+    val rs = Multimodal.resizeImage(spark,
+      Seq((1L, quad), (2L, Array[Byte](9))).toDF("id", "payload"), 2, 2)
+      .collect().map(m => m.id -> m).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs(1L).payload))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xFFFFFF) == 0x000000)
+    assert((back.getRGB(1, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((back.getRGB(0, 1) & 0xFFFFFF) == 0x0000FF)
+    assert((back.getRGB(1, 1) & 0xFFFFFF) == 0xFF00FF)
+    assert(rs(2L).width == 0 && rs(2L).payload.isEmpty) // quarantined
+    // frame sampling: 5 solid frames, keep 0/2/4; corrupt + truncated -> no rows
+    val frames = (0 until 5).map(i => png(2, 2, (_, _) => i * 0x10))
+    val video = Multimodal.packFrames(10L, frames)
+    val truncated = video.dropRight(3)
+    val media = Seq((10L, video), (11L, Array[Byte](1, 2, 3)), (12L, truncated))
+      .toDF("id", "payload")
+    val sampled = Multimodal.sampleFrames(spark, media, every = 2)
+    val idx = sampled.collect().groupBy(_.id)
+    assert(idx(10L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(!idx.contains(11L) && !idx.contains(12L))
+    // the sampled frames decode for real downstream
+    val feats = Multimodal.decodeImage(spark,
+        sampled.toDF().select(col("id") * 100 + col("frame_idx") as "id",
+          col("frame") as "payload"))
+      .collect()
+    assert(feats.length == 3 && feats.forall(_.features.sum > 0.99f))
+  }
+
   test("real javax.sound decode extracts envelope/pitch/duration from generated WAVs") {
     def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] =
       Multimodal.pcmWav(samples, channels, rate)
