@@ -184,7 +184,19 @@ object TextAnalysis {
     * order-independent across partitionings and engines — with one
     * double division + round at the end (the entropy pattern).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // self-scoring = scoring against one's own distribution (every
+    // token is in-vocabulary, so the left join below always matches)
+    unigramLogProbAgainst(df, idCol, textCol, df, textCol)
+
+  /** Two-corpus form of [[unigramLogProb]]: score `df`'s documents
+    * against `ref`'s unigram distribution — the production shape
+    * (tomorrow's crawl scored against the trusted corpus). Tokens
+    * absent from the reference take the add-one floor 1/(N+V), so
+    * OOV-heavy documents sink to the bottom of the ranking.
+    */
+  def unigramLogProbAgainst(df: DataFrame, idCol: String, textCol: String,
+                            ref: DataFrame, refTextCol: String): DataFrame = {
     // withColumn/agg silently replace same-named columns — refuse an
     // idCol that collides with the working/output names (the Ranking
     // reserved-name discipline).
@@ -193,14 +205,16 @@ object TextAnalysis {
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with unigramLogProb's working/output " +
         s"names (${reserved.mkString(", ")}) — rename it first")
-    val (toks, tf) = termFrequencies(df, idCol, textCol)
-    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val (_, tf) = termFrequencies(df, idCol, textCol)
+    val freq = ref
+      .select(explode(TextFunctions.tokens(lower(col(refTextCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum(col("c")).as("n_total"),
       count(lit(1)).as("v_size"))
-    tf.join(freq, "term")
+    tf.join(freq, Seq("term"), "left") // left: OOV terms keep their rows
       .crossJoin(broadcast(totals))
       .withColumn("_lp",
-        (col("tf") * log((col("c") + 1).cast("double") /
+        (col("tf") * log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
           (col("n_total") + col("v_size")).cast("double")))
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
       .groupBy(col(idCol))

@@ -292,6 +292,16 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Two-corpus log-prob: odd docs scored against the even docs'
+    // distribution — the OOV smoothing floor is exercised for real.
+    "q_t_logprob_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.unigramLogProbAgainst(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
     // Markup stripping: each doc wrapped in a deterministic HTML shell
     // (tags, a script block, named/numeric entities), then cleaned back
     // to text — regex pipeline identical in both engines.
@@ -723,6 +733,23 @@ object TextQueries extends QueryPack {
         |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
         |      / SUM(tf), 6) AS avg_logprob
         |FROM tf JOIN fr USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_t_logprob_oov" ->
+      """WITH sc AS (SELECT doc_id,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM sc GROUP BY 1, 2),
+        |rt AS (SELECT UNNEST(string_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fr AS (SELECT term, COUNT(*) AS c FROM rt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |    COUNT(*) AS v_size FROM fr)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |  ROUND(CAST(SUM(CAST(tf * ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+        |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / SUM(tf), 6) AS avg_logprob
+        |FROM tf LEFT JOIN fr USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_t_strip_html" ->

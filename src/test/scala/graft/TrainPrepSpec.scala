@@ -166,6 +166,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(re === scored)
   }
 
+  test("unigramLogProbAgainst floors OOV tokens; self-scoring equals the one-corpus form") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, "the cat sat"), (11L, "zxqv wkjh mnbvc"))
+      .toDF("doc_id", "text")
+    val scored = graft.textops.TextAnalysis
+      .unigramLogProbAgainst(newDocs, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // all-OOV doc gets exactly the smoothing floor ln(1/(N+V)):
+    // ref has N=6 tokens over V=4 distinct terms -> ln(1/10)
+    assert(math.abs(scored(11L) - math.log(1.0 / 10.0)) < 1e-6)
+    assert(scored(10L) > scored(11L))
+    // delegation: self-scoring is the two-corpus form against itself
+    val a = graft.textops.TextAnalysis.unigramLogProb(ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b = graft.textops.TextAnalysis
+      .unigramLogProbAgainst(ref, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ---- Markup stripping --------------------------------------------
 
   test("stripMarkup removes blocks and tags, decodes entities, collapses space") {
