@@ -216,6 +216,45 @@ object TextQueries extends QueryPack {
           minQuality = 3.0, keepLangs = Seq("en")),
         "text")),
 
+    // CAPSTONE: the complete modern curation pipeline as ONE
+    // hash-checked query — strip markup → NFC → exact dedup →
+    // benchmark decontamination → quality gate → language gate →
+    // log-prob gate → per-source report. Every stage is an exact
+    // operator, so the whole composition is bit-reproducible in SQL.
+    // The HTML shell + decomposed tail planted on each doc make the
+    // strip and NFC stages real transformations, not fixpoints.
+    "q_t_curate_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dirty = concat(lit("<html><body><p>"), col("text"),
+        lit(DecomposedTail),
+        lit("</p><script>var x = 1;</script></body></html>"))
+      val withClean = docs.select(col("doc_id"), col("source"),
+        graft.functions.UnicodeFunctions.nfc(
+          TextFunctions.stripMarkup(dirty)).as("clean"))
+      val deduped = Dedup.dropExactDuplicates(withClean, "doc_id", "clean")
+      val bench = withClean.filter(col("doc_id") % 20 === 0).select(col("clean"))
+      val decon = Dedup.decontaminate(deduped, "doc_id", "clean",
+        bench, "clean", n = 3, minShared = 2L)
+      val lp = TextAnalysis.unigramLogProb(decon, "doc_id", "clean")
+        .select(col("doc_id"), col("avg_logprob"))
+      val gated = TextAnalysis.languageId(
+          TextAnalysis.qualityScore(decon, "clean"), "clean")
+        .filter(col("quality_score") >= 3.0 && col("predicted_lang") === "en")
+        .join(lp, "doc_id")
+        .filter(col("avg_logprob") >= -7.0)
+      gated.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("clean")))).as("total_tokens"),
+          round(avg(col("quality_score")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
+            .cast("double").as("avg_quality"),
+          round(avg(col("avg_logprob")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
+            .cast("double").as("avg_lp"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    }),
+
     // Deterministic hash-based train/test split (10% test): key-stable,
     // layout-independent, reproducible in any engine with md5.
     "q_t_split" -> ((s, dir) =>
@@ -719,6 +758,88 @@ object TextQueries extends QueryPack {
          |FROM f WHERE doc_id % 10 >= 3
          |  AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = f.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The capstone mirror: every stage of q_t_curate_full replayed as
+    // CTEs over a `clean` base (strip+NFC), with the fingerprint,
+    // shingle, quality, langid, and logprob formulations reused from
+    // their standalone oracles.
+    "q_t_curate_full" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    nfc_normalize(trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(
+         |          '<html><body><p>' || text || '$DecomposedTail</p><script>var x = 1;</script></body></html>',
+         |          '(?is)<(script|style)(>|[ \\t\\n\\r/][^>]*>).*?</(script|style)[ \\t\\n\\r]*>', ' ', 'g'),
+         |          '<[^>]+>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS clean
+         |  FROM documents),
+         |dd AS (SELECT doc_id, source, clean FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(trim(clean), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn FROM base) WHERE rn = 1),
+         |w AS (SELECT doc_id, string_split(trim(clean), ' ') AS ws FROM dd),
+         |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+         |sh AS (SELECT DISTINCT doc_id, word || ' ' || l1 || ' ' || l2 AS s FROM (
+         |  SELECT doc_id, word,
+         |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+         |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 FROM tok)
+         |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+         |bw AS (SELECT doc_id, string_split(trim(clean), ' ') AS ws
+         |  FROM base WHERE doc_id % 20 = 0),
+         |btok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM bw),
+         |bsh AS (SELECT DISTINCT word || ' ' || l1 || ' ' || l2 AS s FROM (
+         |  SELECT doc_id, word,
+         |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+         |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 FROM btok)
+         |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+         |bad AS (SELECT sh.doc_id FROM sh JOIN bsh ON sh.s = bsh.s
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |decon AS (SELECT * FROM dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = dd.doc_id)),
+         |t2 AS (SELECT doc_id, UNNEST(string_split(trim(lower(clean)), ' ')) AS term FROM decon),
+         |tf2 AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+         |fr2 AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
+         |tot2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM fr2),
+         |lp AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
+         |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / SUM(tf), 6) AS avg_logprob
+         |  FROM tf2 JOIN fr2 USING (term) CROSS JOIN tot2 GROUP BY doc_id),
+         |b AS (SELECT doc_id, source,
+         |    string_split(trim(clean), ' ') AS ws,
+         |    string_split(trim(lower(clean)), ' ') AS toks,
+         |    LENGTH(clean) AS n_chars,
+         |    len(regexp_extract_all(clean, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |      - len(string_split(trim(clean), ' ')) AS n_punct
+         |  FROM decon),
+         |scored AS (SELECT doc_id, source, len(ws) AS n_toks,
+         |    ROUND(
+         |      LEAST(CAST(len(ws) AS DOUBLE) * 0.2, 4.0)
+         |    + LEAST(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / len(ws) * 10.0, 4.0)
+         |    + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
+         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','y','en','los','que','un'))) AS h_es,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','von','mit','ist','ein'))) AS h_de,
+         |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un'))) AS h_fr,
+         |    len(toks) AS n FROM b),
+         |lang AS (SELECT *, CASE
+         |    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_en AS DOUBLE) / n >= 0.05 THEN 'en'
+         |    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_es AS DOUBLE) / n >= 0.05 THEN 'es'
+         |    WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_de AS DOUBLE) / n >= 0.05 THEN 'de'
+         |    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) AND CAST(h_fr AS DOUBLE) / n >= 0.05 THEN 'fr'
+         |    ELSE 'unknown' END AS predicted_lang FROM scored)
+         |SELECT lang.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(lang.n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(ROUND(AVG(CAST(lang.quality_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_quality,
+         |  CAST(ROUND(AVG(CAST(lp.avg_logprob AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_lp,
+         |  MIN(lang.doc_id) AS min_id
+         |FROM lang JOIN lp ON lang.doc_id = lp.doc_id
+         |WHERE lang.quality_score >= 3.0 AND lang.predicted_lang = 'en'
+         |  AND lp.avg_logprob >= -7.0
+         |GROUP BY lang.source ORDER BY lang.source""".stripMargin,
 
     "q_t_logprob" ->
       """WITH t AS (SELECT doc_id,
