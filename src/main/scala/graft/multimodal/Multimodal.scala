@@ -233,8 +233,11 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
+                // long index math: x * srcWidth overflows Int when
+                // upscaling wide images to very large targets
                 out.setRGB(x, y,
-                  img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+                  img.getRGB((x.toLong * img.getWidth / w).toInt,
+                    (y.toLong * img.getHeight / h).toInt))
                 x += 1
               }
               y += 1
@@ -255,7 +258,7 @@ object Multimodal {
     * only the parse step — the sampling plumbing, schema, and per-frame
     * decode are the real thing.
     */
-  def packFrames(id: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeBytes("GFV0")
@@ -294,7 +297,12 @@ object Multimodal {
                 // WHOLE container (partial frames are worse than none)
                 val frames = (0 until n).map { _ =>
                   val len = in.readInt()
-                  if (len < 0) throw new java.io.IOException("negative frame length")
+                  // bound by the bytes actually present: a corrupt
+                  // length field must quarantine, not attempt a
+                  // multi-GB allocation (OOM is an Error — it would
+                  // sail past the IOException catch and kill the task)
+                  if (len < 0 || len > in.available())
+                    throw new java.io.IOException(s"bad frame length $len")
                   val f = new Array[Byte](len)
                   in.readFully(f)
                   f

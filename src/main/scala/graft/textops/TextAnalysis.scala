@@ -144,10 +144,16 @@ object TextAnalysis {
     * common front of [[tfidf]] and [[unigramLogProb]]; one place pins
     * the tokenization convention the oracles replay.
     */
+  /** The tokenization both log-prob sides and tfidf share — changing
+    * it here changes scorer and reference together (they must agree,
+    * or every token looks OOV).
+    */
+  private def termColumn(textCol: String): Column =
+    explode(TextFunctions.tokens(lower(col(textCol)))).as("term")
+
   private def termFrequencies(df: DataFrame, idCol: String,
                               textCol: String): (DataFrame, DataFrame) = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val toks = df.select(col(idCol), termColumn(textCol))
     (toks, toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
   }
 
@@ -206,8 +212,7 @@ object TextAnalysis {
       s"idCol '$idCol' collides with unigramLogProb's working/output " +
         s"names (${reserved.mkString(", ")}) — rename it first")
     val (_, tf) = termFrequencies(df, idCol, textCol)
-    val freq = ref
-      .select(explode(TextFunctions.tokens(lower(col(refTextCol)))).as("term"))
+    val freq = ref.select(termColumn(refTextCol))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum(col("c")).as("n_total"),
       count(lit(1)).as("v_size"))

@@ -323,14 +323,20 @@ class StreamingSpec extends SparkSpec {
     assert(rs(2L).width == 0 && rs(2L).payload.isEmpty) // quarantined
     // frame sampling: 5 solid frames, keep 0/2/4; corrupt + truncated -> no rows
     val frames = (0 until 5).map(i => png(2, 2, (_, _) => i * 0x10))
-    val video = Multimodal.packFrames(10L, frames)
+    val video = Multimodal.packFrames(frames)
     val truncated = video.dropRight(3)
-    val media = Seq((10L, video), (11L, Array[Byte](1, 2, 3)), (12L, truncated))
-      .toDF("id", "payload")
+    // valid magic + count but a multi-GB length field: must quarantine
+    // via the bounds check, never attempt the allocation
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GFV0"); dos.writeInt(1); dos.writeInt(0x7FFF0000)
+    val bomb = bos.toByteArray
+    val media = Seq((10L, video), (11L, Array[Byte](1, 2, 3)),
+      (12L, truncated), (13L, bomb)).toDF("id", "payload")
     val sampled = Multimodal.sampleFrames(spark, media, every = 2)
     val idx = sampled.collect().groupBy(_.id)
     assert(idx(10L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
-    assert(!idx.contains(11L) && !idx.contains(12L))
+    assert(!idx.contains(11L) && !idx.contains(12L) && !idx.contains(13L))
     // the sampled frames decode for real downstream
     val feats = Multimodal.decodeImage(spark,
         sampled.toDF().select(col("id") * 100 + col("frame_idx") as "id",
