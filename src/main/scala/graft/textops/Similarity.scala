@@ -219,6 +219,50 @@ object Similarity {
       .select(col("bucket"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * arXiv:2303.09540): cluster embeddings with the IVF coarse
+    * quantizer, then inside each cluster drop every vector that has a
+    * lower-id neighbour at cosine ≥ `threshold`. The reference pipeline
+    * has no embedding dedup at all (it deduplicates on exact account
+    * numbers, `dl/src/etl/pipeline.py`); this is the embedding-space
+    * analogue its data model would need at training-corpus scale.
+    *
+    * Scale shape: the pair join runs per cluster (Σ cluster², bounded
+    * by the quantizer — the same trade as [[bucketedTopPairs]]), and
+    * the drop rule is *independent per vector* ("any qualifying
+    * lower-id neighbour exists"), so no transitive closure / connected
+    * components pass is needed — one aggregation decides every vector.
+    * Note the rule is deliberately NOT "neighbour that itself
+    * survived": that variant is iterative (a dropped neighbour could
+    * un-drop its victims) and order-sensitive; the independent rule is
+    * one-shot, deterministic, and what SemDeDup's per-cluster
+    * keep-one-representative semantics reduce to for pairwise clusters.
+    *
+    * Returns the survivors of `df` with their cluster assignment
+    * attached (`bucket` column).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, bucketCol: String,
+                    centroidVecCol: String, threshold: Double): DataFrame = {
+    val assigned = assignBuckets(df, idCol, vecCol, centroids, bucketCol,
+        centroidVecCol)
+      .select(col(idCol), col("bucket"))
+    val v = df.select(col(idCol), col(vecCol))
+      .withColumn("_nrm", norm(col(vecCol)))
+      .join(assigned, idCol)
+      .select(col("bucket"), col(idCol).as("_id"), col(vecCol).as("_vec"),
+        col("_nrm"))
+    // Losers: any vector with a lower-id cluster-mate at ≥ threshold.
+    val losers = v.toDF("bucket", "id_a", "vec_a", "nrm_a")
+      .join(v.toDF("bucket", "id_b", "vec_b", "nrm_b"), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("vec_a"), col("vec_b"))
+        / (col("nrm_a") * col("nrm_b")), 6) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(assigned, idCol)
+      .join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact O(n²) near-neighbour pairs — the correctness oracle for the
     * bucketed variant in tests; usable only at small n.
     */
