@@ -148,6 +148,20 @@ object TextQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // SemDeDup-style semantic dedup: IVF-cluster the embeddings (one
+    // trained Lloyd step), then inside each cluster drop every vector
+    // with a lower-id neighbour at cosine >= 0.35. Survivors with their
+    // cluster. Pair work is Σ cluster², bounded by the quantizer.
+    "q_t_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 1)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cent, "bucket",
+          "centroid", threshold = 0.35)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
+    }),
+
     // Exact O(n²) cosine near-neighbour pairs above a threshold — the
     // correctness baseline the LSH variants prune towards. Feasible
     // here (n=2000 at sf0.1); the scale paths are the bucketed/banded
@@ -607,6 +621,34 @@ object TextQueries extends QueryPack {
         |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s2 GROUP BY vec_id)
         |SELECT m.bucket AS bucket, COUNT(*) AS n_vecs, MAX(m.sim) AS max_sim
         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_t_semantic_dedup" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
+        |    generate_subscripts(v, 1) AS dim_pos FROM a),
+        |mn AS (SELECT bucket, dim_pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |  FROM u GROUP BY 1, 2),
+        |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
+        |s2 AS (SELECT e.vec_id, e.v, cl.bucket,
+        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |a2 AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s2 GROUP BY vec_id),
+        |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a2),
+        |losers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+        |SELECT vec_id, bucket FROM asg
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

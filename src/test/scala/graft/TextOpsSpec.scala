@@ -303,6 +303,23 @@ class TextOpsSpec extends SparkSpec {
     assert(cent(1L)(1) > 0.0)          // mean of all three pulled off-axis
   }
 
+  test("semantic dedup drops lower-id-dominated near-dups within a cluster only") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),        // cluster 0, lowest id — survives
+      (1L, Array(0.99f, 0.01f, 0f)),  // ~dup of 0 → dropped
+      (2L, Array(0.6f, 0.4f, 0f)),    // cluster 0 but cos(0,2)≈0.83 < 0.9 — survives
+      (10L, Array(0f, 1f, 0f)),       // cluster 1, lowest id — survives
+      (11L, Array(0.01f, 0.99f, 0f)), // ~dup of 10 → dropped
+      (12L, Array(0f, 0.7f, 0.7f)))   // cos(10,12)≈0.71 < 0.9 — survives
+      .toDF("id", "vec")
+    val cent = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("b", "cv")
+    val out = Similarity.semanticDedup(vecs, "id", "vec", cent, "b", "cv",
+        threshold = 0.9)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 2L -> 0L, 10L -> 1L, 12L -> 1L))
+  }
+
   test("approximate aggregates stay within tolerance of exact (100 TB fast path)") {
     val o = Tables.orders(spark, sfDir)
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
