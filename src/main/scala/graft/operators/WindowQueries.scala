@@ -141,6 +141,25 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // W11: top-k per group WITHOUT a window sort — the k-bounded
+    // TopKAggregator reduces each partition to <=k rows per group
+    // map-side, so the shuffle carries O(groups*k) rows and no group is
+    // ever fully sorted (the window row_number form sorts every row of
+    // every group; a hot key at 100 TB makes that a straggler). Output
+    // = the W2-family shape: (group, rank, id, value).
+    "q_w11_group_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKAggregator
+          .topK(3, col("o_totalprice"), col("o_orderkey")).as("_top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("_top")).as(Seq("_pos", "_e")))
+        .select(col("o_orderpriority"),
+          (col("_pos") + 1).cast("int").as("rk"),
+          col("_e.id").as("o_orderkey"),
+          col("_e.value").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")),
+
     // W9: explicit ROWS frame — 3-event moving average of value per
     // user, summarized as the max smoothed value per user.
     "q_w9_moving_avg" -> ((s, dir) => {
@@ -184,6 +203,14 @@ object WindowQueries extends QueryPack {
         |  ROUND(PERCENT_RANK() OVER (ORDER BY cnt, o_orderpriority), 6) AS pct_rank,
         |  ROUND(CUME_DIST() OVER (ORDER BY cnt, o_orderpriority), 6) AS cume
         |FROM c ORDER BY o_orderpriority""".stripMargin,
+
+    "q_w11_group_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q_w9_moving_avg" ->
       """WITH m AS (SELECT user_id,

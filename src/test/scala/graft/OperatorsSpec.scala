@@ -194,6 +194,35 @@ class OperatorsSpec extends SparkSpec {
       .toDF("v")
   }
 
+  test("bounded top-k Aggregator matches the window row_number formulation") {
+    val rnd = new scala.util.Random(7)
+    // duplicate values on purpose: the id tie-break must decide
+    val rows = (1L to 200L).map(i => (s"g${i % 5}", rnd.nextInt(20).toDouble, i))
+    val df = rows.toDF("g", "v", "id")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopKAggregator.topK(3, col("v"), col("id")).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("g"), col("pos"), col("e.value"), col("e.id"))
+      .as[(String, Int, Double, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("v"), asc("id"))
+    val win = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("g"), (col("rn") - 1).cast("int"), col("v"), col("id"))
+      .as[(String, Int, Double, Long)].collect().toSet
+    assert(agg === win)
+  }
+
+  test("top-k Aggregator returns whole groups smaller than k, in rank order") {
+    val df = Seq(("a", 1.0, 1L), ("a", 5.0, 2L), ("b", 2.0, 3L)).toDF("g", "v", "id")
+    val out = df.groupBy("g")
+      .agg(graft.functions.TopKAggregator.topK(3, col("v"), col("id")).as("t"))
+      .select(col("g"), col("t"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(out("a") === Seq((5.0, 2L), (1.0, 1L)))
+    assert(out("b") === Seq((2.0, 3L)))
+  }
+
   test("search is case-insensitive and null-safe") {
     val df = Seq((1, Some("Deluxe Widget")), (2, Some("gadget")),
       (3, None: Option[String])).toDF("id", "name")

@@ -135,4 +135,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("grouped top-k aggregates k-bounded partials map-side — no window sort") {
+    val p = plan("q_w11_group_topk")
+    // typed-buffer UDAF → ObjectHashAggregate, partial then final
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2, p)
+    assert(p.contains("partial_topkaggregator") || p.contains("partial_"), p)
+    // the whole point: no per-group full sort of the fact table
+    assert(!p.contains("Window"), p)
+  }
 }
