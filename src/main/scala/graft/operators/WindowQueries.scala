@@ -141,6 +141,16 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // SCD2: rebuild a type-2 dimension history from the order log —
+    // per customer, the priority attribute's change intervals with
+    // valid_from/valid_to/is_current. One shuffle on the key; both
+    // windows (change-detect lag, interval-close lead) reuse it.
+    "q_scd2" -> ((s, dir) =>
+      graft.warehouse.Scd.buildType2(Tables.orders(s, dir),
+          keys = Seq("o_custkey"), attrs = Seq("o_orderpriority"),
+          tsCol = "o_orderdate", seqCol = "o_orderkey")
+        .orderBy("o_custkey", "valid_from")),
+
     // W11: top-k per group WITHOUT a window sort — the k-bounded
     // TopKAggregator reduces each partition to <=k rows per group
     // map-side, so the shuffle carries O(groups*k) rows and no group is
@@ -203,6 +213,21 @@ object WindowQueries extends QueryPack {
         |  ROUND(PERCENT_RANK() OVER (ORDER BY cnt, o_orderpriority), 6) AS pct_rank,
         |  ROUND(CUME_DIST() OVER (ORDER BY cnt, o_orderpriority), 6) AS cume
         |FROM c ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scd2" ->
+      """WITH snap AS (SELECT o_custkey, o_orderdate,
+        |    arg_max(o_orderpriority, o_orderkey) AS o_orderpriority
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate) AS prev FROM snap),
+        |c AS (SELECT o_custkey, o_orderpriority, o_orderdate FROM s
+        |  WHERE prev IS NULL OR prev <> o_orderpriority),
+        |v AS (SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate) AS valid_to FROM c)
+        |SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY o_custkey, valid_from""".stripMargin,
 
     "q_w11_group_topk" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -106,4 +106,45 @@ class WarehouseSpec extends SparkSpec {
     assert(leap.getAs[String]("day_name") === "Thursday")
     assert(!leap.getAs[Boolean]("is_weekend"))
   }
+
+  test("SCD2 collapses an observation log into change intervals") {
+    // key 1: A,A,B,A — re-appearing state A must open a NEW version
+    // key 2: single observation — one open-ended current version
+    val log = Seq(
+      (1L, 10, "A"), (1L, 20, "A"), (1L, 30, "B"), (1L, 40, "A"),
+      (2L, 15, "X"))
+      .toDF("k", "ts", "attr").withColumn("seq", col("ts"))
+    val v = graft.warehouse.Scd.buildType2(log, Seq("k"), Seq("attr"), "ts", "seq")
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Int, Option[Int], Boolean)].collect().toSet
+    assert(v === Set(
+      (1L, "A", 10, Some(30), false),
+      (1L, "B", 30, Some(40), false),
+      (1L, "A", 40, None, true),
+      (2L, "X", 15, None, true)))
+  }
+
+  test("SCD2 last-write-wins within an instant and null-safe attr compare") {
+    val log = Seq(
+      // two writes at ts=10: seq 2 wins -> state "B"
+      (1L, 10, Some("A"), 1L), (1L, 10, Some("B"), 2L),
+      // B -> null is a change; null -> null is not; null -> C is
+      (1L, 20, None, 3L), (1L, 30, None, 4L), (1L, 40, Some("C"), 5L))
+      .toDF("k", "ts", "attr", "seq")
+    val v = graft.warehouse.Scd.buildType2(log, Seq("k"), Seq("attr"), "ts", "seq")
+      .select("k", "attr", "valid_from", "valid_to")
+      .as[(Long, Option[String], Int, Option[Int])].collect().toSet
+    assert(v === Set(
+      (1L, Some("B"), 10, Some(20)),
+      (1L, None, 20, Some(40)),
+      (1L, Some("C"), 40, None)))
+  }
+
+  test("SCD2 versions build on one exchange: both windows reuse the key shuffle") {
+    val df = graft.warehouse.Scd.buildType2(
+      graft.core.Tables.orders(spark, sfDir),
+      Seq("o_custkey"), Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1, p)
+  }
 }
