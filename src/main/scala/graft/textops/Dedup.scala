@@ -511,4 +511,60 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .distinct()
   }
+
+  /** Corpus-wide repeated-substring spans — substring-level dedup in the
+    * style of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022, public arXiv:2107.06499): find every maximal run
+    * of characters whose `width`-code-point windows all recur elsewhere
+    * in the corpus (including elsewhere in the same document), the spans
+    * a substring-dedup pass would cut. The reference has nothing at this
+    * granularity (its dedup is whole-row, `ingestion_pipeline.py:62`);
+    * document-level dedup misses boilerplate shared across otherwise
+    * distinct pages, which is the dominant duplication mode in web-scale
+    * training corpora.
+    *
+    * Plan shape, all hash operations: one codegen'd O(len) Rabin–Karp
+    * pass per document ([[graft.functions.PolyWindowHash]]) → posexplode
+    * to (doc, pos, gram-hash) → groupBy(hash) occurrence count (map-side
+    * partial agg collapses within-partition repeats) → hash join of
+    * positions against the repeated hashes → per-document gaps-and-
+    * islands (window partitioned BY DOCUMENT, bounded by doc length — no
+    * global window). A true suffix-array pass would find repeats of any
+    * length; fixed-width windows are the standard scalable surrogate
+    * (repeats ≥ width are found exactly; shorter ones intentionally
+    * ignored). Collisions of the 1e9+7 poly hash can merge unrelated
+    * grams (~n²/2p birthday rate); at the design point widen to a 128-bit
+    * double hash — kept single here so the DuckDB oracle reproduces the
+    * arithmetic exactly.
+    *
+    * Returns one row per repeated span: (id, span_start, span_len) in
+    * code-point offsets of the *normalized* text.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    width: Int = 30, minOccurs: Long = 2): DataFrame = {
+    require(width > 0, s"window width must be positive, got $width")
+    val grams = df
+      .select(col(idCol),
+        posexplode(graft.functions.HashFunctions.polyWindowHash(
+          TextFunctions.normalized(col(textCol)), width)).as(Seq("pos", "gh")))
+    val repeated = grams.groupBy("gh")
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOccurs)
+      .select("gh")
+    val hits = grams.join(repeated, "gh").select(col(idCol), col("pos"))
+    // Gaps-and-islands on CHARACTER coverage: window starts ≤ width
+    // apart cover overlapping/adjacent char ranges and merge into one
+    // span; a larger step leaves uncovered chars and starts a new one.
+    // Spans are therefore disjoint, and Σ span_len is the exact count
+    // of characters inside repeated windows.
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("_new", when(
+        col("pos") - lag(col("pos"), 1).over(byDoc) <= width, 0).otherwise(1))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + width).cast("long").as("span_len"))
+      .drop("_island")
+  }
 }

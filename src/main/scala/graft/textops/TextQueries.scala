@@ -36,6 +36,16 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.rollingHash("norm_text").as("rhash"))
         .orderBy("doc_id")),
 
+    // Corpus-wide repeated-substring spans (Lee et al. 2022 style):
+    // maximal char regions whose 30-code-point windows recur anywhere
+    // in the corpus — the spans a substring-dedup pass would cut.
+    // Rabin–Karp window hashes (codegen), hash-join against repeated
+    // hashes, per-document gaps-and-islands.
+    "q_t_repsub" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+          width = 30)
+        .orderBy("doc_id", "span_start")),
+
     // Exact 3-shingle Jaccard near-duplicate pairs (threshold 0.4):
     // shingle-join candidate pruning, then exact set similarity.
     "q_t_jaccard_pairs" -> ((s, dir) =>
@@ -160,6 +170,32 @@ object TextQueries extends QueryPack {
           "centroid", threshold = 0.35)
         .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")
+    }),
+
+    // Product-quantization codes: per-sub-space codebooks (4 sub-spaces
+    // × 4 codes, one Lloyd step from the 4 lowest-id seeds) and the
+    // nearest-code assignment of every vector — m bytes/vector at rest,
+    // the memory-bound ANN scale path past IVF.
+    "q_t_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, m = 4)
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ADC top-10 against the corpus's own first vector: the query
+    // scores the 16 codebook centroids once; every database vector is
+    // then 4 table lookups + a sum — no original vectors touched.
+    "q_t_pq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        dim = 64, m = 4)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      Similarity.pqSearch(enc, "vec_id", cb, q, "_qv",
+        dim = 64, m = 4, topK = 10)
     }),
 
     // Exact O(n²) cosine near-neighbour pairs above a threshold — the
@@ -416,6 +452,42 @@ object TextQueries extends QueryPack {
       |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  // DuckDB-side PQ codebook + encoding (dim 64, m=4 sub-spaces, k=4
+  // codes, one Lloyd step from the 4 lowest-id seeds) — mirrors
+  // Similarity.pqTrain/pqEncode arithmetic exactly: squared L2 as three
+  // inner products rounded at 6 dp, DECIMAL-exact mean update.
+  private val pqCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings),
+      |sub AS (SELECT vec_id, CAST(j AS INTEGER) AS sub,
+      |    v[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS sv
+      |  FROM e, (SELECT UNNEST(range(0, 4)) AS j)),
+      |c0 AS (SELECT sub,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS code,
+      |    sv AS centroid
+      |  FROM sub WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+      |asg0 AS (SELECT s.vec_id, s.sub,
+      |    MIN(struct_pack(d2 := ROUND(list_inner_product(s.sv, s.sv)
+      |        + list_inner_product(c.centroid, c.centroid)
+      |        - 2 * list_inner_product(s.sv, c.centroid), 6), code := c.code)) AS m,
+      |    ANY_VALUE(s.sv) AS sv
+      |  FROM sub s JOIN c0 c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
+      |u0 AS (SELECT sub, m.code AS code, UNNEST(sv) AS x,
+      |    CAST(generate_subscripts(sv, 1) - 1 AS INTEGER) AS pos FROM asg0),
+      |mean AS (SELECT sub, code, pos,
+      |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS mn
+      |  FROM u0 GROUP BY 1, 2, 3),
+      |newc AS (SELECT sub, code, list(mn ORDER BY pos) AS centroid
+      |  FROM mean GROUP BY 1, 2),
+      |cb AS (SELECT c0.sub, c0.code, COALESCE(n.centroid, c0.centroid) AS centroid
+      |  FROM c0 LEFT JOIN newc n ON c0.sub = n.sub AND c0.code = n.code),
+      |enc0 AS (SELECT s.vec_id, s.sub,
+      |    MIN(struct_pack(d2 := ROUND(list_inner_product(s.sv, s.sv)
+      |        + list_inner_product(c.centroid, c.centroid)
+      |        - 2 * list_inner_product(s.sv, c.centroid), 6), code := c.code)) AS m
+      |  FROM sub s JOIN cb c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
+      |enc AS (SELECT vec_id, sub, m.code AS code FROM enc0)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_t_exact_dedup" ->
       s"""SELECT COUNT(*) AS n_docs,
@@ -435,6 +507,29 @@ object TextQueries extends QueryPack {
         |        c -> CAST(ord(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_repsub" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |g0 AS (SELECT doc_id, t,
+        |    UNNEST(range(1, CAST(length(t) AS BIGINT) - 28)) AS i FROM d),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substr(t, CAST(i AS INT), 30), ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS gh
+        |  FROM g0),
+        |r AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN r USING (gh)),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 30 THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM h))
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) - MIN(pos) + 30 AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_t_jaccard_pairs" ->
       s"""WITH $shingleCte,
@@ -649,6 +744,25 @@ object TextQueries extends QueryPack {
         |SELECT vec_id, bucket FROM asg
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_t_pq_codes" ->
+      s"""WITH $pqCte
+         |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin,
+
+    "q_t_pq_search" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |qsub AS (SELECT CAST(j AS INTEGER) AS sub,
+         |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
+         |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |      + list_inner_product(cb.centroid, cb.centroid)
+         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |  FROM cb JOIN qsub qs ON cb.sub = qs.sub)
+         |SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+         |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

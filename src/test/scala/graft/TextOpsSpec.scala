@@ -303,6 +303,47 @@ class TextOpsSpec extends SparkSpec {
     assert(cent(1L)(1) > 0.0)          // mean of all three pulled off-axis
   }
 
+  test("PQ encodes per-sub-space nearest codes and ADC ranks by summed table entries") {
+    // dim 4, m = 2 sub-spaces, k = 2 codes; sub-space patterns [1,0] and
+    // [0,1] make every distance exact integer math.
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(0f, 1f, 1f, 0f)),
+      (2L, Seq(1f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 1f))).toDF("id", "vec")
+    val cb = Similarity.pqTrain(df, "id", "vec", dim = 4, m = 2, k = 2, iters = 1)
+    // codebooks reproduce the two sub-space patterns, stable under Lloyd
+    val cents = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(cents === Map(
+      (0, 0L) -> Seq(1.0, 0.0), (0, 1L) -> Seq(0.0, 1.0),
+      (1, 0L) -> Seq(0.0, 1.0), (1, 1L) -> Seq(1.0, 0.0)))
+    val enc = Similarity.pqEncode(df, "id", "vec", cb, dim = 4, m = 2)
+    val codes = enc.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes === Map(
+      (0L, 0) -> 0L, (0L, 1) -> 0L, (1L, 0) -> 1L, (1L, 1) -> 1L,
+      (2L, 0) -> 0L, (2L, 1) -> 1L, (3L, 0) -> 1L, (3L, 1) -> 0L))
+    // ADC against v0's own vector: v0 at distance 0, the two
+    // half-matching vectors at 2, the opposite one at 4
+    val q = df.filter(col("id") === 0).select(col("vec").as("_qv"))
+    val hits = Similarity.pqSearch(enc, "id", cb, q, "_qv",
+        dim = 4, m = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits === Seq((0L, 0.0), (2L, 2.0), (3L, 2.0), (1L, 4.0)))
+  }
+
+  test("PQ self-retrieval on the corpus: the query's own vector is in the ADC top set") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 4, iters = 1)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, m = 4)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+    val top = Similarity.pqSearch(enc, "vec_id", cb, q, "_qv",
+        dim = 64, m = 4, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(0L))
+  }
+
   test("semantic dedup drops lower-id-dominated near-dups within a cluster only") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),        // cluster 0, lowest id — survives
@@ -318,6 +359,55 @@ class TextOpsSpec extends SparkSpec {
         threshold = 0.9)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
     assert(out === Map(0L -> 0L, 2L -> 0L, 10L -> 1L, 12L -> 1L))
+  }
+
+  test("poly window hashes equal the whole-string poly hash of each window") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    val w = 7
+    val windows = t.sliding(w).toSeq
+    val viaWindow = Seq(t).toDF("t")
+      .select(explode(graft.functions.HashFunctions.polyWindowHash(col("t"), w)).as("h"))
+      .as[Long].collect().toSeq
+    val viaWhole = windows.toDF("s")
+      .select(graft.functions.HashFunctions.polyHash(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(viaWindow === viaWhole)
+    // strings shorter than the window hash to an empty array, not null
+    val short = Seq("ab").toDF("t")
+      .select(size(graft.functions.HashFunctions.polyWindowHash(col("t"), 7)))
+      .as[Int].collect().head
+    assert(short === 0)
+  }
+
+  test("repeatedSpans finds shared boilerplate, merges overlaps, skips unique docs") {
+    val boiler = "subscribe to our newsletter today for updates" // 45 chars
+    val df = Seq(
+      (1L, s"unique alpha content one. $boiler"),
+      (2L, s"$boiler totally different tail text here two."),
+      (3L, "completely unrelated document body with no repeats at all here."))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", width = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 3 has no repeated windows at all
+    assert(spans.map(_._1).toSet === Set(1L, 2L))
+    // the shared region is recovered exactly: doc 2 hosts it as a prefix,
+    // doc 1 at offset 26 ("unique alpha content one. ".length)
+    assert(spans.contains((2L, 0L, boiler.length.toLong)))
+    assert(spans.contains((1L, 26L, boiler.length.toLong)))
+  }
+
+  test("repeatedSpans counts within-document repeats toward the occurrence bound") {
+    val chunk = "this exact sentence repeats twice inside one document"
+    val df = Seq(
+      (1L, s"$chunk and then later on $chunk"),
+      (2L, "some other entirely unrelated filler body text here."))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", width = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans.nonEmpty && spans.forall(_._1 == 1L))
+    // both occurrences of the chunk are covered by spans
+    assert(spans.exists(_._2 == 0L))
+    assert(spans.map(s => s._2 + s._3).max >= chunk.length * 2 + " and then later on ".length)
   }
 
   test("approximate aggregates stay within tolerance of exact (100 TB fast path)") {
