@@ -263,6 +263,129 @@ object Similarity {
       .join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, public "Product quantization
+  // for nearest neighbor search", IEEE TPAMI): compress each d-dim vector
+  // to m sub-space code ids against per-sub-space codebooks, then answer
+  // top-k with asymmetric distance computation (ADC) — the query scores
+  // m·k centroid distances ONCE, and every database vector costs m table
+  // lookups instead of d multiplies. The memory-bound scale path past
+  // IVF: 100 TB of float embeddings become m bytes/vector of codes.
+  // ---------------------------------------------------------------------
+
+  /** Split each vector into `m` equal sub-vectors: one row per
+    * (id, sub-space, sub-vector), the relation every PQ stage runs on.
+    */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    val subLen = dim / m
+    val subs = (0 until m).map { j =>
+      struct(lit(j).as("sub"),
+        transform(slice(col(vecCol), j * subLen + 1, subLen),
+          v => v.cast("double")).as("sv"))
+    }
+    df.select(col(idCol), explode(array(subs: _*)).as("_e"))
+      .select(col(idCol), col("_e.sub").as("sub"), col("_e.sv").as("sv"))
+  }
+
+  /** Squared L2 distance as three dots (‖a‖² + ‖b‖² − 2a·b) — matching
+    * the oracle engine's arithmetic — rounded to 6 dp so float noise
+    * can never flip an argmin or a ranking.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
+
+  /** PQ codebook trainer: per-sub-space Lloyd iterations (assign by
+    * squared L2, DECIMAL-exact element-wise mean update), seeded from
+    * the `k` lowest-id vectors' sub-vectors — deterministic and
+    * layout-independent, like [[trainCentroids]] (the same machinery
+    * with a sub-space key added and cosine swapped for L2, PQ's metric).
+    * Returns the (sub, code, centroid) relation — m·k rows, the only
+    * broadcast state at scale. Empty codes keep their seed centroid.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0, s"codebook size must be positive, got $k")
+    require(iters >= 0, s"iteration count must be non-negative, got $iters")
+    val seedRows = df.orderBy(col(idCol)).limit(k)
+    var cent = subVectors(seedRows, idCol, vecCol, dim, m)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sub").orderBy(idCol)) - 1)
+        .cast("long"))
+      .select(col("sub"), col("code"), col("sv").as("centroid"))
+      .localCheckpoint()
+    val subs = subVectors(df, idCol, vecCol, dim, m)
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cent), "sub")
+        .select(col(idCol), col("sub"), col("sv"),
+          struct(dist2(col("sv"), col("centroid")).as("d2"),
+            col("code").as("code")).as("_e"))
+        .groupBy(idCol, "sub")
+        .agg(min(col("_e")).as("_m"), first(col("sv")).as("_v"))
+        .select(col("sub"), col("_m.code").as("code"), col("_v").as("_v"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(round(
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 16)))
+            .cast("double") / count(lit(1)), 6).as("mn"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          e => e.getField("mn")).as("_newc"))
+      cent = cent.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("_newc"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** PQ encode: nearest codebook entry per (vector, sub-space) by
+    * squared L2 — broadcast codebook join + struct-MIN argmin, map-side
+    * partial agg ⇒ the shuffle carries one row per (vector, sub-space).
+    * Output (id, sub, code): m small ints per vector, the entire
+    * at-rest representation ADC search needs.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, dim: Int, m: Int): DataFrame =
+    subVectors(df, idCol, vecCol, dim, m)
+      .join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"),
+        struct(dist2(col("sv"), col("centroid")).as("d2"),
+          col("code").as("code")).as("_e"))
+      .groupBy(idCol, "sub")
+      .agg(min(col("_e")).as("_m"))
+      .select(col(idCol), col("sub"), col("_m.code").as("code"))
+
+  /** ADC top-k: the query (a lazy 1-row relation, no driver fetch)
+    * scores all m·k codebook centroids once; each encoded vector's
+    * approximate distance is the sum of its m table entries — a
+    * broadcast join on (sub, code) + one groupBy(id), never touching
+    * the original vectors. Ties break on id for determinism.
+    */
+  def pqSearch(encoded: DataFrame, idCol: String,
+               codebook: DataFrame, queryDf: DataFrame, queryVecCol: String,
+               dim: Int, m: Int, topK: Int): DataFrame = {
+    val subLen = dim / m
+    val qsubs = (0 until m).map { j =>
+      struct(lit(j).as("sub"),
+        transform(slice(col(queryVecCol), j * subLen + 1, subLen),
+          v => v.cast("double")).as("qv"))
+    }
+    val lut = graft.operators.Joins.withScalar(codebook, queryDf)
+      .select(col("sub"), col("code"), col("centroid"),
+        explode(array(qsubs: _*)).as("_q"))
+      .filter(col("_q.sub") === col("sub"))
+      .select(col("sub"), col("code"),
+        dist2(col("_q.qv"), col("centroid")).as("qd2"))
+    encoded.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(idCol)
+      .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc(idCol))
+      .limit(topK)
+  }
+
   /** Exact O(n²) near-neighbour pairs — the correctness oracle for the
     * bucketed variant in tests; usable only at small n.
     */
