@@ -120,6 +120,25 @@ object JoinQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // J9 (extension): blocked fuzzy join — recover entity links from a
+    // deterministically corrupted name column (char 10 replaced) with
+    // two selective blocking passes (last-4 / digits 14-17) + exact
+    // Levenshtein verify. Never all-pairs: candidates come from one
+    // hash equi-join on the blocking keys.
+    "q_j9_fuzzy_block" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val dirty = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("d_key"),
+          concat(substring(col("c_name"), 1, 9), lit("x"),
+            substring(col("c_name"), 11, 8)).as("d_name"))
+      Joins.blockedFuzzyJoin(dirty, "d_key", "d_name",
+          cust, "c_custkey", "c_name", maxDist = 1,
+          blockKeys = Seq(k => substring(k, -4, 4), k => substring(k, 14, 4)))
+        .select(col("d_key"), col("d_name"), col("c_custkey"), col("c_name"),
+          col("dist"))
+        .orderBy("d_key", "c_custkey")
+    }),
+
     // J7/A8/F21: grouped list collection (sorted for determinism) —
     // parallel arrays of the reference's zip-join presentation shape.
     "q_j7_group_lists" -> ((s, dir) => {
@@ -202,5 +221,20 @@ object JoinQueries extends QueryPack {
         |  array_to_string(list_sort(list(l_partkey || ':' || CAST(l_quantity AS BIGINT))), ',') AS items,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_j9_fuzzy_block" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+        |dirty AS (SELECT c_custkey AS d_key,
+        |    substr(c_name, 1, 9) || 'x' || substr(c_name, 11, 8) AS d_name
+        |  FROM cust WHERE c_custkey % 7 = 0)
+        |SELECT d.d_key, d.d_name, c.c_custkey, c.c_name,
+        |  CAST(levenshtein(d.d_name, c.c_name) AS INTEGER) AS dist
+        |FROM dirty d JOIN cust c
+        |  ON (substr(d.d_name, length(d.d_name) - 3, 4) =
+        |        substr(c.c_name, length(c.c_name) - 3, 4)
+        |      OR substr(d.d_name, 14, 4) = substr(c.c_name, 14, 4))
+        |WHERE abs(length(d.d_name) - length(c.c_name)) <= 1
+        |  AND levenshtein(d.d_name, c.c_name) <= 1
+        |ORDER BY d_key, c_custkey""".stripMargin,
   )
 }

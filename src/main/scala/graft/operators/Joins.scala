@@ -98,4 +98,50 @@ object Joins {
       .join(right.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmed)
   }
+
+  /** Blocked fuzzy join (record linkage): pairs whose string keys are
+    * within Levenshtein distance `maxDist`, found WITHOUT the O(n·m)
+    * all-pairs scan. Multi-pass blocking — the standard industrial
+    * shape (Fellegi–Sunter linkage pipelines): each pass derives a
+    * cheap blocking key from the string (prefix, suffix, a stable
+    * substring...); candidates are pairs agreeing on ≥ 1 pass's key,
+    * generated by ONE hash equi-join on (pass index, key value); the
+    * exact Levenshtein verifier then decides. A length-difference
+    * pre-filter (|len_a − len_b| ≤ maxDist, a Levenshtein lower bound)
+    * discards impossible candidates before the O(len²) edit-distance
+    * kernel runs.
+    *
+    * Semantics are "agrees on ≥1 blocking key AND within maxDist" — the
+    * blocking is part of the contract, not a silent recall loss: a pair
+    * whose edits disturb every blocking key is out of scope by
+    * definition (callers choose passes to cover their error model; the
+    * default prefix+suffix passes catch any single edit cluster away
+    * from one end). Scale: Σ block² candidate work, governed by the
+    * selectivity of the caller's keys; every stage is a hash shuffle.
+    */
+  def blockedFuzzyJoin(left: DataFrame, leftId: String, leftKey: String,
+                       right: DataFrame, rightId: String, rightKey: String,
+                       maxDist: Int,
+                       blockKeys: Seq[Column => Column] = Seq(
+                         k => substring(k, 1, 4), k => substring(k, -4, 4)))
+      : DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(blockKeys.nonEmpty, "at least one blocking pass is required")
+    def blocked(df: DataFrame, id: String, key: String) = {
+      val passes = blockKeys.zipWithIndex.map { case (bk, i) =>
+        struct(lit(i).as("pass"), bk(col(key)).as("bv"))
+      }
+      df.select(col(id), col(key), explode(array(passes: _*)).as("_b"))
+        .select(col(id), col(key), col("_b.pass").as("_pass"),
+          col("_b.bv").as("_bv"))
+        .filter(col("_bv").isNotNull)
+    }
+    blocked(left, leftId, leftKey)
+      .join(blocked(right, rightId, rightKey), Seq("_pass", "_bv"))
+      .drop("_pass", "_bv")
+      .dropDuplicates(leftId, rightId)
+      .filter(abs(length(col(leftKey)) - length(col(rightKey))) <= maxDist)
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
+      .filter(col("dist") <= maxDist)
+  }
 }

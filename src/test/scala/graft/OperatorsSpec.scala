@@ -231,6 +231,35 @@ class OperatorsSpec extends SparkSpec {
     assert(hits === Seq(1))
   }
 
+  test("blockedFuzzyJoin links typo'd keys through either blocking pass, never beyond maxDist") {
+    val clean = Seq((1L, "jonathan smith"), (2L, "maria garcia"),
+      (3L, "wei chen")).toDF("cid", "cname")
+    val dirty = Seq(
+      (10L, "jonathan smyth"),  // 1 sub mid-string: prefix AND suffix agree
+      (11L, "mariah garcia"),   // 1 insert: suffix pass catches it (prefix "mari" still agrees)
+      (12L, "wei chan"),        // 1 sub: prefix agrees
+      (13L, "completely other") // no fuzzy match
+    ).toDF("did", "dname")
+    val out = Joins.blockedFuzzyJoin(dirty, "did", "dname",
+        clean, "cid", "cname", maxDist = 2)
+      .select("did", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((10L, 1L, 1), (11L, 2L, 1), (12L, 3L, 1)))
+    // blocking is part of the contract: a within-distance pair whose
+    // edits disturb BOTH default passes (first-4 and last-4) is out of
+    // scope — candidate generation never saw it.
+    val c2 = Seq((1L, "abcdefgh")).toDF("cid", "cname")
+    val d2 = Seq((20L, "xbcdefgx")).toDF("did", "dname") // 2 edits, both at the ends
+    val miss = Joins.blockedFuzzyJoin(d2, "did", "dname",
+      c2, "cid", "cname", maxDist = 2)
+    assert(miss.count() === 0)
+    // ...and a caller-supplied mid-string pass restores it
+    val hit = Joins.blockedFuzzyJoin(d2, "did", "dname",
+      c2, "cid", "cname", maxDist = 2,
+      blockKeys = Seq(k => substring(k, 3, 4)))
+    assert(hit.count() === 1)
+  }
+
   test("searchAny matches across columns with null-safe OR") {
     val df = Seq(
       (1, Some("ACME WIDGETS"), None: Option[String]),
