@@ -109,4 +109,38 @@ object Sampling {
         Seq(col("_shuffle_key"), col(keyCol)), outCol)
       .drop("_shuffle_key")
   }
+
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis 2006
+    * A-ES, public "Weighted random sampling with a reservoir"): each
+    * row draws a deterministic uniform u from 52 md5 bits of its key
+    * and competes with exponential key −ln(u)/w; the k smallest win.
+    * This yields the distribution of sequential weighted draws without
+    * replacement, but as a pure projection + top-k: no sequential
+    * state, no RNG — TakeOrdered keeps k rows per partition and
+    * merges, so a 100 TB corpus is one scan, no shuffle.
+    *
+    * Everything is engine-portable arithmetic (md5, exact
+    * 52-bit-to-double conversion, ln): same key + salt ⇒ the same
+    * sample on any cluster, layout, or engine. The key is rounded to
+    * 6 dp with an id tie-break so cross-engine ULP noise in `ln`
+    * cannot reorder the boundary. Rows with non-positive or null
+    * weight never win (A-ES is undefined there) — they are filtered.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     k: Int, salt: String = "", outCol: String = "es_key")
+      : DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(!df.columns.contains(outCol),
+      s"input already has a $outCol column — rename it first")
+    // 13 hex chars = 52 bits < 2^53: exact in double in any engine.
+    // NUL-separated salt+key, as in shuffleOrder: distinct pairs stay
+    // distinct under concatenation.
+    val v = conv(substring(md5(concat(lit(salt), lit("\u0000"),
+      col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(4503599627370497.0) // 2^52 + 1 ⇒ u ∈ (0,1]
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn(outCol, round(-log(u) / weightCol.cast("double"), 6))
+      .orderBy(asc(outCol), col(keyCol).asc)
+      .limit(k)
+  }
 }

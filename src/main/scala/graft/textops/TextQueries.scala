@@ -358,6 +358,19 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Weighted sample without replacement: 20 docs drawn with
+    // probability proportional to token count, deterministically
+    // (Efraimidis–Spirakis exponential keys from md5 bits) — one scan
+    // + TakeOrdered, no shuffle, no RNG state.
+    "q_t_wsample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+      graft.operators.Sampling.weightedSample(d, "doc_id", col("n_tok"),
+          k = 20, salt = "s42")
+        .select(col("doc_id"), col("n_tok"), col("es_key"))
+        .orderBy("es_key", "doc_id")
+    }),
+
     // Bloom-prefiltered anti join: new docs (id%10>=3) deduped against
     // the "already ingested" corpus (id%10<3) by content fingerprint.
     // Bit-identical to a plain left_anti — fpp only tunes cost.
@@ -904,6 +917,18 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_wsample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_tok,
+        |    ROUND(-ln((CAST(('0x' || substring(
+        |        md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |        + 1.0) / 4503599627370497.0) / n_tok, 6) AS es_key
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id, n_tok, es_key FROM k
+        |ORDER BY es_key, doc_id LIMIT 20""".stripMargin,
 
     // NOT EXISTS (not NOT IN): matches left_anti's null-keeping
     // semantics if a fingerprint is ever null.

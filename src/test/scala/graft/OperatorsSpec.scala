@@ -260,6 +260,25 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("weightedSample is deterministic, layout-invariant, and favors heavy weights") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1e9 else 1.0)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(df.repartition(13), "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(a === b) // pure function of (key, weight, salt) — layout never matters
+    assert(a.head === 7L) // −ln(u)/1e9 is far below every unit-weight key
+    // a different salt re-draws the uniforms → a different unit-weight tail
+    val c = Sampling.weightedSample(df, "id", col("w"), k = 10, salt = "other")
+      .select("id").as[Long].collect().toSeq
+    assert(c.head === 7L && a.tail !== c.tail)
+    // non-positive weights can never win (and don't shrink k for the rest)
+    val few = df.withColumn("w", when(col("id") > 5, lit(0.0)).otherwise(col("w")))
+    val d = Sampling.weightedSample(few, "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(d.toSet === (1L to 5L).toSet)
+  }
+
   test("searchAny matches across columns with null-safe OR") {
     val df = Seq(
       (1, Some("ACME WIDGETS"), None: Option[String]),
