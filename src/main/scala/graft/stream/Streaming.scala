@@ -1,7 +1,7 @@
 package graft.stream
 
 import graft.operators.Joins
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -266,6 +266,108 @@ object Streaming {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         nearDedupBatchStep(batch, idCol, textCol, tsCol, storePath, retention)
+          .write.mode("append").parquet(survivorsPath)
+    }
+
+  /** One micro-batch step of incremental SEMANTIC dedup — the
+    * embedding-space analogue of [[nearDedupBatchStep]] (SemDeDup
+    * semantics, arXiv:2303.09540, applied incrementally). State is the
+    * persisted (bucket, id, vec, ts) relation of previously-admitted
+    * vectors at `storePath`, coarse-partitioned by the same broadcast
+    * centroid quantizer the batch path uses; each batch:
+    *
+    *   1. assigns its vectors to centroid buckets
+    *      ([[graft.textops.Similarity.assignBuckets]]);
+    *   2. expires store entries older than `retention` behind the
+    *      batch's max event time, then drops any vector with a stored
+    *      cluster-mate at cosine ≥ `threshold`, or a smaller-id
+    *      batch-mate in the same bucket;
+    *   3. appends the survivors (with their vectors) to the pruned
+    *      store.
+    *
+    * Unlike the text path (which stores 16-byte band rows because
+    * exact verification would need unbounded shingle sets), storing
+    * the embedding itself IS the bounded choice here: d doubles per
+    * admitted vector within the retention horizon, and the decision
+    * stays exact-cosine — no precision trade. Pair work per batch is
+    * Σ (batch-bucket × store-bucket), bounded by the quantizer; the
+    * 1-row horizon aggregate rides a broadcast join, nothing collects
+    * to the driver. Duplicates farther apart than the retention both
+    * survive; the at-rest [[graft.textops.Similarity.semanticDedup]]
+    * pass catches those.
+    */
+  def semanticDedupBatchStep(batch: DataFrame, idCol: String, vecCol: String,
+                             tsCol: String, centroids: DataFrame,
+                             bucketCol: String, centroidVecCol: String,
+                             threshold: Double, storePath: String,
+                             retention: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(storePath)
+    val store =
+      if (fs.exists(target)) spark.read.parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("bucket", LongType),
+          StructField("_sid", LongType),
+          StructField("_svec", ArrayType(DoubleType)),
+          StructField("_ts", TimestampType))))
+    val assigned = graft.textops.Similarity.assignBuckets(
+        batch.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids, bucketCol, centroidVecCol)
+      .select(col(idCol), col("bucket"))
+    val vecs = batch
+      .select(col(idCol), transform(col(vecCol), v => v.cast("double")).as("_v"))
+      .join(assigned, idCol)
+    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
+    val liveStore = store.crossJoin(broadcast(batchMax))
+      .filter(col("_mx").isNull ||
+        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+      .select("bucket", "_sid", "_svec", "_ts")
+    val cos = (a: Column, b: Column) => {
+      val dot = graft.textops.Similarity.dot _
+      round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    }
+    val vsStore = vecs
+      .join(liveStore.select(col("bucket"), col("_svec")), Seq("bucket"))
+      .filter(cos(col("_v"), col("_svec")) >= threshold)
+      .select(col(idCol))
+    val vsBatch = vecs.select(col("bucket"), col(idCol).as("_a"), col("_v").as("_va"))
+      .join(vecs.select(col("bucket"), col(idCol).as("_b"), col("_v").as("_vb")),
+        Seq("bucket"))
+      .filter(col("_a") < col("_b"))
+      .filter(cos(col("_va"), col("_vb")) >= threshold)
+      .select(col("_b").as(idCol))
+    val dropped = vsStore.unionByName(vsBatch).distinct()
+    val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val survStore = vecs
+      .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
+      .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
+        col("_ts"))
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
+    liveStore.unionByName(survStore).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    survivors
+  }
+
+  /** `foreachBatch` wrapper over [[semanticDedupBatchStep]] — same
+    * replay trade as [[nearDedupWriter]]: a re-delivered batch collides
+    * with its own stored vectors and never double-appends.
+    */
+  def semanticDedupWriter(rows: DataFrame, idCol: String, vecCol: String,
+                          tsCol: String, centroids: DataFrame,
+                          bucketCol: String, centroidVecCol: String,
+                          threshold: Double, storePath: String,
+                          survivorsPath: String, retention: String = "1 hour")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        semanticDedupBatchStep(batch, idCol, vecCol, tsCol, centroids,
+          bucketCol, centroidVecCol, threshold, storePath, retention)
           .write.mode("append").parquet(survivorsPath)
     }
 

@@ -271,7 +271,8 @@ class OperatorsSpec extends SparkSpec {
     // a different salt re-draws the uniforms → a different unit-weight tail
     val c = Sampling.weightedSample(df, "id", col("w"), k = 10, salt = "other")
       .select("id").as[Long].collect().toSeq
-    assert(c.head === 7L && a.tail !== c.tail)
+    assert(c.head === 7L)
+    assert(a.tail != c.tail)
     // non-positive weights can never win (and don't shrink k for the rest)
     val few = df.withColumn("w", when(col("id") > 5, lit(0.0)).otherwise(col("w")))
     val d = Sampling.weightedSample(few, "id", col("w"), k = 10)

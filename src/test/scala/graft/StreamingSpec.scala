@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming semantic dedup drops embedding near-dups incrementally, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val rows = input.toDF().toDF("vid", "ts", "vec")
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("b", "cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val q = Streaming.semanticDedupWriter(rows, "vid", "vec", "ts", cent,
+        "b", "cv", threshold = 0.95, dir + "/store", dir + "/surv",
+        retention = "1 hour")
+      .option("checkpointLocation", dir + "/chk").start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), Seq(1.0, 0.0)),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), Seq(0.0, 1.0)))
+    q.processAllAvailable()
+    // batch 2: a semantic near-dup of v1 (cos ≈ 0.999) is dropped against
+    // the store; an angularly-distant vector in the same bucket survives
+    input.addData(
+      (3L, Timestamp.valueOf("2024-01-01 10:05:00"), Seq(0.99, 0.05)),
+      (4L, Timestamp.valueOf("2024-01-01 10:06:00"), Seq(0.5, 0.5)))
+    q.processAllAvailable()
+    val kept = spark.read.parquet(dir + "/surv")
+      .select("vid").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 4L))
+    // beyond the retention horizon the stored vectors expire first:
+    // v1's near-dup is re-admitted — the bounded-state trade
+    input.addData(
+      (5L, Timestamp.valueOf("2024-01-01 12:30:00"), Seq(0.999, 0.01)))
+    q.processAllAvailable()
+    val kept2 = spark.read.parquet(dir + "/surv")
+      .select("vid").as[Long].collect().sorted
+    assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
+    val storeTs = spark.read.parquet(dir + "/store")
+      .select("_ts").distinct().as[Timestamp].collect()
+    assert(storeTs.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
+    q.stop()
+  }
+
   test("streaming observe surfaces per-micro-batch metrics in query progress") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DataEvent]
