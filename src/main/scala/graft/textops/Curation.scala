@@ -59,6 +59,37 @@ object Curation {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS land on one
+    * side, never astride the boundary. A plain per-document hash split
+    * leaks when document A (train) is a near-duplicate of B (test) —
+    * the eval set then scores memorization; with web-scale corpora this
+    * is the dominant contamination mode, and it survives document-level
+    * dedup whenever the near-dup threshold used for dedup is tighter
+    * than "similar enough to leak". The fix is structural: split on the
+    * transitive cluster label (min id of the component, singletons =
+    * own id), so every member of a cluster shares a split key and the
+    * md5 bucket decides once per cluster.
+    *
+    * Same determinism contract as [[graft.operators.Sampling.withSplit]]
+    * (pure function of content-derived keys — layout/engine/run
+    * invariant); the cluster pass adds the pair-generation + CC cost,
+    * which a pipeline doing near-dedup anyway already paid.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       testPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, s"testPct must be 0..100, got $testPct")
+    val pairs = Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", idCol)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("label"), col(idCol)))
+      .withColumn("split",
+        when(graft.operators.Sampling.hashBucket(col("split_key")) < testPct,
+          "test").otherwise("train"))
+      .drop("label")
+  }
+
   /** Per-source curation report over `curate` output: kept docs, token
     * mass, mean quality (decimal-cast so the average is exact).
     */

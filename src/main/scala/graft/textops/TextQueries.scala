@@ -358,6 +358,16 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Leakage-safe split: near-duplicate clusters share a split key
+    // (the component's min id), so no cluster ever straddles the
+    // train/test boundary — the structural fix for near-dup eval
+    // contamination.
+    "q_t_cluster_split" -> ((s, dir) =>
+      Curation.clusterSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.4, testPct = 10)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")),
+
     // Weighted sample without replacement: 20 docs drawn with
     // probability proportional to token count, deterministically
     // (Efraimidis–Spirakis exponential keys from md5 bits) — one scan
@@ -917,6 +927,29 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_cluster_split" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b
+         |  FROM p JOIN sizes sa ON doc_a = sa.doc_id
+         |         JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION SELECT doc_b, doc_a FROM jp),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS label FROM reach GROUP BY node),
+         |keyed AS (SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN CAST(('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q_t_wsample" ->
       """WITH d AS (SELECT doc_id,

@@ -361,6 +361,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 2L -> 0L, 10L -> 1L, 12L -> 1L))
   }
 
+  test("clusterSafeSplit keeps near-duplicate chains on one side of the boundary") {
+    // A~B~C chain (A≁C directly) + two unrelated singletons
+    val df = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i x"),   // ~dup of 10
+      (12L, "a b c d e f g x i x"),   // ~dup of 11, not of 10 at 0.5
+      (20L, "q r s t u v w x y z"),
+      (21L, "m n o p q1 r1 s1 t1 u1 v1")).toDF("doc_id", "text")
+    val out = Curation.clusterSafeSplit(df, "doc_id", "text",
+        shingleN = 3, threshold = 0.3, testPct = 50)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the whole chain shares the min-id key and therefore one side
+    assert(out(10L)._1 === 10L && out(11L)._1 === 10L && out(12L)._1 === 10L)
+    assert(Set(out(10L)._2, out(11L)._2, out(12L)._2).size === 1)
+    // singletons key on themselves
+    assert(out(20L)._1 === 20L && out(21L)._1 === 21L)
+  }
+
   test("poly window hashes equal the whole-string poly hash of each window") {
     val t = "the quick brown fox jumps over the lazy dog"
     val w = 7
