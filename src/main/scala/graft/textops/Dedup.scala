@@ -547,11 +547,17 @@ object Dedup {
       .select(col(idCol),
         posexplode(graft.functions.HashFunctions.polyWindowHash(
           TextFunctions.normalized(col(textCol)), width)).as(Seq("pos", "gh")))
-    val repeated = grams.groupBy("gh")
-      .agg(count(lit(1)).as("_occ"))
+    // Occurrence count as a window over the gram hash: ONE shuffle on
+    // gh and one derivation of the gram relation. (The groupBy +
+    // join-back formulation derives `grams` twice — the O(len) hash
+    // pass re-runs on the probe side — and shuffles the same rows into
+    // both the aggregation and the join.) Partitions are per-hash —
+    // tiny — so the window never funnels.
+    val byGram = Window.partitionBy("gh")
+    val hits = grams
+      .withColumn("_occ", count(lit(1)).over(byGram))
       .filter(col("_occ") >= minOccurs)
-      .select("gh")
-    val hits = grams.join(repeated, "gh").select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
     // Gaps-and-islands on CHARACTER coverage: window starts ≤ width
     // apart cover overlapping/adjacent char ranges and merge into one
     // span; a larger step leaves uncovered chars and starts a new one.

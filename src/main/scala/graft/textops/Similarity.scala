@@ -290,10 +290,17 @@ object Similarity {
 
   /** Squared L2 distance as three dots (‖a‖² + ‖b‖² − 2a·b) — matching
     * the oracle engine's arithmetic — rounded to 6 dp so float noise
-    * can never flip an argmin or a ranking.
+    * can never flip an argmin or a ranking. The two-norm form lets both
+    * self-dots be precomputed once per side before a pair join
+    * ([[dist2Pre]]) so each of the O(n·k) pairs costs ONE dot, not
+    * three — same trick as [[bucketedTopPairs]], same bits.
     */
   private def dist2(a: Column, b: Column): Column =
     round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
+
+  /** [[dist2]] with the self-dots already materialized per side. */
+  private def dist2Pre(a: Column, aNorm2: Column, b: Column, bNorm2: Column): Column =
+    round(aNorm2 + bNorm2 - lit(2.0) * dot(a, b), 6)
 
   /** PQ codebook trainer: per-sub-space Lloyd iterations (assign by
     * squared L2, DECIMAL-exact element-wise mean update), seeded from
@@ -316,10 +323,13 @@ object Similarity {
       .select(col("sub"), col("code"), col("sv").as("centroid"))
       .localCheckpoint()
     val subs = subVectors(df, idCol, vecCol, dim, m)
+      .withColumn("_n2", dot(col("sv"), col("sv")))
     for (_ <- 1 to iters) {
-      val assigned = subs.join(broadcast(cent), "sub")
+      val centN = cent.withColumn("_cn2", dot(col("centroid"), col("centroid")))
+      val assigned = subs.join(broadcast(centN), "sub")
         .select(col(idCol), col("sub"), col("sv"),
-          struct(dist2(col("sv"), col("centroid")).as("d2"),
+          struct(dist2Pre(col("sv"), col("_n2"), col("centroid"), col("_cn2"))
+            .as("d2"),
             col("code").as("code")).as("_e"))
         .groupBy(idCol, "sub")
         .agg(min(col("_e")).as("_m"), first(col("sv")).as("_v"))
@@ -350,9 +360,12 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, dim: Int, m: Int): DataFrame =
     subVectors(df, idCol, vecCol, dim, m)
-      .join(broadcast(codebook), "sub")
+      .withColumn("_n2", dot(col("sv"), col("sv")))
+      .join(broadcast(codebook
+        .withColumn("_cn2", dot(col("centroid"), col("centroid")))), "sub")
       .select(col(idCol), col("sub"),
-        struct(dist2(col("sv"), col("centroid")).as("d2"),
+        struct(dist2Pre(col("sv"), col("_n2"), col("centroid"), col("_cn2"))
+          .as("d2"),
           col("code").as("code")).as("_e"))
       .groupBy(idCol, "sub")
       .agg(min(col("_e")).as("_m"))
