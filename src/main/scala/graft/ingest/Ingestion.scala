@@ -70,6 +70,26 @@ object Ingestion {
   def goodRows(audited: DataFrame): DataFrame =
     normalizeNa(audited.filter(col(corruptCol).isNull).drop(corruptCol))
 
+  /** Schema-declared JSON-lines scan with the same audit contract as
+    * [[readCsvAudited]] — jsonl is how training corpora actually ship
+    * (one document object per line). PERMISSIVE parsing keeps each
+    * malformed line's raw text in `_corrupt_record`; split with
+    * [[goodJsonRows]]/[[badRows]] (no NA-sentinel normalization:
+    * JSON has real nulls, so [[goodRows]]'s CSV-schema fold does not
+    * apply).
+    */
+  def readJsonlAudited(spark: SparkSession, path: String,
+                       docSchema: StructType): DataFrame =
+    spark.read
+      .schema(StructType(docSchema.fields :+ StructField(corruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Clean rows of an audited JSONL read (schema-agnostic split). */
+  def goodJsonRows(audited: DataFrame): DataFrame =
+    audited.filter(col(corruptCol).isNull).drop(corruptCol)
+
   /** Quarantine relation: the raw text of every malformed line.
     *
     * CACHE CONTRACT: Spark refuses a raw-CSV query whose referenced

@@ -87,6 +87,56 @@ object LakeStorage {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Compact a table or partition directory's small files: rewrite to
+    * `targetFiles` parquet files via a round-robin repartition, then
+    * atomically-ish swap (write temp, delete, rename — the same
+    * pattern as the upsert sink; a transactional table format would
+    * close the swap window). Small-file proliferation is the classic
+    * lake pathology — streaming sinks and dynamic partition writes
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans and whose listing cost dominates planning.
+    * Returns the row count (for the caller's invariant check; the
+    * rewrite itself never changes data).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
+    require(targetFiles > 0, s"target file count must be positive, got $targetFiles")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val df = spark.read.parquet(path).repartition(targetFiles)
+    val tmp = new Path(path + "_compact_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+    n
+  }
+
+  /** Snapshot diff — change-data-capture between two corpus versions
+    * by key + content fingerprint: `added` (key only in `newDf`),
+    * `removed` (only in `oldDf`), `changed` (both, fingerprints
+    * differ), `unchanged`. The engine-side primitive behind
+    * incremental training-data refreshes: downstream stages re-process
+    * exactly the added ∪ changed sliver instead of the whole corpus.
+    *
+    * One full-outer hash join on the key, fingerprints computed
+    * map-side (md5 of the canonical form — the exact-dedup key, so
+    * "changed" means the content actually changed, not that bytes or
+    * whitespace moved). Returns (key, status, old_fp, new_fp).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      graft.textops.TextFunctions.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol),
+      graft.textops.TextFunctions.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+  }
+
   /** Drop partitions older than `keepDays` relative to `asOf` (yyyyMMdd).
     * Pure FS operation — no data scan (`storage_manager.py:246-265`).
     */

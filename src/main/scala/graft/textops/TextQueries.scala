@@ -358,6 +358,23 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Snapshot diff (CDC between corpus versions): old = 90% of docs,
+    // new = all-but-10% with every 7th doc's content mutated — the
+    // full-outer fingerprint compare labels added/removed/changed/
+    // unchanged, summarized per status.
+    "q_t_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+      val nw = docs.filter(col("doc_id") % 10 =!= 4)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      graft.lake.LakeStorage.snapshotDiff(old, nw, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_key"), max(col("doc_id")).as("max_key"))
+        .orderBy("status")
+    }),
+
     // Leakage-safe split: near-duplicate clusters share a split key
     // (the component's min id), so no cluster ever straddles the
     // train/test boundary — the structural fix for near-dup eval
@@ -927,6 +944,23 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, $fpSql AS old_fp FROM documents
+         |  WHERE doc_id % 10 <> 9),
+         |nsrc AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 4),
+         |n AS (SELECT doc_id, $fpSql AS new_fp FROM nsrc),
+         |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.old_fp IS NULL THEN 'added'
+         |         WHEN n.new_fp IS NULL THEN 'removed'
+         |         WHEN o.old_fp = n.new_fp THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, COUNT(*) AS n,
+         |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "q_t_cluster_split" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -155,6 +155,63 @@ class IngestLakeSpec extends SparkSpec {
       === Seq("20240315"))
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged by content fingerprint") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "beta text"), (3L, "gamma REVISED"), (4L, "delta text"))
+      .toDF("doc_id", "text")
+    val d = LakeStorage.snapshotDiff(old, nw, "doc_id", "text")
+      .select("doc_id", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+    // fingerprint = canonical form: whitespace/case churn is NOT a change
+    val nwWs = Seq((2L, "  BETA   text "), (3L, "gamma text")).toDF("doc_id", "text")
+    val d2 = LakeStorage.snapshotDiff(old.filter($"doc_id" > 1), nwWs, "doc_id", "text")
+      .select("doc_id", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 === Map(2L -> "unchanged", 3L -> "unchanged"))
+  }
+
+  test("compact rewrites a fragmented directory into few files, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(50).write.parquet(dir) // pathological small files
+    def files() = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() >= 50)
+    val n = LakeStorage.compact(spark, dir, targetFiles = 2)
+    assert(n === 1000L)
+    assert(files() <= 2)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+      === (1L to 1000L))
+  }
+
+  test("audited JSONL read parses good lines and quarantines malformed ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val p = java.nio.file.Paths.get(dir, "docs.jsonl")
+    Files.writeString(p, Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second doc", "extra": "ignored"}""",
+      """not json at all""",
+      """{"doc_id": "notanumber", "text": 5}""").mkString("\n"))
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val audited = Ingestion.readJsonlAudited(spark, p.toString, docSchema).cache()
+    val good = Ingestion.goodJsonRows(audited)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good === Set((1L, "hello world"), (2L, "second doc")))
+    val bad = Ingestion.badRows(audited)
+      .select(Ingestion.corruptCol).as[String](spark.implicits.newStringEncoder)
+      .collect().toSet
+    assert(bad.exists(_.contains("not json")))
+    assert(bad.exists(_.contains("notanumber")))
+    audited.unpersist()
+  }
+
   test("ingest pipeline end-to-end writes parquet and quality JSON") {
     val out = Files.createTempDirectory("graft_pipe").toString
     val processed = Ingestion.run(spark, fixtureCsv(), out)
