@@ -281,6 +281,25 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 2), 6).as("p50"),
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
+
+    // A18 (extension): declarative data-quality expectations — five
+    // constraints (incl. composite-key uniqueness) checked in ONE
+    // aggregation pass; the reference's scattered quality gates as a
+    // single declared contract. The 0-floor acctbal range genuinely
+    // fails on TPC-H data (negative balances) — nonzero violations are
+    // part of the oracle.
+    "q_a18_expectations" -> ((s, dir) => {
+      import graft.ingest.Expectations._
+      violations(Tables.customer(s, dir), Seq(
+          NotNull("c_name"),
+          Unique(Seq("c_custkey")),
+          InRange("c_acctbal", 0.0, 9999.99),
+          InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+          Satisfies("nation_in_domain",
+            col("c_nationkey") >= 0 && col("c_nationkey") <= 24)))
+        .orderBy("constraint")
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -442,5 +461,29 @@ object RelationalQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
         |FROM orders""".stripMargin,
+
+    "q_a18_expectations" ->
+      """WITH v AS (
+        |  SELECT 'not_null(c_name)' AS c,
+        |    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n FROM customer
+        |  UNION ALL
+        |  SELECT 'unique(c_custkey)', COUNT(*) - COUNT(DISTINCT c_custkey)
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT 'in_range(c_acctbal,0.0,9999.99)',
+        |    SUM(CASE WHEN c_acctbal < 0.0 OR c_acctbal > 9999.99
+        |        THEN 1 ELSE 0 END) FROM customer
+        |  UNION ALL
+        |  SELECT 'in_set(c_mktsegment)',
+        |    SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |        ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+        |        THEN 1 ELSE 0 END) FROM customer
+        |  UNION ALL
+        |  SELECT 'satisfies(nation_in_domain)',
+        |    SUM(CASE WHEN COALESCE(c_nationkey >= 0 AND c_nationkey <= 24, FALSE)
+        |        THEN 0 ELSE 1 END) FROM customer)
+        |SELECT c AS "constraint", CAST(n AS BIGINT) AS violations,
+        |  n = 0 AS passed
+        |FROM v ORDER BY "constraint"""".stripMargin,
   )
 }

@@ -212,6 +212,32 @@ class IngestLakeSpec extends SparkSpec {
     audited.unpersist()
   }
 
+  test("expectations count all constraint violations in one aggregation pass") {
+    import spark.implicits._
+    import graft.ingest.Expectations._
+    val df = Seq(
+      (1L, Some("a"), 5.0, Some("X")),
+      (1L, Some("b"), -2.0, Some("Y")),   // dup key, below range
+      (2L, None, 50.0, Some("Z")),        // null name, out of set
+      (3L, Some("c"), 11.0, None))        // above range, null segment (passes set)
+      .toDF("k", "name", "bal", "seg")
+    val out = violations(df, Seq(
+        NotNull("name"), Unique(Seq("k")), InRange("bal", 0.0, 10.0),
+        InSet("seg", Seq("X", "Y")),
+        Satisfies("positive_bal", col("bal") > 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("not_null(name)") === ((1L, false)))
+    assert(out("unique(k)") === ((1L, false)))
+    assert(out("in_range(bal,0.0,10.0)") === ((3L, false))) // −2, 50, 11
+    assert(out("in_set(seg)") === ((1L, false)))
+    assert(out("satisfies(positive_bal)") === ((1L, false)))
+    // a clean frame passes everything
+    val clean = violations(df.filter($"k" === 1L && $"bal" > 0),
+      Seq(NotNull("name"), Unique(Seq("k", "name"))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(clean.values.forall(identity))
+  }
+
   test("ingest pipeline end-to-end writes parquet and quality JSON") {
     val out = Files.createTempDirectory("graft_pipe").toString
     val processed = Ingestion.run(spark, fixtureCsv(), out)
