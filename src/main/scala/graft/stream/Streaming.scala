@@ -269,6 +269,32 @@ object Streaming {
           .write.mode("append").parquet(survivorsPath)
     }
 
+  /** Stream-stream interval join — the genuinely-streaming join the
+    * reference's architecture cannot express (its "streams" are DB
+    * polls): attribute each left event to right events for the same
+    * key within a trailing `lookback` window (the click-to-impression
+    * / order-to-session attribution shape). Both sides carry
+    * watermarks, and the join condition bounds right-side event time
+    * relative to left-side event time — together those let Spark
+    * EVICT state: a buffered row is dropped once the other side's
+    * watermark passes its latest possible match, so state is
+    * watermark-horizon-bounded regardless of stream lifetime. Without
+    * the time bound a stream-stream inner join must buffer both
+    * streams forever — the unbounded-state trap this operator exists
+    * to avoid.
+    *
+    * Column names must be disjoint across the sides (standard Spark
+    * stream-join requirement; rename before calling).
+    */
+  def intervalJoinStreams(left: DataFrame, leftKey: String, leftTs: String,
+                          right: DataFrame, rightKey: String, rightTs: String,
+                          watermark: String, lookback: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(rightTs) <= col(leftTs))
+
   /** One micro-batch step of incremental SEMANTIC dedup — the
     * embedding-space analogue of [[nearDedupBatchStep]] (SemDeDup
     * semantics, arXiv:2303.09540, applied incrementally). State is the

@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join attributes within the lookback, drops beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imps = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoinStreams(
+      clicks.toDF().toDF("c_user", "c_ts"), "c_user", "c_ts",
+      imps.toDF().toDF("i_user", "i_ts"), "i_user", "i_ts",
+      watermark = "10 minutes", lookback = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    imps.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),  // 3 min before click → match
+      (2L, Timestamp.valueOf("2024-01-01 09:50:00")),  // 13 min before → outside lookback
+      (3L, Timestamp.valueOf("2024-01-01 10:10:00"))) // AFTER the click → no match
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:03:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:03:00")),
+      (3L, Timestamp.valueOf("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out")
+      .select("c_user").as[Long].collect().toSeq
+    assert(rows === Seq(1L))
+    q.stop()
+  }
+
   test("streaming semantic dedup drops embedding near-dups incrementally, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Seq[Double])]
