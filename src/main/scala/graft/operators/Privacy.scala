@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release operators (public k-anonymity model,
+  * Sweeney 2002 "k-anonymity: a model for protecting privacy"). The
+  * reference redacts nothing before publishing its owner tables; a
+  * training-data pipeline releasing derived datasets needs at least
+  * suppression of rare quasi-identifier combinations — a row whose
+  * (segment, nation, …) combination occurs fewer than k times is
+  * re-identifiable by linkage even with names removed.
+  */
+object Privacy {
+
+  /** Suppress quasi-identifier values in groups smaller than `k`: every
+    * row keeps its payload, but its QI columns collapse to `"*"` when
+    * fewer than `k` rows share the full QI combination — after which
+    * every released row is QI-indistinguishable from ≥ k−1 others (the
+    * suppressed rows all share the all-`*` combination, provided at
+    * least k of them exist; re-check with [[kAnonymityReport]]).
+    *
+    * QI columns are returned as strings (the suppression sentinel and
+    * values share a type). One window over the QI key — a single
+    * shuffle; group counts never leave their partition.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(qiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(!df.columns.contains("_qi_n"),
+      "input already has a _qi_n column — rename it first")
+    val w = Window.partitionBy(qiCols.map(col): _*)
+    qiCols.foldLeft(df.withColumn("_qi_n", count(lit(1)).over(w))) { (d, c) =>
+      d.withColumn(c,
+        when(col("_qi_n") < k, lit("*")).otherwise(col(c).cast("string")))
+    }.drop("_qi_n")
+  }
+
+  /** Post-release audit: group sizes of the RELEASED table's QI
+    * combinations — k-anonymity holds iff the minimum is ≥ k. Run it
+    * on [[kAnonymize]]'s output, not its input: suppression merges all
+    * suppressed rows into one `*` group, which this report sizes.
+    */
+  def kAnonymityReport(released: DataFrame, qiCols: Seq[String]): DataFrame =
+    released.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .agg(min(col("group_size")).as("min_group_size"),
+        count(lit(1)).as("n_groups"))
+}

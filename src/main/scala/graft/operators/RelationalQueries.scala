@@ -282,6 +282,17 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
+    // P12 (extension): k-anonymity suppression — quasi-identifier
+    // combinations rarer than k collapse to '*' before release; one
+    // window shuffle on the QI key. k=7 genuinely suppresses groups
+    // on this data (min (segment, nation) group is 5 at sf0.01).
+    "q_p12_kanon" -> ((s, dir) =>
+      Privacy.kAnonymize(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+          Seq("c_mktsegment", "c_nationkey"), k = 7)
+        .orderBy("c_custkey")),
+
     // A18 (extension): declarative data-quality expectations — five
     // constraints (incl. composite-key uniqueness) checked in ONE
     // aggregation pass; the reference's scattered quality gates as a
@@ -461,6 +472,15 @@ object RelationalQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
         |FROM orders""".stripMargin,
+
+    "q_p12_kanon" ->
+      """WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN n < 7 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN n < 7 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey
+        |FROM g ORDER BY c_custkey""".stripMargin,
 
     "q_a18_expectations" ->
       """WITH v AS (

@@ -260,6 +260,25 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("kAnonymize suppresses rare QI combos and the release is k-anonymous") {
+    import graft.operators.Privacy
+    val df = (
+      (1L to 5L).map(i => (i, "A", 1)) ++
+      Seq((6L, "B", 2), (7L, "B", 2)) ++
+      Seq((8L, "C", 3))).toDF("id", "seg", "nat")
+    val out = Privacy.kAnonymize(df, Seq("seg", "nat"), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // the size-5 group survives with stringified values
+    assert(out(1L) === (("A", "1")))
+    // both rare groups collapse to the sentinel
+    assert(Seq(6L, 7L, 8L).forall(i => out(i) === (("*", "*"))))
+    // audit: released table is 3-anonymous (suppressed rows merged)
+    val rep = Privacy.kAnonymityReport(
+        Privacy.kAnonymize(df, Seq("seg", "nat"), k = 3), Seq("seg", "nat"))
+      .collect().head
+    assert(rep.getLong(0) === 3L && rep.getLong(1) === 2L)
+  }
+
   test("weightedSample is deterministic, layout-invariant, and favors heavy weights") {
     val df = (1L to 200L).map(i => (i, if (i == 7L) 1e9 else 1.0)).toDF("id", "w")
     val a = Sampling.weightedSample(df, "id", col("w"), k = 10)
