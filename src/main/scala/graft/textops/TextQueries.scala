@@ -358,6 +358,22 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Curriculum packing: quartile-bin documents by token length with
+    // the two-phase distributed ntile (no single-partition window),
+    // then greedily pack WITHIN each length bin — batches of
+    // homogeneous length waste less padding and enable length-ordered
+    // curricula. Composition of two independently-oracled operators.
+    "q_t_curriculum" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+        .select("doc_id", "n_tok")
+      val binned = graft.operators.Ranking.globalNtile(
+        d, Seq(asc("n_tok"), asc("doc_id")), 4, "len_bin")
+      val packed = graft.operators.Packing.packGreedy(
+        binned, "len_bin", "doc_id", "n_tok", budget = 2048)
+      graft.operators.Packing.packSummary(packed, "len_bin", "n_tok")
+    }),
+
     // Snapshot diff (CDC between corpus versions): old = 90% of docs,
     // new = all-but-10% with every 7th doc's content mutated — the
     // full-outer fingerprint compare labels added/removed/changed/
@@ -944,6 +960,34 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_curriculum" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(NTILE(4) OVER (ORDER BY n_tok, doc_id) AS INTEGER) AS len_bin
+        |  FROM d0),
+        |r AS (
+        |  SELECT doc_id, n_tok, len_bin,
+        |    row_number() OVER (PARTITION BY len_bin ORDER BY doc_id) AS rn
+        |  FROM d),
+        |packed AS (
+        |  SELECT len_bin, doc_id, n_tok, rn, n_tok AS acc,
+        |    CAST(0 AS BIGINT) AS pack_seq
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.len_bin, r.doc_id, r.n_tok, r.rn,
+        |    CASE WHEN packed.acc + r.n_tok > 2048 THEN r.n_tok
+        |         ELSE packed.acc + r.n_tok END,
+        |    CASE WHEN packed.acc + r.n_tok > 2048 THEN packed.pack_seq + 1
+        |         ELSE packed.pack_seq END
+        |  FROM packed JOIN r ON r.len_bin = packed.len_bin AND r.rn = packed.rn + 1)
+        |SELECT len_bin, pack_seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        |FROM packed GROUP BY len_bin, pack_seq ORDER BY len_bin, pack_seq""".stripMargin,
 
     "q_t_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id, $fpSql AS old_fp FROM documents
