@@ -35,4 +35,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so the full SQL surface works
+    * (`spark.sql("SELECT ... FROM lineitem ...")`) — together with the
+    * `GraftExtensions`-registered functions this is the engine's
+    * SQL-only entry point. Views are lazy: registering costs nothing
+    * until a query reads one, and `events` keeps its nanos fix.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case t => load(spark, dir, t).createOrReplaceTempView(t)
+    }
 }

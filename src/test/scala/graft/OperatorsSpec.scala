@@ -260,6 +260,25 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("registerAll exposes the full SQL surface over temp views") {
+    graft.core.Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT n_name, COUNT(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = graft.core.Tables.customer(spark, sfDir)
+      .join(graft.core.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("n_name")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql === viaDf)
+    // events view carries the nanos→micros fix
+    assert(spark.sql("SELECT MAX(ts) FROM events").collect()
+      .head.getTimestamp(0) != null)
+  }
+
   test("kAnonymize suppresses rare QI combos and the release is k-anonymous") {
     import graft.operators.Privacy
     val df = (
