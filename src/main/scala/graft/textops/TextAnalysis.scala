@@ -282,4 +282,78 @@ object TextAnalysis {
     */
   def rollingHash(textCol: String): Column =
     graft.functions.HashFunctions.polyHash(col(textCol))
+
+  /** Distributed BPE vocabulary trainer (byte-pair encoding, public
+    * Sennrich et al. 2016 arXiv:1508.07909): learn `numMerges` merge
+    * rules, highest-frequency adjacent symbol pair first.
+    *
+    * The scale trick is WHAT the iterations run on: BPE statistics are
+    * a function of the word-frequency table, not the corpus — so the
+    * corpus is scanned ONCE (tokenize → groupBy word → count; at web
+    * scale ~10⁵-10⁶ distinct words from 10¹² tokens), and every merge
+    * iteration runs on the |V|-row vocab relation. Per iteration: an
+    * adjacent-pair explode + weighted count (one hash shuffle on the
+    * pair), a 1-row TakeOrdered argmax (ties broken on (pair_count
+    * DESC, left ASC, right ASC) — deterministic on any layout), a
+    * broadcast of that single row, and a map-side fold that rewrites
+    * each word's symbol array left-to-right (the standard greedy
+    * non-overlapping merge: "aaaa" under (a,a) → (aa)(aa)). The HOF
+    * fold evaluates interpreted, which is irrelevant at vocab scale —
+    * the corpus-sized pass is pure codegen. `localCheckpoint` per
+    * iteration truncates the k-deep lineage.
+    *
+    * Returns the merge table (merge_rank, left, right, merged,
+    * pair_count) — the artifact a tokenizer ships.
+    */
+  /** The (word-symbol-array, frequency) relation BPE iterates on —
+    * the corpus's ONLY full scan in the whole training run.
+    */
+  private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("toks"), col("n"))
+
+  /** Weighted adjacent-pair counts of a symbolized word table. */
+  private def bpePairs(words: DataFrame): DataFrame =
+    words.filter(size(col("toks")) >= 2)
+      .select(col("n"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("n")).as("pair_count"))
+
+  /** Iteration-0 pair statistics (the relation the first argmax runs
+    * on) — exposed for profiling and oracle checks.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
+    bpePairs(bpeWordTable(df, textCol))
+
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"merge count must be positive, got $numMerges")
+    var words = bpeWordTable(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (rank <- 1 to numMerges) {
+      val best = bpePairs(words)
+        .orderBy(desc("pair_count"), asc("left"), asc("right"))
+        .limit(1)
+        .select(lit(rank).as("merge_rank"), col("left"), col("right"),
+          concat(col("left"), col("right")).as("merged"), col("pair_count"))
+        .localCheckpoint()
+      merges += best
+      words = words
+        .crossJoin(broadcast(best.select(col("left").as("_l"), col("right").as("_r"))))
+        .withColumn("toks", expr(
+          """aggregate(toks, CAST(array() AS array<string>),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = _l AND x = _r
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(_l, _r)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .drop("_l", "_r")
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionByName _)
+  }
 }

@@ -358,6 +358,21 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // BPE trainer, iteration-0 statistics: the weighted adjacent-pair
+    // relation the first merge argmax runs on (top 10). The corpus's
+    // only full scan in a BPE run — everything after is vocab-sized.
+    "q_t_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text")
+        .orderBy(desc("pair_count"), asc("left"), asc("right"))
+        .limit(10)),
+
+    // One exact BPE merge step: the argmax pair with deterministic
+    // tie-break (count DESC, left, right) — the q_t_kmeans convention
+    // (oracle one exact iteration; multi-merge behaviour is pinned on
+    // the classic corpus in BpeSpec).
+    "q_t_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", numMerges = 1)),
+
     // Curriculum packing: quartile-bin documents by token length with
     // the two-phase distributed ntile (no single-partition window),
     // then greedily pack WITHIN each length bin — batches of
@@ -960,6 +975,33 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_bpe_pairs" ->
+      """WITH w AS (SELECT word, COUNT(*) AS n FROM (
+        |    SELECT UNNEST(string_split(
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY word),
+        |c AS (SELECT n, string_split_regex(word, '') AS cs FROM w WHERE length(word) >= 2),
+        |i AS (SELECT n, cs, UNNEST(range(1, len(cs))) AS i FROM c),
+        |p AS (SELECT cs[CAST(i AS INT)] AS "left", cs[CAST(i AS INT) + 1] AS "right",
+        |    CAST(SUM(n) AS BIGINT) AS pair_count
+        |  FROM i GROUP BY 1, 2)
+        |SELECT "left", "right", pair_count FROM p
+        |ORDER BY pair_count DESC, "left", "right" LIMIT 10""".stripMargin,
+
+    "q_t_bpe" ->
+      """WITH w AS (SELECT word, COUNT(*) AS n FROM (
+        |    SELECT UNNEST(string_split(
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY word),
+        |c AS (SELECT n, string_split_regex(word, '') AS cs FROM w WHERE length(word) >= 2),
+        |i AS (SELECT n, cs, UNNEST(range(1, len(cs))) AS i FROM c),
+        |p AS (SELECT cs[CAST(i AS INT)] AS "left", cs[CAST(i AS INT) + 1] AS "right",
+        |    CAST(SUM(n) AS BIGINT) AS pair_count
+        |  FROM i GROUP BY 1, 2)
+        |SELECT CAST(1 AS INT) AS merge_rank, "left", "right",
+        |  "left" || "right" AS merged, pair_count
+        |FROM p ORDER BY pair_count DESC, "left", "right" LIMIT 1""".stripMargin,
 
     "q_t_curriculum" ->
       """WITH RECURSIVE d0 AS (

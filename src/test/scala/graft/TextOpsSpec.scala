@@ -361,6 +361,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 2L -> 0L, 10L -> 1L, 12L -> 1L))
   }
 
+  test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
+    // Sennrich et al.'s canonical corpus shape: low×5 lower×2 newest×6
+    // widest×3. Hand computation: es=9 ties st=9 → 'es' wins on left
+    // tie-break; then (es,t)=9; then lo=7 ties ow=7 → 'lo'.
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(merges === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)))
+  }
+
+  test("bpeTrain merge rewrite is greedy left-to-right on overlapping runs") {
+    // 'aaaa' under (a,a): one pass yields (aa)(aa), so the second merge
+    // is (aa,aa) — the non-overlapping greedy walk, not a cascade.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(merges === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
+
   test("clusterSafeSplit keeps near-duplicate chains on one side of the boundary") {
     // A~B~C chain (A≁C directly) + two unrelated singletons
     val df = Seq(
