@@ -331,6 +331,47 @@ object TextAnalysis {
   def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
     bpePairs(bpeWordTable(df, textCol))
 
+  /** Apply learned BPE merges to a corpus. The corpus-scale path is
+    * pure relational: tokenize → hash-join each word against the
+    * ENCODED VOCAB dictionary → order-preserving reassembly per
+    * document. The k-deep interpreted merge fold only ever runs on the
+    * distinct-word relation (the memoization that makes BPE encode
+    * viable at 100 TB — encoding 10¹² tokens costs one join, not 10¹²
+    * fold evaluations); a production encoder would swap the fold for a
+    * codegen'd longest-match pass over the same dictionary.
+    *
+    * `merges` is [[bpeTrain]]'s output (stays relational — each rank is
+    * broadcast like a centroid row, never collected). Returns
+    * (idCol, bpe_toks array<string>).
+    */
+  def encodeBpe(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"merge count must be positive, got $numMerges")
+    val docWords = df.select(col(idCol),
+        posexplode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    var vocab = docWords.select("word").distinct()
+      .withColumn("toks", split(col("word"), ""))
+    for (i <- 1 to numMerges) {
+      vocab = vocab
+        .crossJoin(broadcast(merges.filter(col("merge_rank") === i)
+          .select(col("left").as("_l"), col("right").as("_r"))))
+        .withColumn("toks", expr(
+          """aggregate(toks, CAST(array() AS array<string>),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = _l AND x = _r
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(_l, _r)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .drop("_l", "_r")
+    }
+    docWords.join(vocab, "word")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        e => e.getField("toks"))).as("bpe_toks"))
+  }
+
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges > 0, s"merge count must be positive, got $numMerges")
     var words = bpeWordTable(df, textCol).localCheckpoint()

@@ -373,6 +373,18 @@ object TextQueries extends QueryPack {
     "q_t_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", numMerges = 1)),
 
+    // BPE encode with the learned (1-step) vocabulary: dictionary
+    // built once over distinct words, corpus pays a hash join. Oracle
+    // closed-form: tokens after one merge = chars − non-overlapping
+    // pair occurrences (greedy replace() counting, same in any engine).
+    "q_t_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 1)
+      TextAnalysis.encodeBpe(docs, "doc_id", "text", merges, numMerges = 1)
+        .select(col("doc_id"), size(col("bpe_toks")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum packing: quartile-bin documents by token length with
     // the two-phase distributed ntile (no single-partition window),
     // then greedily pack WITHIN each length bin — batches of
@@ -1002,6 +1014,28 @@ object TextQueries extends QueryPack {
         |SELECT CAST(1 AS INT) AS merge_rank, "left", "right",
         |  "left" || "right" AS merged, pair_count
         |FROM p ORDER BY pair_count DESC, "left", "right" LIMIT 1""".stripMargin,
+
+    "q_t_bpe_encode" ->
+      """WITH w AS (SELECT word, COUNT(*) AS n FROM (
+        |    SELECT UNNEST(string_split(
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY word),
+        |c AS (SELECT n, string_split_regex(word, '') AS cs FROM w WHERE length(word) >= 2),
+        |i AS (SELECT n, cs, UNNEST(range(1, len(cs))) AS i FROM c),
+        |p AS (SELECT cs[CAST(i AS INT)] AS l, cs[CAST(i AS INT) + 1] AS r,
+        |    SUM(n) AS pair_count FROM i GROUP BY 1, 2),
+        |best AS (SELECT l, r FROM p
+        |  ORDER BY pair_count DESC, l, r LIMIT 1),
+        |dw AS (SELECT doc_id, UNNEST(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |enc AS (SELECT dw.doc_id,
+        |    length(dw.word) -
+        |      (length(dw.word) - length(replace(dw.word, b.l || b.r, ''))) // 2
+        |      AS n_tok
+        |  FROM dw CROSS JOIN best b WHERE length(dw.word) > 0)
+        |SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_t_curriculum" ->
       """WITH RECURSIVE d0 AS (

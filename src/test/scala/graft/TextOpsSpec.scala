@@ -381,6 +381,20 @@ class TextOpsSpec extends SparkSpec {
       (3, "l", "o", "lo", 7L)))
   }
 
+  test("encodeBpe applies merges in rank order via the vocab dictionary") {
+    val train = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "text", numMerges = 3)
+    // merges: (e,s) (es,t) (l,o) — encode a doc containing all 4 words
+    val doc = Seq((42L, "low lower newest widest")).toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeBpe(doc, "doc_id", "text", merges, numMerges = 3)
+      .collect().head.getSeq[String](1)
+    assert(enc === Seq("lo", "w", "lo", "w", "e", "r",
+      "n", "e", "w", "est", "w", "i", "d", "est"))
+  }
+
   test("bpeTrain merge rewrite is greedy left-to-right on overlapping runs") {
     // 'aaaa' under (a,a): one pass yields (aa)(aa), so the second merge
     // is (aa,aa) — the non-overlapping greedy walk, not a cascade.
