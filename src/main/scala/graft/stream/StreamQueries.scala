@@ -43,6 +43,21 @@ object StreamQueries extends QueryPack {
           "30 minutes")
         .orderBy("user_id")),
 
+    // Ordered funnel view → click → purchase: per-step hash joins on
+    // the user id against a shrinking one-row-per-user frame; order
+    // matters (a click before the first view does not progress).
+    "q_s_funnel" -> ((s, dir) =>
+      graft.analytics.Behavior.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step_index")),
+
+    // Retention cohort matrix: first-event week × whole-week offset,
+    // distinct active users per cell.
+    "q_s_cohort" -> ((s, dir) =>
+      graft.analytics.Behavior.retentionCohorts(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
     // A16: quality-trend aggregates per day (monitoring surface).
     "q_a16_quality_trend" -> ((s, dir) =>
       Monitoring.qualityTrend(Tables.events(s, dir), "ts", "value",
@@ -118,6 +133,33 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_s_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+        |  (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step_index""".stripMargin,
+
+    "q_s_cohort" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT ev.user_id, CAST(ev.ts AS DATE) AS d, f.fd
+        |  FROM events ev JOIN f USING (user_id))
+        |SELECT CAST(date_trunc('week', fd) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', fd, d) // 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_s_enrich" ->
       """WITH e AS (SELECT *,
         |    CASE WHEN regexp_matches(LOWER(event_type), 'purchase|signup') THEN 'Conversion'

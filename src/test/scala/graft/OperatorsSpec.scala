@@ -260,6 +260,36 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("funnel requires step order; cohorts bucket by first-event week") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2 clicks BEFORE first view — click must not count
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      // user 3 views only
+      (3L, ts("2024-01-02 08:00:00"), "view"),
+      // user 3 active again 8 days later (week offset 1)
+      (3L, ts("2024-01-10 08:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val f = graft.analytics.Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step 2 = users 1 and 3 (user 3's day-10 click is after their
+    // first view); user 2's pre-view click does NOT progress
+    assert(f === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    val c = graft.analytics.Behavior.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    // all three users first appear in the week of 2024-01-01 (Monday);
+    // user 3's second week of activity shows as offset 1
+    assert(c === Map(("2024-01-01", 0) -> 3L, ("2024-01-01", 1) -> 1L))
+  }
+
   test("registerAll exposes the full SQL surface over temp views") {
     graft.core.Tables.registerAll(spark, sfDir)
     val viaSql = spark.sql(
