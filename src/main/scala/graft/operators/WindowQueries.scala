@@ -172,6 +172,24 @@ object WindowQueries extends QueryPack {
 
     // W9: explicit ROWS frame — 3-event moving average of value per
     // user, summarized as the max smoothed value per user.
+    // W12 (extension): per-key daily gap fill + forward fill — sparse
+    // per-user daily sums densified over each user's own date span,
+    // summarized per user (span length, observed days, exact
+    // DECIMAL-summed carried mass).
+    "q_w12_gapfill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("v"))
+        .groupBy("user_id", "d").agg(sum(col("v")).as("day_value"))
+      TimeSeries.gapFillDaily(daily, "user_id", "d", "day_value")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_observed"), 1L).otherwise(0L)).as("n_observed"),
+          sum(col("value_ff")).cast("double").as("sum_ff"))
+        .orderBy("user_id")
+    }),
+
     "q_w9_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id"))
@@ -187,6 +205,26 @@ object WindowQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_w12_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+        |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM b),
+        |j AS (SELECT s.user_id, s.d, daily.day_value
+        |  FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d),
+        |ff AS (SELECT user_id, d, day_value IS NOT NULL AS obs,
+        |    LAST_VALUE(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vff
+        |  FROM j)
+        |SELECT user_id, COUNT(*) AS n_days,
+        |  SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS n_observed,
+        |  CAST(SUM(vff) AS DOUBLE) AS sum_ff
+        |FROM ff GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_w7_lag_delta" ->
       """WITH d AS (SELECT o_custkey, o_orderdate,
         |    LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey

@@ -260,6 +260,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("gapFillDaily densifies each key's own span and carries values forward") {
+    import java.sql.Date
+    val df = Seq(
+      (1L, Date.valueOf("2024-01-01"), Some(10.0)),
+      (1L, Date.valueOf("2024-01-04"), Some(7.0)),
+      (2L, Date.valueOf("2024-02-10"), Some(3.0)))
+      .toDF("k", "d", "v")
+    val out = graft.operators.TimeSeries.gapFillDaily(df, "k", "d", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (Option(r.get(3)).map(_.toString.toDouble), r.getBoolean(4))).toMap
+    assert(out.size === 5) // 4 days for key 1, 1 day for key 2 — no cross-key spine
+    assert(out((1L, "2024-01-02")) === ((Some(10.0), false))) // gap forward-filled
+    assert(out((1L, "2024-01-03")) === ((Some(10.0), false)))
+    assert(out((1L, "2024-01-04")) === ((Some(7.0), true)))   // new observation wins
+    assert(out((2L, "2024-02-10")) === ((Some(3.0), true)))
+  }
+
   test("funnel requires step order; cohorts bucket by first-event week") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
