@@ -282,6 +282,21 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
+    // G1 (extension): PageRank over the customer↔supplier bipartite
+    // trade graph (symmetrized; ids disambiguated by prefix), 3 exact
+    // iterations — per-iteration 10 dp rounding is part of the
+    // algorithm so any engine reproduces it bit-for-bit. Top 10.
+    "q_g1_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 3)
+        .orderBy(desc("rank"), asc("node"))
+        .limit(10)
+    }),
+
     // P12 (extension): k-anonymity suppression — quasi-identifier
     // combinations rarer than k collapse to '*' before release; one
     // window shuffle on the QI key. k=7 genuinely suppresses groups
@@ -472,6 +487,35 @@ object RelationalQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
         |FROM orders""".stripMargin,
+
+    "q_g1_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS dg FROM und GROUP BY 1),
+        |nn AS (SELECT COUNT(DISTINCT src) AS n FROM und),
+        |r0 AS (SELECT DISTINCT src AS node,
+        |    ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 10) AS rank FROM und),
+        |r1 AS (SELECT u.dst AS node,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |  FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst),
+        |r2 AS (SELECT u.dst AS node,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |  FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst),
+        |r3 AS (SELECT u.dst AS node,
+        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |  FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst)
+        |SELECT node, ROUND(rank, 6) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
     "q_p12_kanon" ->
       """WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,

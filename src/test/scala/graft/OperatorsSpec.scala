@@ -260,6 +260,21 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("pageRank concentrates rank on the hub and conserves total mass") {
+    // star: center x linked to a, b, c (symmetrized by the operator)
+    val edges = Seq(("x", "a"), ("x", "b"), ("x", "c")).toDF("s", "d")
+    val pr = graft.operators.Graph.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet === Set("x", "a", "b", "c"))
+    assert(pr("a") === pr("b") && pr("b") === pr("c")) // symmetric leaves tie
+    assert(pr("x") > pr("a") * 2)                      // hub dominates
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)       // mass conserved
+    // layout invariance: identical ranks from a repartitioned edge list
+    val pr2 = graft.operators.Graph.pageRank(edges.repartition(7), "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 === pr)
+  }
+
   test("gapFillDaily densifies each key's own span and carries values forward") {
     import java.sql.Date
     val df = Seq(
