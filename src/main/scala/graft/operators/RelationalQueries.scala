@@ -282,6 +282,27 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
+    // A19 (extension): equi-width histogram — data-driven bin bounds
+    // via a broadcast 1-row min/max attach (the scalar-subquery
+    // pattern), then one map-side bucket expression + hash count. The
+    // max lands in the top bin (half-open bins, closed last).
+    "q_a19_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bounds = o.agg(min(col("o_totalprice")).as("_lo"),
+        max(col("o_totalprice")).as("_hi"))
+      val nBins = 10
+      Joins.withScalar(o.select(col("o_totalprice")), bounds)
+        .withColumn("bin", least(
+          floor((col("o_totalprice") - col("_lo")) * nBins
+            / (col("_hi") - col("_lo"))).cast("int"),
+          lit(nBins - 1)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 6).as("bin_min"),
+          round(max(col("o_totalprice")), 6).as("bin_max"))
+        .orderBy("bin")
+    }),
+
     // G1 (extension): PageRank over the customer↔supplier bipartite
     // trade graph (symmetrized; ids disambiguated by prefix), 3 exact
     // iterations — per-iteration 10 dp rounding is part of the
@@ -487,6 +508,17 @@ object RelationalQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
         |FROM orders""".stripMargin,
+
+    "q_a19_histogram" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders)
+        |SELECT CAST(LEAST(FLOOR((o_totalprice - b.lo) * 10 / (b.hi - b.lo)), 9)
+        |    AS INTEGER) AS bin,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(o_totalprice), 6) AS bin_min,
+        |  ROUND(MAX(o_totalprice), 6) AS bin_max
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_g1_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
