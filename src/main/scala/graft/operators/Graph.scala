@@ -35,10 +35,14 @@ object Graph {
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    // Degrees double as the node relation (symmetrized ⇒ every node is
+    // a src): one aggregation yields deg, nodes, AND the count — no
+    // separate distinct passes, and the checkpoint stops the
+    // iterations from re-aggregating the edge relation each round.
     val deg = und.groupBy("src").agg(count(lit(1)).as("_deg"))
-    val n = und.select(col("src").as("node")).distinct()
-      .agg(count(lit(1)).as("_n"))
-    var ranks = und.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = deg.agg(count(lit(1)).as("_n"))
+    var ranks = deg.select(col("src").as("node"))
       .crossJoin(broadcast(n))
       .withColumn("rank", round(lit(1.0) / col("_n"), 10))
       .localCheckpoint()
