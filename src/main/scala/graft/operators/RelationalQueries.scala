@@ -282,6 +282,20 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
+    // A20 (extension): group-wise outlier flags — each customer's
+    // orders tested against that customer's own 2σ band, with
+    // DECIMAL-exact Σx/Σx² so the variance is identical on any
+    // engine or partitioning. Customers with ≥1 flagged order.
+    "q_a20_outliers" -> ((s, dir) =>
+      graft.analytics.Anomaly.zFlag(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+          "o_custkey", "o_totalprice", sigma = 2.0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+        .filter(col("n_outliers") > 0)
+        .orderBy("o_custkey")),
+
     // A19 (extension): equi-width histogram — data-driven bin bounds
     // via a broadcast 1-row min/max attach (the scalar-subquery
     // pattern), then one map-side bucket expression + hash count. The
@@ -508,6 +522,23 @@ object RelationalQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
         |FROM orders""".stripMargin,
+
+    "q_a20_outliers" ->
+      """WITH s AS (SELECT o_custkey, COUNT(*) AS gn,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS gsum,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(38,8))
+        |      * CAST(o_totalprice AS DECIMAL(38,8)) AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS gsumsq
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT o.o_custkey,
+        |    CASE WHEN s.gn >= 2 AND
+        |      (o.o_totalprice - gsum / gn) * (o.o_totalprice - gsum / gn)
+        |        > ((gsumsq - gsum * gsum / gn) / (gn - 1)) * 4.0
+        |    THEN 1 ELSE 0 END AS outlier
+        |  FROM orders o JOIN s USING (o_custkey))
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(outlier) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY 1 HAVING SUM(outlier) > 0 ORDER BY o_custkey""".stripMargin,
 
     "q_a19_histogram" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

@@ -260,6 +260,17 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("zFlag marks only values outside the group's own sigma band") {
+    val df = Seq((1L, 10.0), (1L, 10.0), (1L, 10.0), (1L, 10.0), (1L, 100.0),
+      (2L, 999.0)) // singleton group: variance undefined, never flagged
+      .toDF("k", "v")
+    val out = graft.analytics.Anomaly.zFlag(df, "k", "v", sigma = 1.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.count(_._3) === 1)
+    assert(out.find(_._3).get._2 === 100.0)
+    assert(out.filter(_._1 == 2L).forall(!_._3))
+  }
+
   test("pageRank concentrates rank on the hub and conserves total mass") {
     // star: center x linked to a, b, c (symmetrized by the operator)
     val edges = Seq(("x", "a"), ("x", "b"), ("x", "c")).toDF("s", "d")
