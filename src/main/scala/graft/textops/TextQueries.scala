@@ -418,6 +418,26 @@ object TextQueries extends QueryPack {
         .orderBy("status")
     }),
 
+    // Incremental aggregate refresh (materialized-view maintenance):
+    // per-source stats carried from the old snapshot's stored aggregate
+    // except for sources touched by the diff, which re-aggregate from
+    // the new snapshot. The oracle is a DIRECT aggregation of the new
+    // snapshot — hash-matching proves incremental == full recompute.
+    "q_t_incr_agg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+      val nw = docs.filter(col("doc_id") % 10 =!= 4)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      val aggFn = (d: org.apache.spark.sql.DataFrame) => d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("total_tokens"))
+      graft.lake.LakeStorage.incrementalAggRefresh(
+          old, nw, "doc_id", "text", "source", aggFn(old), aggFn)
+        .orderBy("source")
+    }),
+
     // Leakage-safe split: near-duplicate clusters share a split key
     // (the component's min id), so no cluster ever straddles the
     // train/test boundary — the structural fix for near-dup eval
@@ -1081,6 +1101,16 @@ object TextQueries extends QueryPack {
          |SELECT status, COUNT(*) AS n,
          |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
          |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    // Direct aggregation of the new snapshot — the incremental refresh
+    // must reproduce this bit-for-bit.
+    "q_t_incr_agg" ->
+      """WITH nsrc AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 4)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+        |FROM nsrc GROUP BY source ORDER BY source""".stripMargin,
 
     "q_t_cluster_split" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -238,6 +238,27 @@ class IngestLakeSpec extends SparkSpec {
     assert(clean.values.forall(identity))
   }
 
+  test("incrementalAggRefresh carries untouched groups verbatim, recomputes touched ones") {
+    import spark.implicits._
+    val old = Seq((1L, "a b", "A"), (2L, "c d", "A"), (3L, "e f", "B"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((1L, "a b", "A"), (2L, "c d", "A"),
+      (3L, "e f CHANGED", "B"), (4L, "g h i", "B"))
+      .toDF("doc_id", "text", "source")
+    val aggFn = (d: org.apache.spark.sql.DataFrame) => d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), " ")).cast("long")).as("total_tokens"))
+    // poison source A's STORED row: if the refresh recomputed untouched
+    // groups it would "fix" this — carrying it proves incrementality
+    val stored = aggFn(old).withColumn("n_docs",
+      when(col("source") === "A", lit(999L)).otherwise(col("n_docs")))
+    val out = LakeStorage.incrementalAggRefresh(old, nw, "doc_id", "text",
+        "source", stored, aggFn)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("A") === ((999L, 4L)))  // carried verbatim, poison intact
+    assert(out("B") === ((2L, 6L)))    // recomputed from the new snapshot
+  }
+
   test("ingest pipeline end-to-end writes parquet and quality JSON") {
     val out = Files.createTempDirectory("graft_pipe").toString
     val processed = Ingestion.run(spark, fixtureCsv(), out)
