@@ -198,6 +198,34 @@ object TextQueries extends QueryPack {
         dim = 64, m = 4, topK = 10)
     }),
 
+    // PQ recall, self-measured: |ADC top-10 ∩ exact-L2 top-10| for the
+    // corpus's first vector — the quantization-quality metric an ANN
+    // deployment monitors, as a deterministic 1-row relation.
+    "q_t_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        dim = 64, m = 4)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      val adc = Similarity.pqSearch(enc, "vec_id", cb, q, "_qv",
+        dim = 64, m = 4, topK = 10).select("vec_id")
+      val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        round(Similarity.dot(a, a) + Similarity.dot(b, b)
+          - lit(2.0) * Similarity.dot(a, b), 6)
+      val exact = graft.operators.Joins.withScalar(
+          emb.select(col("vec_id"),
+            transform(col("embedding"), v => v.cast("double")).as("_v")),
+          q.select(transform(col("_qv"), v => v.cast("double")).as("_qd")))
+        .select(col("vec_id"), d2(col("_v"), col("_qd")).as("_d2"))
+        .orderBy(asc("_d2"), asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+      adc.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"))
+    }),
+
     // Exact O(n²) cosine near-neighbour pairs above a threshold — the
     // correctness baseline the LSH variants prune towards. Feasible
     // here (n=2000 at sf0.1); the scale paths are the bucketed/banded
@@ -866,6 +894,28 @@ object TextQueries extends QueryPack {
          |SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
          |FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
          |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    "q_t_pq_recall" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |qsub AS (SELECT CAST(j AS INTEGER) AS sub,
+         |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
+         |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |      + list_inner_product(cb.centroid, cb.centroid)
+         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |  FROM cb JOIN qsub qs ON cb.sub = qs.sub),
+         |adc AS (SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |  FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+         |  GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10),
+         |exact AS (SELECT e.vec_id,
+         |    ROUND(list_inner_product(e.v, e.v)
+         |      + list_inner_product(q.v, q.v)
+         |      - 2 * list_inner_product(e.v, q.v), 6) AS d2
+         |  FROM e CROSS JOIN q ORDER BY d2, vec_id LIMIT 10)
+         |SELECT CAST(10 AS INT) AS k, COUNT(*) AS n_overlap
+         |FROM adc JOIN exact USING (vec_id)""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

@@ -332,6 +332,30 @@ class TextOpsSpec extends SparkSpec {
     assert(hits === Seq((0L, 0.0), (2L, 2.0), (3L, 2.0), (1L, 4.0)))
   }
 
+  test("PQ recall@10 improves with codebook resolution") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+    val exact = graft.operators.Joins.withScalar(
+        emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("_v")),
+        q.select(expr("transform(_qv, v -> CAST(v AS DOUBLE))").as("_qd")))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("_v"), col("_v"))
+          + Similarity.dot(col("_qd"), col("_qd"))
+          - lit(2.0) * Similarity.dot(col("_v"), col("_qd")), 6).as("_d2"))
+      .orderBy(asc("_d2"), asc("vec_id")).limit(10).select("vec_id")
+    def recall(m: Int, k: Int): Long = {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, m, k, 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 64, m)
+      Similarity.pqSearch(enc, "vec_id", cb, q, "_qv", 64, m, 10)
+        .select("vec_id").join(exact, "vec_id").count()
+    }
+    val coarse = recall(4, 4)
+    val fine = recall(16, 64)
+    assert(fine > coarse, s"finer codebook should beat coarser: $fine vs $coarse")
+    assert(fine >= 3, s"recall@10 with m=16,k=64 unexpectedly low: $fine")
+  }
+
   test("PQ self-retrieval on the corpus: the query's own vector is in the ADC top set") {
     val emb = Tables.embeddings(spark, sfDir)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
