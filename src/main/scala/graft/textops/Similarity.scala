@@ -126,6 +126,62 @@ object Similarity {
         col("_m.sim").as("cos_sim"))
   }
 
+  /** Top-`nProbe` nearest centroids per vector — the query-side half of
+    * multi-probe IVF. Same broadcast cross join as [[assignBuckets]];
+    * the rank window partitions BY VECTOR over k centroid rows (never a
+    * wide partition). Ties break on bucket id for determinism.
+    */
+  def assignBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, bucketCol: String,
+                         centroidVecCol: String, nProbe: Int): DataFrame = {
+    require(nProbe > 0, s"probe count must be positive, got $nProbe")
+    val cent = centroids.select(col(bucketCol).as("_b"),
+        col(centroidVecCol).as("_cv"))
+      .withColumn("_cnrm", norm(col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(desc("cos_sim"), asc("bucket"))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("_nrm", norm(col(vecCol)))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("_b").as("bucket"),
+        round(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
+          .as("cos_sim"))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nProbe)
+  }
+
+  /** Multi-probe IVF search: database vectors live in their single
+    * nearest bucket (the inverted file); the query scans its `nProbe`
+    * nearest buckets' lists with exact cosine verification — the
+    * standard IVF recall knob (probing more buckets trades compute for
+    * recall without touching the index). Work per query ≈ nProbe/k of
+    * the corpus; candidates come from one hash join on the bucket key,
+    * the query rides a lazy 1-row broadcast (no driver fetch).
+    */
+  def searchIvfMultiProbe(db: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, bucketCol: String,
+                          centroidVecCol: String, queryDf: DataFrame,
+                          queryVecCol: String, nProbe: Int, topK: Int)
+      : DataFrame = {
+    val dbAssign = assignBuckets(db, idCol, vecCol, centroids, bucketCol,
+      centroidVecCol).select(col(idCol), col("bucket"))
+    val dbv = db.select(col(idCol), col(vecCol))
+      .withColumn("_nrm", norm(col(vecCol)))
+      .join(dbAssign, idCol)
+    val qProbes = assignBucketsMulti(
+        queryDf.withColumn("_qid", lit(0L)), "_qid", queryVecCol,
+        centroids, bucketCol, centroidVecCol, nProbe)
+      .select("bucket")
+    dbv.join(qProbes, "bucket")
+      .crossJoin(broadcast(queryDf))
+      .withColumn("_qnrm", norm(col(queryVecCol)))
+      .select(col(idCol),
+        round(dot(col(vecCol), col(queryVecCol)) / (col("_nrm") * col("_qnrm")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(topK)
+  }
+
   /** Lloyd k-means trainer for the IVF coarse quantizer — produces the
     * `(bucket, centroid)` relation [[assignBuckets]] consumes, as pure
     * DataFrame ops (no driver-side vector math, unlike the classic

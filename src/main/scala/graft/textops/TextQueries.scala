@@ -198,6 +198,19 @@ object TextQueries extends QueryPack {
         dim = 64, m = 4, topK = 10)
     }),
 
+    // Multi-probe IVF search: the query scans its 2 nearest trained
+    // buckets' inverted lists with exact cosine verification — the
+    // standard recall knob (nProbe/k of the corpus per query).
+    "q_t_ivf_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      Similarity.searchIvfMultiProbe(emb, "vec_id", "embedding", cent,
+          "bucket", "centroid", q, "_qv", nProbe = 2, topK = 10)
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+    }),
+
     // PQ recall, self-measured: |ADC top-10 ∩ exact-L2 top-10| for the
     // corpus's first vector — the quantization-quality metric an ANN
     // deployment monitors, as a deterministic 1-row relation.
@@ -847,6 +860,39 @@ object TextQueries extends QueryPack {
         |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s2 GROUP BY vec_id)
         |SELECT m.bucket AS bucket, COUNT(*) AS n_vecs, MAX(m.sim) AS max_sim
         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_t_ivf_probe" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
+        |    generate_subscripts(v, 1) AS dim_pos FROM a),
+        |mn AS (SELECT bucket, dim_pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |  FROM u GROUP BY 1, 2),
+        |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
+        |s2 AS (SELECT e.vec_id, e.v, cl.bucket,
+        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |dba AS (SELECT vec_id,
+        |    (MAX(struct_pack(sim := sim, bucket := bucket))).bucket AS bucket,
+        |    ANY_VALUE(v) AS v FROM s2 GROUP BY vec_id),
+        |q AS (SELECT v FROM e WHERE vec_id = 0),
+        |qp AS (SELECT cl.bucket,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      ROUND(list_cosine_similarity((SELECT v FROM q), cl.cv), 6) DESC,
+        |      cl.bucket) AS pr
+        |  FROM cl),
+        |cand AS (SELECT dba.vec_id, dba.v FROM dba
+        |  JOIN qp ON dba.bucket = qp.bucket AND qp.pr <= 2)
+        |SELECT cand.vec_id,
+        |  ROUND(list_cosine_similarity(cand.v, (SELECT v FROM q)), 6) AS cos_sim
+        |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_t_semantic_dedup" ->
       """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,

@@ -332,6 +332,23 @@ class TextOpsSpec extends SparkSpec {
     assert(hits === Seq((0L, 0.0), (2L, 2.0), (3L, 2.0), (1L, 4.0)))
   }
 
+  test("multi-probe IVF recall dominates single-probe against exact cosine") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+    val exact = Similarity.cosineTopKAgainst(emb, "vec_id", "embedding",
+        q, "_qv", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    def hits(nProbe: Int) = Similarity.searchIvfMultiProbe(emb, "vec_id",
+        "embedding", cent, "bucket", "centroid", q, "_qv", nProbe, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val one = (hits(1) & exact).size
+    val two = (hits(2) & exact).size
+    val all = (hits(4) & exact).size
+    assert(one <= two && two <= all) // recall is monotone in probes
+    assert(all === 10) // probing every bucket IS the exact search
+  }
+
   test("PQ recall@10 improves with codebook resolution") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
