@@ -33,7 +33,14 @@ object GraftSqlFunctions {
       arity("string_poly_hash", 1)(args => StringPolyHash(args.head))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeUnicode].getName, "nfc_normalize"),
-      arity("nfc_normalize", 1)(args => NormalizeUnicode(args.head, "NFC"))))
+      arity("nfc_normalize", 1)(args => NormalizeUnicode(args.head, "NFC"))),
+    (FunctionIdentifier("poly_window_hash"),
+      new ExpressionInfo(classOf[PolyWindowHash].getName, "poly_window_hash"),
+      arity("poly_window_hash", 2)(args => PolyWindowHash(args.head, {
+        // width must be a literal int — it is baked into the codegen
+        require(args(1).foldable, "poly_window_hash width must be a literal")
+        args(1).eval().asInstanceOf[Number].intValue()
+      }))))
 
   /** Register into a live session (tests, notebooks). Sessions built
     * from scratch should use [[GraftExtensions]] via the

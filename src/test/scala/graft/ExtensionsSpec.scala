@@ -18,6 +18,15 @@ class ExtensionsSpec extends SparkSpec {
     // Horner: ('a'=97)*31 + ('b'=98) = 3105
     assert(h === (97L * 31 + 98))
     assert(spark.sql("SELECT string_poly_hash(NULL)").collect().head.isNullAt(0))
+    // window hashes: each element equals the whole-string hash of its window
+    val wh = spark.sql("SELECT poly_window_hash('abc', 2) AS a")
+      .selectExpr("a[0]", "a[1]").as[(Long, Long)].collect().head
+    assert(wh === ((97L * 31 + 98, 98L * 31 + 99)))
+    // any FOLDABLE width expression works (evaluated at resolution);
+    // a column-dependent width is rejected by the builder's guard
+    val folded = spark.sql("SELECT poly_window_hash('abc', length('xy')) AS a")
+      .selectExpr("a[0]").as[Long].collect().head
+    assert(folded === 97L * 31 + 98)
   }
 
   test("GraftExtensions injects every function into a session-extensions hook") {
