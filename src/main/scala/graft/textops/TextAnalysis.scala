@@ -305,6 +305,50 @@ object TextAnalysis {
     * Returns the merge table (merge_rank, left, right, merged,
     * pair_count) — the artifact a tokenizer ships.
     */
+  /** BM25 ranking (public Robertson–Walker Okapi BM25, Lucene-style
+    * idf = ln(1 + (N − df + ½)/(df + ½))) of documents against a term
+    * query — the retrieval scorer a training pipeline uses for
+    * hard-negative mining and eval-set construction; the reference's
+    * search is substring containment (`api/main.py:135`), which cannot
+    * rank.
+    *
+    * Scale shape: the only corpus-sized pass is the tokenize; term
+    * frequencies are filtered to the query's terms BEFORE the
+    * aggregation (|docs|·|q| rows max), document frequencies and
+    * length stats are broadcast-sized relations, and the final score
+    * is one DECIMAL-cast sum per document (order-independent) ending
+    * in TakeOrdered. All arithmetic is double with 6 dp rounding —
+    * engine-portable.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("_N"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    tf.join(broadcast(dft), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(scal))
+      .withColumn("_idf", log(lit(1.0)
+        + (col("_N") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))))
+      .withColumn("_s", col("_idf") * (col("tf") * lit(k1 + 1))
+        / (col("tf") + lit(k1)
+          * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 16))).cast("double"), 6)
+        .as("bm25"))
+      .orderBy(desc("bm25"), asc(idCol))
+      .limit(topK)
+  }
+
   /** The (word-symbol-array, frequency) relation BPE iterates on —
     * the corpus's ONLY full scan in the whole training run.
     */

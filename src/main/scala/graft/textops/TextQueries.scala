@@ -399,6 +399,14 @@ object TextQueries extends QueryPack {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // BM25 retrieval: top-10 docs for a 3-term query — the ranking
+    // scorer substring search can't provide (hard-negative mining /
+    // eval construction in a training pipeline).
+    "q_t_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "scan"), topK = 10)
+        .orderBy(desc("bm25"), asc("doc_id"))),
+
     // BPE trainer, iteration-0 statistics: the weighted adjacent-pair
     // relation the first merge argmax runs on (top 10). The corpus's
     // only full scan in a BPE run — everything after is vocab-sized.
@@ -1103,6 +1111,28 @@ object TextQueries extends QueryPack {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |    ln(CAST(1.0 AS DOUBLE) + (scal.n - dft.df_t + CAST(0.5 AS DOUBLE))
+        |        / (dft.df_t + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / scal.avgdl))
+        |      AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN scal)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
+        |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_t_bpe_pairs" ->
       """WITH w AS (SELECT word, COUNT(*) AS n FROM (

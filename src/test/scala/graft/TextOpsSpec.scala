@@ -402,6 +402,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 2L -> 0L, 10L -> 1L, 12L -> 1L))
   }
 
+  test("bm25 ranks by term frequency and rewards rare terms over common ones") {
+    val df = Seq(
+      (1L, "x x x pad pad"),            // tf(x)=3
+      (2L, "x pad pad pad pad"),        // tf(x)=1, same length
+      (3L, "rare common pad pad pad"),  // the only 'rare' doc
+      (4L, "common common pad pad pad") // 'common' is everywhere
+      ).toDF("doc_id", "text")
+    val byTf = TextAnalysis.bm25(df, "doc_id", "text", Seq("x"), topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byTf(1L) > byTf(2L))
+    val common = df.withColumn("text", concat(col("text"), lit(" common")))
+    val byIdf = TextAnalysis.bm25(common, "doc_id", "text",
+        Seq("rare", "common"), topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 holds the only 'rare': its idf outweighs doc 4's extra 'common's
+    assert(byIdf(3L) > byIdf(4L))
+  }
+
   test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
     // Sennrich et al.'s canonical corpus shape: low×5 lower×2 newest×6
     // widest×3. Hand computation: es=9 ties st=9 → 'es' wins on left
