@@ -512,6 +512,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Top boilerplate fragments: the most-frequent `width`-code-point
+    * windows corpus-wide, with a deterministic representative text
+    * (from the lowest (id, pos) occurrence). The interpretability
+    * companion to [[repeatedSpans]] — "what IS the boilerplate?" —
+    * and the candidate list for template-stripping rules. Same single
+    * gram pass; the representative rides the same aggregation as a
+    * struct-MIN, so no second corpus scan and no text shuffle beyond
+    * one `width`-char snippet per distinct repeated hash.
+    */
+  def topBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                     width: Int = 30, topK: Int = 10): DataFrame = {
+    require(width > 0, s"window width must be positive, got $width")
+    val grams = df
+      .select(col(idCol), TextFunctions.normalized(col(textCol)).as("_nt"))
+      .select(col(idCol),
+        posexplode(graft.functions.HashFunctions.polyWindowHash(
+          col("_nt"), width)).as(Seq("pos", "gh")),
+        col("_nt"))
+      .select(col("gh"), col(idCol).as("_id"), col("pos"),
+        expr(s"substring(_nt, pos + 1, $width)").as("_frag"))
+    grams.groupBy("gh")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("_id")).as("n_docs"),
+        min(struct(col("_id"), col("pos"), col("_frag"))).as("_rep"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("_rep._frag").as("fragment"), col("n_occurrences"),
+        col("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("fragment"))
+      .limit(topK)
+  }
+
   /** Corpus-wide repeated-substring spans — substring-level dedup in the
     * style of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2022, public arXiv:2107.06499): find every maximal run

@@ -46,6 +46,15 @@ object TextQueries extends QueryPack {
           width = 30)
         .orderBy("doc_id", "span_start")),
 
+    // Boilerplate extraction: the most-frequent repeated 30-char
+    // windows with a deterministic representative text — the
+    // interpretability companion of q_t_repsub and the candidate list
+    // for template-stripping rules.
+    "q_t_boilerplate" -> ((s, dir) =>
+      Dedup.topBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+          width = 30, topK = 10)
+        .orderBy(desc("n_occurrences"), asc("fragment"))),
+
     // Exact 3-shingle Jaccard near-duplicate pairs (threshold 0.4):
     // shingle-join candidate pruning, then exact set similarity.
     "q_t_jaccard_pairs" -> ((s, dir) =>
@@ -682,6 +691,25 @@ object TextQueries extends QueryPack {
         |  MAX(pos) - MIN(pos) + 30 AS span_len
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_t_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |g0 AS (SELECT doc_id, t,
+        |    UNNEST(range(1, CAST(length(t) AS BIGINT) - 28)) AS i FROM d),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    substr(t, CAST(i AS INT), 30) AS frag,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substr(t, CAST(i AS INT), 30), ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS gh
+        |  FROM g0),
+        |a AS (SELECT gh, COUNT(*) AS n_occurrences,
+        |    COUNT(DISTINCT doc_id) AS n_docs,
+        |    (MIN(struct_pack(id := doc_id, pos := pos, frag := frag))).frag AS fragment
+        |  FROM g GROUP BY gh HAVING COUNT(*) > 1)
+        |SELECT fragment, n_occurrences, n_docs FROM a
+        |ORDER BY n_occurrences DESC, fragment LIMIT 10""".stripMargin,
 
     "q_t_jaccard_pairs" ->
       s"""WITH $shingleCte,

@@ -519,6 +519,23 @@ class TextOpsSpec extends SparkSpec {
     assert(spans.contains((1L, 26L, boiler.length.toLong)))
   }
 
+  test("topBoilerplate surfaces the shared fragment with occurrence counts") {
+    val boiler = "subscribe to our newsletter today please" // 40 chars
+    val df = Seq(
+      (1L, s"first unique body text. $boiler"),
+      (2L, s"$boiler second unique tail."),
+      (3L, s"third also carries it: $boiler"),
+      (4L, "nothing shared in this one at all, purely unique words."))
+      .toDF("doc_id", "text")
+    val top = Dedup.topBoilerplate(df, "doc_id", "text", width = 30, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every window inside the 40-char boilerplate occurs in 3 docs;
+    // the top fragment is one of them, with representative text intact
+    assert(top.head._2 === 3L && top.head._3 === 3L)
+    assert(boiler.contains(top.head._1) || top.head._1.length == 30)
+    assert(boiler.sliding(30).contains(top.head._1))
+  }
+
   test("repeatedSpans counts within-document repeats toward the occurrence bound") {
     val chunk = "this exact sentence repeats twice inside one document"
     val df = Seq(
