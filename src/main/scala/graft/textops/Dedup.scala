@@ -516,31 +516,36 @@ object Dedup {
     * windows corpus-wide, with a deterministic representative text
     * (from the lowest (id, pos) occurrence). The interpretability
     * companion to [[repeatedSpans]] — "what IS the boilerplate?" —
-    * and the candidate list for template-stripping rules. Same single
-    * gram pass; the representative rides the same aggregation as a
-    * struct-MIN, so no second corpus scan and no text shuffle beyond
-    * one `width`-char snippet per distinct repeated hash.
+    * and the candidate list for template-stripping rules. The gram
+    * aggregation carries ONLY (hash, id, pos) — never text; fragments
+    * are extracted afterwards for just the `topK` winners via a
+    * broadcast join of their representative (id, pos) coordinates back
+    * to the documents (at 100 TB, shuffling a snippet per gram
+    * occurrence would dwarf the hash aggregation itself). Ties on the
+    * occurrence count break on the gram hash — deterministic on any
+    * engine or layout.
     */
   def topBoilerplate(df: DataFrame, idCol: String, textCol: String,
                      width: Int = 30, topK: Int = 10): DataFrame = {
     require(width > 0, s"window width must be positive, got $width")
     val grams = df
-      .select(col(idCol), TextFunctions.normalized(col(textCol)).as("_nt"))
       .select(col(idCol),
         posexplode(graft.functions.HashFunctions.polyWindowHash(
-          col("_nt"), width)).as(Seq("pos", "gh")),
-        col("_nt"))
-      .select(col("gh"), col(idCol).as("_id"), col("pos"),
-        expr(s"substring(_nt, pos + 1, $width)").as("_frag"))
-    grams.groupBy("gh")
+          TextFunctions.normalized(col(textCol)), width)).as(Seq("pos", "gh")))
+    val top = grams.groupBy("gh")
       .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("_id")).as("n_docs"),
-        min(struct(col("_id"), col("pos"), col("_frag"))).as("_rep"))
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol).as("_id"), col("pos").as("_pos"))).as("_rep"))
       .filter(col("n_occurrences") > 1)
-      .select(col("_rep._frag").as("fragment"), col("n_occurrences"),
-        col("n_docs"))
-      .orderBy(desc("n_occurrences"), asc("fragment"))
+      .orderBy(desc("n_occurrences"), asc("gh"))
       .limit(topK)
+    df.select(col(idCol).as("_id"),
+        TextFunctions.normalized(col(textCol)).as("_nt"))
+      .join(broadcast(top), col("_id") === col("_rep._id"))
+      .select(
+        expr(s"substring(_nt, _rep._pos + 1, $width)").as("fragment"),
+        col("n_occurrences"), col("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("fragment"))
   }
 
   /** Corpus-wide repeated-substring spans — substring-level dedup in the

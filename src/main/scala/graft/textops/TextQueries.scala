@@ -698,7 +698,6 @@ object TextQueries extends QueryPack {
         |g0 AS (SELECT doc_id, t,
         |    UNNEST(range(1, CAST(length(t) AS BIGINT) - 28)) AS i FROM d),
         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    substr(t, CAST(i AS INT), 30) AS frag,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split_regex(substr(t, CAST(i AS INT), 30), ''),
         |        c -> CAST(ord(c) AS BIGINT))),
@@ -706,10 +705,13 @@ object TextQueries extends QueryPack {
         |  FROM g0),
         |a AS (SELECT gh, COUNT(*) AS n_occurrences,
         |    COUNT(DISTINCT doc_id) AS n_docs,
-        |    (MIN(struct_pack(id := doc_id, pos := pos, frag := frag))).frag AS fragment
-        |  FROM g GROUP BY gh HAVING COUNT(*) > 1)
-        |SELECT fragment, n_occurrences, n_docs FROM a
-        |ORDER BY n_occurrences DESC, fragment LIMIT 10""".stripMargin,
+        |    MIN(struct_pack(id := doc_id, pos := pos)) AS rep
+        |  FROM g GROUP BY gh HAVING COUNT(*) > 1
+        |  ORDER BY n_occurrences DESC, gh LIMIT 10)
+        |SELECT substr(d.t, CAST(a.rep.pos + 1 AS INT), 30) AS fragment,
+        |  a.n_occurrences, a.n_docs
+        |FROM a JOIN d ON d.doc_id = a.rep.id
+        |ORDER BY n_occurrences DESC, fragment""".stripMargin,
 
     "q_t_jaccard_pairs" ->
       s"""WITH $shingleCte,
