@@ -144,4 +144,47 @@ class PlanSpec extends SparkSpec {
     // the whole point: no per-group full sort of the fact table
     assert(!p.contains("Window"), p)
   }
+
+  test("weighted sampling plans as TakeOrdered — one scan, no shuffle, no window") {
+    val p = plan("q_t_wsample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // no exchange before the TakeOrdered: per-partition top-k merge only
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("blocked fuzzy join candidates come from hash joins — never nested loops") {
+    val p = plan("q_j9_fuzzy_block")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("PQ encode broadcasts the codebook; repeated spans never cross-join") {
+    val pq = plan("q_t_pq_codes")
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    val rs = plan("q_t_repsub")
+    assert(!rs.contains("BroadcastNestedLoopJoin") && !rs.contains("CartesianProduct"), rs)
+    // the occurrence filter is ONE window over the gram hash (plus no
+    // second derivation of the gram relation feeding a join)
+    assert(rs.split("poly_window_hash").length - 1 <= 2, rs) // project + window refs, not two scans
+  }
+
+  test("multi-probe IVF search ends in TakeOrdered with hash-join candidates") {
+    val p = plan("q_t_ivf_probe")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("k-anonymity is a single window pass — no self-join") {
+    val p = plan("q_p12_kanon")
+    assert(p.split("Window").length - 1 >= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("expectations check is one aggregation pass over the data") {
+    val p = plan("q_a18_expectations")
+    // uniqueness rides Expand inside the same aggregate — no join, no
+    // second scan of customer
+    assert(!p.contains("Join"), p)
+    assert(p.split("FileScan").length - 1 === 1, p)
+  }
 }
