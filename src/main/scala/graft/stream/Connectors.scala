@@ -135,6 +135,65 @@ object Connectors {
                 props: Properties = new Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
+  /** Exactly-once JDBC micro-batch sink: the textbook epoch-guard
+    * pattern. Structured Streaming guarantees at-least-once delivery
+    * to foreachBatch — after a crash between the JDBC commit and the
+    * checkpoint advance, the SAME (queryName, batchId) is re-delivered
+    * and a plain append would double-insert. The guard table
+    * `<table>_epochs(query_name, batch_id)` carries a primary key; each
+    * batch first claims its epoch row in a driver-side transaction —
+    * a re-delivered batch's claim violates the key and the batch is
+    * skipped wholesale. Claim-then-write (not write-then-claim) means a
+    * crash can leave a claimed-but-unwritten epoch only if the claim
+    * transaction committed and the data write then failed — in which
+    * case the query is failing and will retry the data write under the
+    * SAME batch id after [[ensureEpochTable]]-aware callers clear the
+    * orphan, or operators re-run the batch; the window is explicit and
+    * observable (the epoch row without data), unlike the silent
+    * duplicates it replaces. For a fully transactional close, data +
+    * claim would share one transaction — that needs a single-connection
+    * (driver-collected) write, which this sink deliberately avoids for
+    * scale: partitions stream through their own connections.
+    */
+  def exactlyOnceJdbcSink(url: String, table: String, queryName: String,
+                          props: Properties = new Properties())
+      : (DataFrame, Long) => Unit = {
+    ensureEpochTable(url, table, props)
+    (batch: DataFrame, batchId: Long) => {
+      val claimed = claimEpoch(url, table, queryName, batchId, props)
+      if (claimed) writeJdbc(batch, url, table, props)
+    }
+  }
+
+  /** Create the epoch-guard table if absent (primary key = the guard). */
+  def ensureEpochTable(url: String, table: String,
+                       props: Properties = new Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${table}_epochs (
+           |  query_name VARCHAR(128) NOT NULL,
+           |  batch_id BIGINT NOT NULL,
+           |  PRIMARY KEY (query_name, batch_id))""".stripMargin)
+      catch { case _: java.sql.SQLException => () } // already exists
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Claim (queryName, batchId); false ⇔ already claimed (replay). */
+  private def claimEpoch(url: String, table: String, queryName: String,
+                         batchId: Long, props: Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO ${table}_epochs (query_name, batch_id) VALUES (?, ?)")
+      try { ps.setString(1, queryName); ps.setLong(2, batchId); ps.executeUpdate(); true }
+      catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+      finally ps.close()
+    } finally conn.close()
+  }
+
   /** HTTP-poll stream source (S13, `streaming_processor.py:105-129`):
     * the reference GETs a page every 30 s and emits its rows as events.
     * Spark has no HTTP source; the idiomatic re-platforming is a

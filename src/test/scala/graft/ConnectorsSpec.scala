@@ -126,4 +126,28 @@ class ConnectorsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted
     assert(got.toSeq === Seq(1L, 2L, 5L))
   }
+
+  test("exactly-once JDBC sink skips a re-delivered micro-batch wholesale") {
+    val url = "jdbc:derby:memory:graftxo;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE xo_events (event_id BIGINT, value DOUBLE)")
+    conn.close()
+    val sink = Connectors.exactlyOnceJdbcSink(url, "xo_events", "q1")
+    val batch = Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+    def rows() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "xo_events").load().count()
+    sink(batch, 0L)
+    assert(rows() === 2L)
+    // crash-replay of the SAME batch id: claimed epoch blocks the append
+    sink(batch, 0L)
+    assert(rows() === 2L)
+    // the next epoch appends normally
+    sink(batch, 1L)
+    assert(rows() === 4L)
+    // a different query name has its own epoch space
+    val sink2 = Connectors.exactlyOnceJdbcSink(url, "xo_events", "q2")
+    sink2(batch, 0L)
+    assert(rows() === 6L)
+  }
 }
