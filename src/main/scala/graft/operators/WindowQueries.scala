@@ -221,7 +221,7 @@ object WindowQueries extends QueryPack {
         |      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vff
         |  FROM j)
         |SELECT user_id, COUNT(*) AS n_days,
-        |  SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS n_observed,
+        |  CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
         |  CAST(SUM(vff) AS DOUBLE) AS sum_ff
         |FROM ff GROUP BY user_id ORDER BY user_id""".stripMargin,
 
