@@ -135,33 +135,54 @@ object Connectors {
                 props: Properties = new Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
-  /** Exactly-once JDBC micro-batch sink: the textbook epoch-guard
-    * pattern. Structured Streaming guarantees at-least-once delivery
-    * to foreachBatch — after a crash between the JDBC commit and the
-    * checkpoint advance, the SAME (queryName, batchId) is re-delivered
-    * and a plain append would double-insert. The guard table
-    * `<table>_epochs(query_name, batch_id)` carries a primary key; each
-    * batch first claims its epoch row in a driver-side transaction —
-    * a re-delivered batch's claim violates the key and the batch is
-    * skipped wholesale. Claim-then-write (not write-then-claim) means a
-    * crash can leave a claimed-but-unwritten epoch only if the claim
-    * transaction committed and the data write then failed — in which
-    * case the query is failing and will retry the data write under the
-    * SAME batch id after [[ensureEpochTable]]-aware callers clear the
-    * orphan, or operators re-run the batch; the window is explicit and
-    * observable (the epoch row without data), unlike the silent
-    * duplicates it replaces. For a fully transactional close, data +
-    * claim would share one transaction — that needs a single-connection
-    * (driver-collected) write, which this sink deliberately avoids for
-    * scale: partitions stream through their own connections.
+  /** Exactly-once JDBC micro-batch sink: stage → publish, with the
+    * epoch claim as the COMMIT POINT. Structured Streaming guarantees
+    * at-least-once delivery to foreachBatch — after a crash between the
+    * JDBC commit and the checkpoint advance, the SAME (queryName,
+    * batchId) is re-delivered and a plain append would double-insert.
+    *
+    * Protocol per batch:
+    *   1. Fast-path skip if `(queryName, batchId)` is already claimed
+    *      in `<table>_epochs` (primary-keyed guard table).
+    *   2. Partitions append the batch IN PARALLEL through their own
+    *      connections to `<table>_stage`, tagged with
+    *      (query, batch, attempt-UUID) — the scale path: no
+    *      driver-collected data write.
+    *   3. ONE driver-side transaction: INSERT the epoch row, then
+    *      `INSERT INTO target SELECT ... FROM stage WHERE attempt = ?`,
+    *      then COMMIT. The data move is database-internal set work.
+    *
+    * Because claim + publish share a transaction, every crash window is
+    * safe: before the commit, the target holds no batch rows and the
+    * epoch is unclaimed → the re-delivered batch re-stages (fresh
+    * attempt id orphans any partial prior staging) and publishes;
+    * after the commit, the data is already in the target and the replay
+    * is skipped at step 1. A concurrent duplicate attempt loses the
+    * epoch-key race and its whole transaction — including its data
+    * insert — rolls back, so exactly one attempt ever commits. The
+    * earlier claim-then-write design could silently drop a batch when
+    * the data write failed after the claim committed; here no orphan
+    * epoch row can exist.
     */
   def exactlyOnceJdbcSink(url: String, table: String, queryName: String,
                           props: Properties = new Properties())
       : (DataFrame, Long) => Unit = {
     ensureEpochTable(url, table, props)
     (batch: DataFrame, batchId: Long) => {
-      val claimed = claimEpoch(url, table, queryName, batchId, props)
-      if (claimed) writeJdbc(batch, url, table, props)
+      if (!epochClaimed(url, table, queryName, batchId, props)) {
+        val stage = s"${table}_stage"
+        val attempt = java.util.UUID.randomUUID().toString
+        appendRaceSafe(batch
+          .withColumn("_query_name", lit(queryName))
+          .withColumn("_batch_id", lit(batchId))
+          .withColumn("_attempt", lit(attempt)), url, stage, props)
+        // the publish INSERT..SELECT needs the target to exist; a
+        // zero-row append creates it idempotently with matching columns
+        appendRaceSafe(batch.limit(0), url, table, props)
+        publishStaged(url, table, stage, queryName, batchId, attempt,
+          batch.columns.toSeq, props)
+      }
+      clearStage(url, s"${table}_stage", queryName, batchId, props)
     }
   }
 
@@ -181,17 +202,118 @@ object Connectors {
     } finally conn.close()
   }
 
-  /** Claim (queryName, batchId); false ⇔ already claimed (replay). */
-  private def claimEpoch(url: String, table: String, queryName: String,
-                         batchId: Long, props: Properties): Boolean = {
+  /** True ⇔ (queryName, batchId) already published (replay fast path). */
+  def epochClaimed(url: String, table: String, queryName: String,
+                   batchId: Long, props: Properties = new Properties()): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val ps = conn.prepareStatement(
-        s"INSERT INTO ${table}_epochs (query_name, batch_id) VALUES (?, ?)")
-      try { ps.setString(1, queryName); ps.setLong(2, batchId); ps.executeUpdate(); true }
-      catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
-      finally ps.close()
+        s"SELECT 1 FROM ${table}_epochs WHERE query_name = ? AND batch_id = ?")
+      try {
+        ps.setString(1, queryName); ps.setLong(2, batchId)
+        val rs = ps.executeQuery(); try rs.next() finally rs.close()
+      } finally ps.close()
     } finally conn.close()
+  }
+
+  /** Unique-key violation across drivers: the dedicated exception class
+    * (Derby) OR SQLState class 23 (integrity constraint violation —
+    * Postgres, MySQL, SQLite signal duplicates this way without
+    * extending SQLIntegrityConstraintViolationException).
+    */
+  private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      (e.getSQLState != null && e.getSQLState.startsWith("23"))
+
+  /** Atomic publish: claim the epoch and move this attempt's staged
+    * rows into the target in ONE transaction. Returns false (rolling
+    * everything back) iff another attempt already claimed the epoch.
+    * Column lists are resolved from each table's actual metadata and
+    * matched case-insensitively — the target may pre-exist with a
+    * different identifier case than the Spark-created stage table.
+    */
+  private def publishStaged(url: String, table: String, stage: String,
+                            queryName: String, batchId: Long, attempt: String,
+                            dataCols: Seq[String], props: Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val claim = conn.prepareStatement(
+          s"INSERT INTO ${table}_epochs (query_name, batch_id) VALUES (?, ?)")
+        try { claim.setString(1, queryName); claim.setLong(2, batchId); claim.executeUpdate() }
+        finally claim.close()
+        val targetByLower = tableColumns(conn, table).map(c => c.toLowerCase -> c).toMap
+        val stageByLower = tableColumns(conn, stage).map(c => c.toLowerCase -> c).toMap
+        def resolve(m: Map[String, String], c: String, t: String): String =
+          m.getOrElse(c.toLowerCase,
+            throw new IllegalStateException(s"column $c missing in $t"))
+        val insertList = dataCols.map(c => "\"" + resolve(targetByLower, c, table) + "\"").mkString(", ")
+        val selectList = dataCols.map(c => "\"" + resolve(stageByLower, c, stage) + "\"").mkString(", ")
+        val attemptCol = "\"" + resolve(stageByLower, "_attempt", stage) + "\""
+        // CAST: Derby maps StringType to CLOB, which '=' can't compare
+        val mv = conn.prepareStatement(
+          s"""INSERT INTO $table ($insertList) SELECT $selectList FROM $stage
+             |WHERE CAST($attemptCol AS VARCHAR(64)) = ?""".stripMargin)
+        try { mv.setString(1, attempt); mv.executeUpdate() }
+        finally mv.close()
+        conn.commit(); true
+      } catch {
+        case e: java.sql.SQLException if isDuplicateKey(e) => conn.rollback(); false
+        case e: Throwable => conn.rollback(); throw e
+      }
+    } finally conn.close()
+  }
+
+  /** Stage hygiene: drop all staged rows for a published (or skipped)
+    * batch. Pure cleanup — staged rows can never publish once their
+    * epoch is claimed — so failures are swallowed, not fatal.
+    */
+  private def clearStage(url: String, stage: String, queryName: String,
+                         batchId: Long, props: Properties): Unit =
+    try {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val ps = conn.prepareStatement(
+          s"""DELETE FROM $stage
+             |WHERE CAST("_query_name" AS VARCHAR(128)) = ? AND "_batch_id" = ?""".stripMargin)
+        try { ps.setString(1, queryName); ps.setLong(2, batchId); ps.executeUpdate(); () }
+        finally ps.close()
+      } finally conn.close()
+    } catch { case _: java.sql.SQLException => () }
+
+  /** Append that tolerates a concurrent create of the same table:
+    * Spark's append mode does exists-check-then-create, so two racing
+    * first appends can both try CREATE TABLE — the loser retries, the
+    * table now existing.
+    */
+  private def appendRaceSafe(df: DataFrame, url: String, table: String,
+                             props: Properties): Unit =
+    try df.write.mode("append").jdbc(url, table, props)
+    catch {
+      case e: java.sql.SQLException if isTableExists(e) =>
+        df.write.mode("append").jdbc(url, table, props)
+    }
+
+  /** 'Table already exists' across drivers: Derby X0Y32, Postgres
+    * 42P07, MySQL 42S01, plus the message as a fallback.
+    */
+  private def isTableExists(e: java.sql.SQLException): Boolean = {
+    val st = e.getSQLState
+    (st != null && (st == "X0Y32" || st == "42P07" || st == "42S01")) ||
+      (e.getMessage != null && e.getMessage.toLowerCase.contains("already exists"))
+  }
+
+  /** Actual column names of a table, via a zero-row probe. */
+  private def tableColumns(conn: java.sql.Connection, table: String): Seq[String] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+      try {
+        val md = rs.getMetaData
+        (1 to md.getColumnCount).map(md.getColumnName)
+      } finally rs.close()
+    } finally st.close()
   }
 
   /** HTTP-poll stream source (S13, `streaming_processor.py:105-129`):

@@ -150,4 +150,83 @@ class ConnectorsSpec extends SparkSpec {
     sink2(batch, 0L)
     assert(rows() === 6L)
   }
+
+  test("exactly-once sink survives a crash between staging and publish — no loss, no dupes") {
+    val url = "jdbc:derby:memory:graftxo2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE xo2_events (event_id BIGINT, value DOUBLE)")
+    conn.close()
+    val batch = Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+    def rows() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "xo2_events").load().count()
+
+    // Simulate the crash window the old claim-first design lost data in:
+    // a prior attempt staged its rows but died before the claim+publish
+    // transaction. Its orphan rows sit in the stage table under a dead
+    // attempt id; the epoch is still unclaimed.
+    val sink = Connectors.exactlyOnceJdbcSink(url, "xo2_events", "q1")
+    Connectors.writeJdbc(
+      batch.withColumn("_query_name", lit("q1"))
+        .withColumn("_batch_id", lit(7L))
+        .withColumn("_attempt", lit("dead-attempt")),
+      url, "xo2_events_stage")
+    assert(rows() === 0L) // nothing published by the dead attempt
+
+    // The re-delivered batch must land EXACTLY once: the retry's fresh
+    // attempt id publishes its own staged rows; the orphans never do.
+    sink(batch, 7L)
+    assert(rows() === 2L)
+    sink(batch, 7L) // and a replay after success is still skipped
+    assert(rows() === 2L)
+    // stage hygiene: published/skipped batches leave no staged rows
+    val staged = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "xo2_events_stage").load().count()
+    assert(staged === 0L)
+  }
+
+  test("exactly-once sink: two concurrent writers of the same epoch — exactly one commits") {
+    val url = "jdbc:derby:memory:graftxo3;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE xo3_events (event_id BIGINT, value DOUBLE)")
+    conn.close()
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("event_id", "value")
+    val sink = Connectors.exactlyOnceJdbcSink(url, "xo3_events", "q1")
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val fs = (1 to 2).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await()
+            try sink(batch, 42L)
+            catch { case t: Throwable => errs.add(t) }
+          }
+        })
+      }
+      gate.countDown()
+      fs.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(errs.isEmpty, s"racing sink threw: ${errs.asScala.toList}")
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "xo3_events").load()
+    assert(got.count() === 3L) // one copy, not two
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("duplicate-key detection matches SQLState class 23 across drivers") {
+    // Derby signals via the dedicated subclass; Postgres/MySQL/SQLite
+    // raise plain SQLExceptions carrying SQLState 23xxx — both must be
+    // treated as 'already claimed', anything else must propagate.
+    assert(Connectors.isDuplicateKey(
+      new java.sql.SQLIntegrityConstraintViolationException("dup", "23505")))
+    assert(Connectors.isDuplicateKey(new java.sql.SQLException("dup", "23505")))
+    assert(Connectors.isDuplicateKey(new java.sql.SQLException("dup", "23000")))
+    assert(!Connectors.isDuplicateKey(new java.sql.SQLException("io", "08006")))
+    assert(!Connectors.isDuplicateKey(new java.sql.SQLException("boom", null: String)))
+  }
 }
