@@ -257,9 +257,23 @@ object Dedup {
     * across runs and clusters.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 64): DataFrame =
-    signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
+                        shingleN: Int = 3, numHashes: Int = 64,
+                        family: HashFamily = HashFamily.Xx64): DataFrame =
+    signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
       .select(col(idCol), col("sig"))
+
+  /** The fixed-seed permutation coefficients (a_i, b_i) — public so the
+    * DuckDB oracle SQL can embed the IDENTICAL constants and replay the
+    * signature arithmetic bit-for-bit.
+    */
+  def minhashCoefficients(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** The Mersenne-prime modulus of the permutation hashes. */
+  val MinhashPrime: Long = 2147483647L // 2^31 − 1
 
   /** Signatures + the per-document distinct-shingle count from ONE
     * aggregation pass: the set size the Jaccard verifier needs is a
@@ -270,15 +284,14 @@ object Dedup {
     * branches).
     */
   private def signaturesWithSize(df: DataFrame, idCol: String, textCol: String,
-                                 shingleN: Int, numHashes: Int): DataFrame = {
+                                 shingleN: Int, numHashes: Int,
+                                 family: HashFamily = HashFamily.Xx64): DataFrame = {
     // Coefficients and the base hash are bounded to 31 bits so a·h + b
     // stays below 2^62 — no overflow under ANSI mode (Spark 4 default),
     // and the same arithmetic would be portable to engines that trap.
-    val p = 2147483647L // 2^31 − 1 (Mersenne prime)
-    val rnd = new scala.util.Random(42)
-    val coef = Seq.fill(numHashes)(
-      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
+    val p = MinhashPrime
+    val coef = minhashCoefficients(numHashes)
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN, family)
       .withColumn("h", pmod(col("shingle"), lit(p)))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
@@ -291,10 +304,20 @@ object Dedup {
   }
 
   /** Banding expression over a `sig` array column: band j's key is the
-    * xxhash64 of its `r` consecutive signature entries.
+    * family hash of its `r` consecutive signature entries (Xx64 hashes
+    * the slice directly; the portable family hashes the comma-joined
+    * decimal string an oracle can rebuild).
     */
-  private def bandKeysExpr(r: Int, bands: Int) = expr(
-    s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r)))")
+  private def bandKeysExpr(r: Int, bands: Int,
+                           family: HashFamily = HashFamily.Xx64) = {
+    val key = family match {
+      case HashFamily.Xx64 => s"xxhash64(slice(sig, j * $r + 1, $r))"
+      case HashFamily.Md5Portable => TextFunctions.hashSql(
+        s"array_join(transform(slice(sig, j * $r + 1, $r), x -> CAST(x AS STRING)), ',')",
+        family)
+    }
+    expr(s"transform(sequence(0, ${bands - 1}), j -> $key)")
+  }
 
   /** The (id, band, key) LSH banding relation on its own — the
     * candidate-generation half of [[minhashLshPairs]], exposed for
@@ -305,11 +328,12 @@ object Dedup {
     */
   def bandSignatures(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16): DataFrame = {
+                     bands: Int = 16,
+                     family: HashFamily = HashFamily.Xx64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
-      .select(col(idCol), posexplode(bandKeysExpr(r, bands)).as(Seq("band", "key")))
+    signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
+      .select(col(idCol), posexplode(bandKeysExpr(r, bands, family)).as(Seq("band", "key")))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`bands` ×
@@ -320,12 +344,13 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.5,
+                      family: HashFamily = HashFamily.Xx64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes)
+    val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
     val banded = sigSize.select(col(idCol),
-      posexplode(bandKeysExpr(r, bands)).as(Seq("band", "key")))
+      posexplode(bandKeysExpr(r, bands, family)).as(Seq("band", "key")))
     val candidates = banded.toDF("doc_a", "band", "key")
       .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -334,7 +359,7 @@ object Dedup {
     // Exact verification restricted to candidates — the sketch only
     // prunes, it never decides. Set sizes ride along with the
     // signatures (same aggregation pass — see signaturesWithSize).
-    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN)
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN, family)
     val sizes = sigSize.select(col(idCol), col("n_sh"))
     pairsJaccard(candidates, sh, sizes, idCol, threshold)
   }
@@ -455,10 +480,11 @@ object Dedup {
     * whole-stage codegen, and the groupBy's partial aggregation already
     * keeps the shuffle at one 64-column row per document.)
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              family: HashFamily = HashFamily.Xx64): DataFrame = {
     val tok = df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", expr(TextFunctions.hashSql("tok", family)))
     val votes = (0 until 64).map { k =>
       sum(when(expr(s"shiftright(h, $k) & 1") === 1, 1).otherwise(-1)).as(s"_v$k")
     }
@@ -481,7 +507,8 @@ object Dedup {
     * Hamming filter after the join keeps the result correct either way.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      family: HashFamily = HashFamily.Xx64): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -494,7 +521,7 @@ object Dedup {
       struct(lit(j).as("chunk_i"),
         expr(s"shiftright(simhash, $off)").bitwiseAND(lit(mask)).as("chunk_v"))
     }
-    val sk = simhash(df, idCol, textCol)
+    val sk = simhash(df, idCol, textCol, family)
     val chunks = sk
       .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_i"), col("c.chunk_v"))

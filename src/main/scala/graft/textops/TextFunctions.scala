@@ -3,11 +3,40 @@ package graft.textops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Base-hash family for the sketching operators (MinHash banding,
+  * SimHash). The VALUES of these hashes decide the result (min over
+  * permutations, sketch bits), unlike the Jaccard/decontamination
+  * paths where any injective key works — so the family is a visible
+  * parameter, not an implementation detail.
+  */
+sealed trait HashFamily
+object HashFamily {
+  /** xxhash64 — the production default: fastest, codegen'd, 64-bit. */
+  case object Xx64 extends HashFamily
+
+  /** 60-bit hash from the first 15 hex digits of md5 — bit-identical
+    * in ANY engine with md5 (DuckDB, Postgres, Python...), which makes
+    * sketch results cross-checkable against an independent SQL oracle.
+    * Four fewer effective bits than [[Xx64]] — immaterial for banding
+    * or sketch quality, and the positive 60-bit range sidesteps
+    * signed-shift divergence across engines.
+    */
+  case object Md5Portable extends HashFamily
+}
+
 /** Shared text-pipeline column builders. Everything here is built-in
   * Catalyst expressions (codegen'd, no UDFs) so the hot path stays
   * inside whole-stage codegen at 100 TB.
   */
 object TextFunctions {
+
+  /** SQL snippet hashing expression `x` (a string) under `family`. */
+  private[textops] def hashSql(x: String, family: HashFamily): String =
+    family match {
+      case HashFamily.Xx64 => s"xxhash64($x)"
+      case HashFamily.Md5Portable =>
+        s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+    }
 
   /** Whitespace-normalized, lowercased canonical form for fingerprinting. */
   def normalized(text: Column): Column =
@@ -75,12 +104,21 @@ object TextFunctions {
     * faster than the interpreted higher-order-function variant at
     * sf0.1.
     */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   family: HashFamily = HashFamily.Xx64): DataFrame = {
+    // Xx64 hashes the token slice directly (no string materialization);
+    // the portable family hashes the space-joined shingle string — the
+    // exact form a SQL oracle can reproduce from its own tokenizer.
+    val sh = family match {
+      case HashFamily.Xx64 => s"xxhash64(slice(toks, i + 1, $n))"
+      case HashFamily.Md5Portable =>
+        hashSql(s"array_join(slice(toks, i + 1, $n), ' ')", family)
+    }
     val toks = tokens(col(textCol))
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> xxhash64(slice(toks, i + 1, $n)))"))
+        s"transform(sequence(0, size(toks) - $n), i -> $sh)"))
         .as("shingle"))
       .distinct()
   }

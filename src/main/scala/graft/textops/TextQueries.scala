@@ -105,11 +105,16 @@ object TextQueries extends QueryPack {
         .orderBy("source")),
 
     // MinHash + LSH near-dup pairs (candidates via banded signatures,
-    // verified with exact Jaccard). No SQL oracle (approximate pruning);
-    // recall vs q_t_jaccard_pairs is asserted in DedupSpec.
+    // verified with exact Jaccard). Runs the Md5Portable hash family so
+    // the DuckDB oracle replays the ENTIRE sketch pipeline — 64
+    // permutation hashes, 16-band keys, candidate join, exact verify —
+    // bit-for-bit (xxhash64, the production default, has no SQL
+    // counterpart). Recall vs q_t_jaccard_pairs is asserted in
+    // DedupSpec for both families.
     "q_t_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4,
+          family = HashFamily.Md5Portable)
         .orderBy("doc_a", "doc_b")),
 
     // SimHash near-dups within Hamming distance 3 of the 64-bit sketch —
@@ -118,9 +123,12 @@ object TextQueries extends QueryPack {
     // from the radius) but are not meaningful dedup on this corpus:
     // d=12 marks ~8% of ALL doc pairs as "near-dups" (~1M pairs at
     // sf0.1) while generating 30M+ LSH candidates.
+    // Md5Portable family (like q_t_minhash_lsh): every token hash, all
+    // 64 bit votes, the 4-chunk banding, and the Hamming filter are
+    // replayed in the DuckDB oracle.
     "q_t_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, family = HashFamily.Md5Portable)
         .orderBy("doc_a", "doc_b")),
 
     // Brute-force cosine top-k against the corpus's own first vector,
@@ -613,6 +621,90 @@ object TextQueries extends QueryPack {
       |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of `minhashLshPairs(..., 64, 16, 0.4, Md5Portable)`:
+    * base hash = first 15 md5 hex digits of the shingle string (the
+    * '0x'-prefix BIGINT cast is DuckDB's conv equivalent), permutation
+    * mins with the EXACT coefficients the Spark side draws from its
+    * fixed seed, band keys as md5 of the comma-joined 4-slice, then the
+    * same candidate-join + exact-Jaccard tail as q_t_jaccard_pairs.
+    * All operands stay positive so `%` ≡ pmod on both engines.
+    */
+  private def minhashLshOracleSql: String = {
+    val p = Dedup.MinhashPrime
+    val mins = Dedup.minhashCoefficients(64).zipWithIndex.map {
+      case ((a, b), i) => s"MIN((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n|    ")
+    val bandRows = (0 until 16).map { j =>
+      val parts = (j * 4 until j * 4 + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, CAST(('0x' || substring(md5($parts), 1, 15)) AS BIGINT) AS key FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $shingleCte,
+       |hb AS (SELECT doc_id,
+       |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $p AS h
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hb GROUP BY doc_id),
+       |band AS ($bandRows),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB replay of `simhashNearDups(..., maxHamming = 3,
+    * Md5Portable)`: every token OCCURRENCE votes ±1 per bit (no
+    * distinct), sketch bits assemble from vote signs, 4 chunks of 16
+    * bits band the candidates, and the exact Hamming filter decides.
+    * The 60-bit md5 base keeps every sketch positive — identical
+    * shift/mask semantics on both engines.
+    */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 64).map(k =>
+      s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k")
+      .mkString(",\n|    ")
+    val bits = (0 until 64).map(k =>
+      s"(CASE WHEN v$k > 0 THEN (CAST(1 AS BIGINT) << $k) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n|    | ")
+    val chunks = (0 until 4).map(j =>
+      s"SELECT doc_id, simhash, $j AS chunk_i, (simhash >> ${j * 16}) & 65535 AS chunk_v FROM sk")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(ws) AS tok FROM w),
+       |hb AS (SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM hb GROUP BY doc_id),
+       |sk AS (SELECT doc_id,
+       |    $bits AS simhash
+       |  FROM votes),
+       |chunks AS ($chunks),
+       |cand AS (SELECT a.doc_id AS doc_a, a.simhash AS sim_a,
+       |    b.doc_id AS doc_b, b.simhash AS sim_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_i = b.chunk_i AND a.chunk_v = b.chunk_v
+       |    AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT doc_a, doc_b,
+       |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // DuckDB-side PQ codebook + encoding (dim 64, m=4 sub-spaces, k=4
   // codes, one Lloyd step from the 4 lowest-id seeds) — mirrors
   // Similarity.pqTrain/pqEncode arithmetic exactly: squared L2 as three
@@ -650,6 +742,17 @@ object TextQueries extends QueryPack {
       |enc AS (SELECT vec_id, sub, m.code AS code FROM enc0)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // Full MinHash-LSH replay under the Md5Portable family: the same
+    // 64 fixed-seed permutation coefficients (embedded as literals via
+    // Dedup.minhashCoefficients — single source of truth), the same
+    // 60-bit md5 base hash, the same 16 band keys, candidate join and
+    // exact-Jaccard verification.
+    "q_t_minhash_lsh" -> minhashLshOracleSql,
+
+    // Full SimHash replay: per-occurrence token hashes, 64 bit votes,
+    // 4×16-bit chunk banding, exact Hamming filter.
+    "q_t_simhash" -> simhashOracleSql,
+
     "q_t_exact_dedup" ->
       s"""SELECT COUNT(*) AS n_docs,
          |  COUNT(DISTINCT $fpSql) AS n_distinct_texts,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.textops.{Curation, Dedup, Similarity, SyntheticCorpus, TextAnalysis, TextFunctions}
+import graft.textops.{Curation, Dedup, HashFamily, Similarity, SyntheticCorpus, TextAnalysis, TextFunctions}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,14 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.9,
       s"LSH recall ${lsh.size}/${exact.size} below 0.9")
+    // the oracle-portable hash family is the same algorithm under a
+    // different base hash — same subset/recall contract must hold
+    val md5Lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.4,
+        family = HashFamily.Md5Portable)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(md5Lsh.subsetOf(exact))
+    assert(exact.isEmpty || md5Lsh.size.toDouble / exact.size >= 0.9,
+      s"Md5Portable LSH recall ${md5Lsh.size}/${exact.size} below 0.9")
   }
 
   test("simhash of identical docs is identical; near docs within small hamming") {
@@ -56,6 +64,14 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sk(1L) === sk(2L))
     assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 10)
+    // portable family: same contract, and sketches stay in the
+    // positive 60-bit range (the property that makes shift/mask
+    // semantics engine-identical)
+    val pk = Dedup.simhash(df, "doc_id", "text", HashFamily.Md5Portable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pk(1L) === pk(2L))
+    assert(java.lang.Long.bitCount(pk(1L) ^ pk(3L)) > 10)
+    assert(pk.values.forall(v => v >= 0 && v < (1L << 60)))
   }
 
   test("hyperplane-LSH cosine pairs find synthetic near-duplicate vectors") {
