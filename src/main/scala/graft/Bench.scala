@@ -18,7 +18,12 @@ object Bench {
         .selectExpr("upper(trim(r_name)) AS n", "r_regionkey")
         .where("n LIKE '%A%'").orderBy("n").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter (exact or substring) for local iteration on
+    // one query's plan; the driver passes no args and benches the lot.
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -42,8 +47,10 @@ object Bench {
     // durable record of every per-query timing.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // A filtered run must not clobber the durable full-map record.
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // `slowest` (not `queries`): this is a subset — summing it would NOT
     // reproduce the total. Full map: BENCH_QUERIES.json + the part lines.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")

@@ -22,42 +22,69 @@ object Graph {
     * before the incoming-edge SUM (order-independent — a raw double
     * sum would depend on partitioning), and each iteration's rank is
     * rounded to 10 dp as PART OF THE ALGORITHM, so two engines can
-    * never drift. Per iteration: one join of edges against the k-row
-    * rank relation + one hash aggregation on the destination —
-    * `localCheckpoint` truncates the lineage exactly as in the CC
-    * loop. Returns (node, rank) with rank rounded to 6 dp.
+    * never drift.
+    *
+    * What materializes and what stays lazy — the measured split:
+    * the symmetrized-distinct edge relation and the degree relation
+    * checkpoint ONCE (they are the narrow inputs every iteration
+    * reuses; GraphX materializes the same two), while the fat
+    * edge⋈degree join, the per-iteration contributions, and the rank
+    * updates stay lazy — a fixed iteration count makes no driver-side
+    * decisions, so the iterations compose into ONE final query whose
+    * identical edge/degree sides dedup via exchange reuse (AQE
+    * broadcasts the k-row rank relation locally; at cluster scale the
+    * reused src-hash exchange co-locates the join). The node count
+    * joins as a broadcast 1-ROW relation onto the small
+    * post-aggregation relation — never carried through the big edge
+    * shuffle, no `first()` per group. Lineage only needs cutting on
+    * long runs: every 4th iteration a checkpoint truncates the plan.
+    * Returns (node, rank) with rank rounded to 6 dp.
+    *
+    * Feed NARROW node ids: the per-iteration join/shuffle carries the
+    * id on every edge, so a bigint id is ~an order cheaper than a
+    * decorated string — encode labels into numbers and decorate on the
+    * (k-row) output, as q_g1_pagerank does with parity-tagged keys.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                damping: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iteration count must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Deduplicate CANONICAL pairs (least, greatest), then symmetrize
+    // lazily from the checkpointed half: the distinct shuffles and the
+    // materialization carry HALF the symmetrized relation's rows, and
+    // the union back to both directions is pure map work over cached
+    // blocks. Self-loops symmetrize to themselves — swap only proper
+    // pairs or they would double.
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
       .distinct()
       .localCheckpoint()
+    val und = canon.unionByName(
+      canon.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
     // Degrees double as the node relation (symmetrized ⇒ every node is
     // a src): one aggregation yields deg, nodes, AND the count — no
-    // separate distinct passes, and the checkpoint stops the
-    // iterations from re-aggregating the edge relation each round.
+    // separate distinct passes.
     val deg = und.groupBy("src").agg(count(lit(1)).as("_deg"))
       .localCheckpoint()
-    val n = deg.agg(count(lit(1)).as("_n"))
+    val undDeg = und.join(deg, "src")
+    val nDf = deg.agg(count(lit(1)).as("_n"))
     var ranks = deg.select(col("src").as("node"))
-      .crossJoin(broadcast(n))
-      .withColumn("rank", round(lit(1.0) / col("_n"), 10))
-      .localCheckpoint()
+      .crossJoin(broadcast(nDf))
+      .select(col("node"), round(lit(1.0) / col("_n"), 10).as("rank"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
-    for (_ <- 1 to iters) {
-      val contrib = und
-        .join(ranks.select(col("node").as("src"), col("rank"), col("_n")), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"), col("_n"),
+    for (i <- 1 to iters) {
+      val contrib = undDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"),
           (col("rank") / col("_deg")).cast(dec).as("_c"))
       ranks = contrib.groupBy("node")
-        .agg(first(col("_n")).as("_n"),
-          round(lit((1 - damping)) / first(col("_n"))
-            + lit(damping) * sum(col("_c")).cast("double"), 10).as("rank"))
-        .localCheckpoint()
+        .agg(sum(col("_c")).as("_s"))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"), round(lit(1 - damping) / col("_n")
+          + lit(damping) * col("_s").cast("double"), 10).as("rank"))
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }

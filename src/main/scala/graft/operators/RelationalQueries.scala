@@ -318,16 +318,23 @@ object RelationalQueries extends QueryPack {
     }),
 
     // G1 (extension): PageRank over the customer↔supplier bipartite
-    // trade graph (symmetrized; ids disambiguated by prefix), 3 exact
-    // iterations — per-iteration 10 dp rounding is part of the
-    // algorithm so any engine reproduces it bit-for-bit. Top 10.
+    // trade graph (symmetrized), 3 exact iterations — per-iteration
+    // 10 dp rounding is part of the algorithm so any engine reproduces
+    // it bit-for-bit. Node ids ride the iterations as parity-tagged
+    // BIGINTs (customer 2k, supplier 2k+1) — the narrow-key discipline
+    // the operator documents — and decorate to the reference's
+    // 'c…'/'s…' labels only on the 10-row output. Top 10.
     "q_g1_pagerank" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 3)
+        .select(when(col("node") % 2 === 0,
+            concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"), col("rank"))
         .orderBy(desc("rank"), asc("node"))
         .limit(10)
     }),
