@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.WindowQueries,
     graft.operators.RelationalQueries,
     graft.textops.TextQueries,
+    graft.warehouse.WarehouseQueries,
     graft.stream.StreamQueries,
   )
 

@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import graft.operators.{Joins, Ranking}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,58 @@ object StarSchema {
         "name_frequency_rank")
   }
 
+  /** agg_daily_business (`etl/pipeline.py:484-505`): the one-row daily
+    * business rollup — total/new/multi-owner/single-owner distinct
+    * business counts plus the average owners per business — over
+    * dim_business LEFT JOIN fact_business_metrics. The reference stamps
+    * `CURRENT_DATE` and tests `created_at::date = CURRENT_DATE`; load
+    * time and the "new" predicate are caller parameters here so loads
+    * are reproducible (no wall-clock in results). `isNew` evaluates
+    * over the joined dimension/metrics columns — pass an enriched
+    * dim_business when the predicate needs a creation date. The
+    * average is exact-integer SUM/COUNT then one rounding, so any
+    * engine reproduces it bit-for-bit.
+    */
+  def aggDailyBusiness(dimB: DataFrame, metrics: DataFrame, dateId: String,
+                       isNew: Column = lit(false)): DataFrame =
+    dimB.join(metrics.select(col("business_id"), col("total_owners")),
+        Seq("business_id"), "left")
+      .agg(
+        countDistinct(col("business_id")).as("total_businesses"),
+        countDistinct(when(isNew, col("business_id"))).as("new_businesses"),
+        countDistinct(when(col("total_owners") > 1, col("business_id")))
+          .as("multi_owner_businesses"),
+        countDistinct(when(col("total_owners") === 1, col("business_id")))
+          .as("single_owner_businesses"),
+        round(sum(col("total_owners")).cast("double") /
+          count(col("total_owners")), 2).as("avg_owners_per_business"))
+      .withColumn("date_id", to_date(lit(dateId)))
+
+  /** agg_daily_owners (`etl/pipeline.py:507-531`): the one-row daily
+    * owner rollup — total/individual/corporate distinct owner counts,
+    * distinct full names, and the most common role title — over
+    * dim_owner restricted to owners present in the current fact. The
+    * reference's most-common-role scalar subquery (`ORDER BY COUNT(*)
+    * DESC LIMIT 1` — tie-UNSTABLE) becomes the J6 pattern: a 1-row
+    * TakeOrdered relation with a deterministic title tiebreak,
+    * attached by broadcast — no driver fetch.
+    */
+  def aggDailyOwners(dimO: DataFrame, fact: DataFrame, dateId: String): DataFrame = {
+    val current = dimO.join(fact.select("owner_id").distinct(), Seq("owner_id"))
+    val topRole = fact.groupBy("title").agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), asc("title")).limit(1)
+      .select(col("title").as("most_common_role"))
+    current.agg(
+        countDistinct(col("owner_id")).as("total_owners"),
+        countDistinct(when(col("is_individual"), col("owner_id")))
+          .as("individual_owners"),
+        countDistinct(when(!col("is_individual"), col("owner_id")))
+          .as("corporate_owners"),
+        countDistinct(col("full_name")).as("unique_owners"))
+      .crossJoin(broadcast(topRole))
+      .withColumn("date_id", to_date(lit(dateId)))
+  }
+
   /** agg_role_distribution (`etl/pipeline.py:534-549`): counts with
     * percent-of-total over the aggregate.
     */
@@ -195,19 +247,28 @@ object StarSchema {
       .toDF("orphaned_business_fk", "orphaned_owner_fk", "passed")
   }
 
-  /** Full warehouse load over a cleaned staging table. */
-  def loadAll(spark: SparkSession, cleaned: DataFrame): Map[String, DataFrame] = {
+  /** Full warehouse load over a cleaned staging table — every table the
+    * reference load populates (`create_dimensions` → `create_facts` →
+    * `create_aggregations` → validation). `dateId` stamps the daily
+    * aggregate rows (the reference uses CURRENT_DATE; a parameter keeps
+    * loads reproducible).
+    */
+  def loadAll(spark: SparkSession, cleaned: DataFrame,
+              dateId: String = "2024-01-01"): Map[String, DataFrame] = {
     val dimB = dimBusiness(cleaned)
     val dimO = dimOwner(cleaned)
     val dimR = dimRole(spark)
     val fact = factOwnership(cleaned, dimB, dimO, dimR)
+    val metrics = factBusinessMetrics(fact)
     Map(
       "dim_business" -> dimB,
       "dim_owner" -> dimO,
       "dim_role" -> dimR,
       "fact_business_ownership" -> fact,
-      "fact_business_metrics" -> factBusinessMetrics(fact),
+      "fact_business_metrics" -> metrics,
       "fact_owner_demographics" -> factOwnerDemographics(dimO),
+      "agg_daily_business" -> aggDailyBusiness(dimB, metrics, dateId),
+      "agg_daily_owners" -> aggDailyOwners(dimO, fact, dateId),
       "agg_role_distribution" -> aggRoleDistribution(fact),
       "integrity" -> integrityCheck(spark, fact, dimB, dimO))
   }

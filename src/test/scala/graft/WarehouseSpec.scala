@@ -92,6 +92,26 @@ class WarehouseSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"))
   }
 
+  test("daily business aggregate rolls up counts and exact average") {
+    val row = wh("agg_daily_business").collect().head
+    assert(row.getAs[Long]("total_businesses") === 4)
+    assert(row.getAs[Long]("new_businesses") === 0) // no creation predicate given
+    assert(row.getAs[Long]("multi_owner_businesses") === 1)  // MERCER has 2 owners
+    assert(row.getAs[Long]("single_owner_businesses") === 3)
+    assert(row.getAs[Double]("avg_owners_per_business") === 1.25) // 5 owners / 4
+    assert(row.getAs[java.sql.Date]("date_id").toString === "2024-01-01")
+  }
+
+  test("daily owner aggregate splits individual/corporate and picks the top role") {
+    val row = wh("agg_daily_owners").collect().head
+    assert(row.getAs[Long]("total_owners") === 5)
+    assert(row.getAs[Long]("individual_owners") === 4)
+    assert(row.getAs[Long]("corporate_owners") === 1) // ACME's HOLDINGS INC
+    assert(row.getAs[Long]("unique_owners") === 4)    // corporate rows carry no full name
+    // all five titles tie at one fact row — deterministic tiebreak on title
+    assert(row.getAs[String]("most_common_role") === "CEO")
+  }
+
   test("integrity check passes on a consistent load") {
     val verdict = wh("integrity").collect().head
     assert(verdict.getAs[Boolean]("passed"))
