@@ -103,11 +103,26 @@ object LakeStorage {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     val df = spark.read.parquet(path).repartition(targetFiles)
-    val tmp = new Path(path + "_compact_tmp")
+    // Unique suffixes: concurrent compactions of different datasets (or
+    // a crashed predecessor's leftovers) never collide on a fixed name.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"${path}_compact_${token}_tmp")
+    val backup = new Path(s"${path}_compact_${token}_bak")
     df.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    // Swap by rename pairs, never delete-then-rename: a crash at any
+    // point leaves the full data at a recoverable path (live, backup,
+    // or tmp) — the old delete-first order had a window where the
+    // dataset existed nowhere. Readers can still catch the instant
+    // between the two renames; a transactional table format is the
+    // real fix for concurrent readers (see module doc).
+    if (!fs.rename(target, backup))
+      throw new java.io.IOException(s"compact: could not move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(backup, target) // restore the original
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(backup, true)
     n
   }
 
@@ -157,8 +172,18 @@ object LakeStorage {
                             idCol: String, textCol: String, groupCol: String,
                             storedAgg: DataFrame,
                             aggFn: DataFrame => DataFrame): DataFrame = {
-    val changed = snapshotDiff(oldDf, newDf, idCol, textCol)
-      .filter(col("status") =!= "unchanged")
+    // Change detection covers GROUP MEMBERSHIP as well as content: a
+    // row that moves groups with identical text must re-aggregate BOTH
+    // its old and new group — a fingerprint-only diff would label it
+    // "unchanged" and silently diverge from the full recompute. The
+    // null-safe <=> comparisons make added/removed rows (one side all
+    // null) changed by definition.
+    val o = oldDf.select(col(idCol), col(groupCol).as("_og"),
+      graft.textops.TextFunctions.fingerprint(col(textCol)).as("_of"))
+    val n = newDf.select(col(idCol), col(groupCol).as("_ng"),
+      graft.textops.TextFunctions.fingerprint(col(textCol)).as("_nf"))
+    val changed = o.join(n, Seq(idCol), "full_outer")
+      .filter(not(col("_of") <=> col("_nf")) || not(col("_og") <=> col("_ng")))
       .select(col(idCol))
     val touched = oldDf.select(col(idCol), col(groupCol))
       .unionByName(newDf.select(col(idCol), col(groupCol)))

@@ -187,6 +187,14 @@ class IngestLakeSpec extends SparkSpec {
     assert(files() <= 2)
     assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq
       === (1L to 1000L))
+    // the rename-pair swap leaves no tmp/backup residue, and its unique
+    // suffixes let a second compaction run without colliding with the
+    // first one's (already-cleaned) working paths
+    val n2 = LakeStorage.compact(spark, dir, targetFiles = 1)
+    assert(n2 === 1000L)
+    val leftovers = new java.io.File(dir).getParentFile.listFiles
+      .map(_.getName).filter(_.contains("_compact_"))
+    assert(leftovers.isEmpty, s"compaction left working dirs: ${leftovers.toSeq}")
   }
 
   test("audited JSONL read parses good lines and quarantines malformed ones") {
@@ -257,6 +265,26 @@ class IngestLakeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out("A") === ((999L, 4L)))  // carried verbatim, poison intact
     assert(out("B") === ((2L, 6L)))    // recomputed from the new snapshot
+  }
+
+  test("incrementalAggRefresh re-aggregates BOTH groups when a row moves groups unchanged") {
+    import spark.implicits._
+    // doc 2 moves A → B with IDENTICAL text: a fingerprint-only diff
+    // calls it "unchanged" and neither group would refresh — A would
+    // keep counting it, B would never see it
+    val old = Seq((1L, "a b", "A"), (2L, "c d", "A"), (3L, "e f", "B"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((1L, "a b", "A"), (2L, "c d", "B"), (3L, "e f", "B"))
+      .toDF("doc_id", "text", "source")
+    val aggFn = (d: org.apache.spark.sql.DataFrame) => d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val out = LakeStorage.incrementalAggRefresh(old, nw, "doc_id", "text",
+        "source", aggFn(old), aggFn)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = aggFn(nw)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === full) // incremental ≡ full recompute: A=1, B=2
+    assert(out === Map("A" -> 1L, "B" -> 2L))
   }
 
   test("ingest pipeline end-to-end writes parquet and quality JSON") {
