@@ -152,17 +152,26 @@ object Connectors {
     *      `INSERT INTO target SELECT ... FROM stage WHERE attempt = ?`,
     *      then COMMIT. The data move is database-internal set work.
     *
-    * Because claim + publish share a transaction, every crash window is
-    * safe: before the commit, the target holds no batch rows and the
-    * epoch is unclaimed → the re-delivered batch re-stages (fresh
-    * attempt id orphans any partial prior staging) and publishes;
-    * after the commit, the data is already in the target and the replay
-    * is skipped at step 1. A concurrent duplicate attempt loses the
-    * epoch-key race and its whole transaction — including its data
-    * insert — rolls back, so exactly one attempt ever commits. The
-    * earlier claim-then-write design could silently drop a batch when
-    * the data write failed after the claim committed; here no orphan
-    * epoch row can exist.
+    * Because claim + publish share a transaction, the driver-level
+    * crash windows are safe: before the commit, the target holds no
+    * batch rows and the epoch is unclaimed → the re-delivered batch
+    * re-stages (fresh attempt id orphans any partial prior staging)
+    * and publishes; after the commit, the data is already in the
+    * target and the replay is skipped at step 1. A concurrent
+    * duplicate attempt loses the epoch-key race and its whole
+    * transaction — including its data insert — rolls back, so exactly
+    * one attempt ever commits. The earlier claim-then-write design
+    * could silently drop a batch when the data write failed after the
+    * claim committed; here no orphan epoch row can exist.
+    *
+    * Task retries are idempotent too: each partition stages inside its
+    * OWN transaction that first deletes any rows already staged under
+    * this (attempt, partition) pair, then inserts ([[stageBatch]]). A
+    * task that committed its stage rows and then died is retried, and
+    * the retry's leading DELETE removes the first try's rows before
+    * re-inserting — the publish SELECT can never see a partition's
+    * rows twice. (A plain `df.write.jdbc` append lacked this: the
+    * retried task appended a second copy under the same attempt id.)
     */
   def exactlyOnceJdbcSink(url: String, table: String, queryName: String,
                           props: Properties = new Properties())
@@ -172,10 +181,7 @@ object Connectors {
       if (!epochClaimed(url, table, queryName, batchId, props)) {
         val stage = s"${table}_stage"
         val attempt = java.util.UUID.randomUUID().toString
-        appendRaceSafe(batch
-          .withColumn("_query_name", lit(queryName))
-          .withColumn("_batch_id", lit(batchId))
-          .withColumn("_attempt", lit(attempt)), url, stage, props)
+        stageBatch(batch, url, stage, queryName, batchId, attempt, props)
         // the publish INSERT..SELECT needs the target to exist; a
         // zero-row append creates it idempotently with matching columns
         appendRaceSafe(batch.limit(0), url, table, props)
@@ -183,6 +189,85 @@ object Connectors {
           batch.columns.toSeq, props)
       }
       clearStage(url, s"${table}_stage", queryName, batchId, props)
+    }
+  }
+
+  /** Quote an identifier for the database behind `url` via Spark's
+    * dialect registry — backticks on MySQL, double quotes on
+    * Derby/Postgres/ANSI — so generated SQL is portable across the
+    * drivers [[isDuplicateKey]]/[[isTableExists]] already handle.
+    */
+  private def quoteId(url: String, ident: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(ident)
+
+  /** Stage a batch's partitions into `stage` in parallel, each
+    * partition in its own transaction that DELETEs any rows already
+    * staged under this (attempt, partition) before inserting — the
+    * partition-scoped idempotence that makes Spark task retries safe
+    * (a retried task first erases its dead predecessor's rows).
+    * The table itself is created idempotently by a zero-row Spark
+    * append so its column types match Spark's JDBC mapping.
+    */
+  private[graft] def stageBatch(batch: DataFrame, url: String, stage: String,
+                         queryName: String, batchId: Long, attempt: String,
+                         props: Properties): Unit = {
+    val tagged = batch
+      .withColumn("_query_name", lit(queryName))
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("_attempt", lit(attempt))
+      .withColumn("_part", spark_partition_id())
+    appendRaceSafe(tagged.limit(0), url, stage, props)
+    val cols = tagged.columns.toSeq
+    val insertSql = s"INSERT INTO $stage (${cols.map(quoteId(url, _)).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $stage " +
+      s"WHERE CAST(${quoteId(url, "_attempt")} AS VARCHAR(64)) = ? AND ${quoteId(url, "_part")} = ?"
+    val jdbcTypes = tagged.schema.fields.map(f => f.dataType match {
+      case LongType                    => java.sql.Types.BIGINT
+      case IntegerType                 => java.sql.Types.INTEGER
+      case ShortType                   => java.sql.Types.SMALLINT
+      case DoubleType                  => java.sql.Types.DOUBLE
+      case FloatType                   => java.sql.Types.REAL
+      case BooleanType                 => java.sql.Types.BOOLEAN
+      case TimestampType               => java.sql.Types.TIMESTAMP
+      case DateType                    => java.sql.Types.DATE
+      case _: DecimalType              => java.sql.Types.DECIMAL
+      case BinaryType                  => java.sql.Types.BINARY
+      case _                           => java.sql.Types.VARCHAR
+    })
+    tagged.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val del = conn.prepareStatement(deleteSql)
+          try { del.setString(1, attempt); del.setInt(2, pid); del.executeUpdate(); () }
+          finally del.close()
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < jdbcTypes.length) {
+                val v = r.get(i)
+                if (v == null) ins.setNull(i + 1, jdbcTypes(i))
+                else ins.setObject(i + 1, v)
+                i += 1
+              }
+              ins.addBatch(); pending += 1
+              if (pending >= 500) { ins.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ins.executeBatch()
+            ()
+          } finally ins.close()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally conn.close()
+      }
     }
   }
 
@@ -248,9 +333,9 @@ object Connectors {
         def resolve(m: Map[String, String], c: String, t: String): String =
           m.getOrElse(c.toLowerCase,
             throw new IllegalStateException(s"column $c missing in $t"))
-        val insertList = dataCols.map(c => "\"" + resolve(targetByLower, c, table) + "\"").mkString(", ")
-        val selectList = dataCols.map(c => "\"" + resolve(stageByLower, c, stage) + "\"").mkString(", ")
-        val attemptCol = "\"" + resolve(stageByLower, "_attempt", stage) + "\""
+        val insertList = dataCols.map(c => quoteId(url, resolve(targetByLower, c, table))).mkString(", ")
+        val selectList = dataCols.map(c => quoteId(url, resolve(stageByLower, c, stage))).mkString(", ")
+        val attemptCol = quoteId(url, resolve(stageByLower, "_attempt", stage))
         // CAST: Derby maps StringType to CLOB, which '=' can't compare
         val mv = conn.prepareStatement(
           s"""INSERT INTO $table ($insertList) SELECT $selectList FROM $stage
@@ -267,7 +352,9 @@ object Connectors {
 
   /** Stage hygiene: drop all staged rows for a published (or skipped)
     * batch. Pure cleanup — staged rows can never publish once their
-    * epoch is claimed — so failures are swallowed, not fatal.
+    * epoch is claimed — so failures are non-fatal, but they are LOGGED
+    * (a silently failing cleanup lets the stage table grow without
+    * bound; the next successful pass drains it).
     */
   private def clearStage(url: String, stage: String, queryName: String,
                          batchId: Long, props: Properties): Unit =
@@ -276,11 +363,17 @@ object Connectors {
       try {
         val ps = conn.prepareStatement(
           s"""DELETE FROM $stage
-             |WHERE CAST("_query_name" AS VARCHAR(128)) = ? AND "_batch_id" = ?""".stripMargin)
+             |WHERE CAST(${quoteId(url, "_query_name")} AS VARCHAR(128)) = ?
+             |  AND ${quoteId(url, "_batch_id")} = ?""".stripMargin)
         try { ps.setString(1, queryName); ps.setLong(2, batchId); ps.executeUpdate(); () }
         finally ps.close()
       } finally conn.close()
-    } catch { case _: java.sql.SQLException => () }
+    } catch {
+      case e: java.sql.SQLException =>
+        java.util.logging.Logger.getLogger("graft.stream.Connectors").warning(
+          s"stage cleanup failed for ($queryName, $batchId) on $stage " +
+            s"(rows remain until the next successful pass): ${e.getMessage}")
+    }
 
   /** Append that tolerates a concurrent create of the same table:
     * Spark's append mode does exists-check-then-create, so two racing

@@ -169,7 +169,8 @@ class ConnectorsSpec extends SparkSpec {
     Connectors.writeJdbc(
       batch.withColumn("_query_name", lit("q1"))
         .withColumn("_batch_id", lit(7L))
-        .withColumn("_attempt", lit("dead-attempt")),
+        .withColumn("_attempt", lit("dead-attempt"))
+        .withColumn("_part", lit(0)),
       url, "xo2_events_stage")
     assert(rows() === 0L) // nothing published by the dead attempt
 
@@ -183,6 +184,22 @@ class ConnectorsSpec extends SparkSpec {
     val staged = spark.read.format("jdbc").option("url", url)
       .option("dbtable", "xo2_events_stage").load().count()
     assert(staged === 0L)
+  }
+
+  test("staging is task-retry idempotent: re-staging the same attempt does not duplicate rows") {
+    // A Spark task that committed its partition's staged rows and then
+    // died is re-executed with the SAME attempt id. Emulate that by
+    // running stageBatch twice with one attempt: the retry's leading
+    // per-partition DELETE must erase the first pass's rows, leaving
+    // exactly one copy for the publish SELECT.
+    val url = "jdbc:derby:memory:graftxo4;create=true"
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("event_id", "value")
+    Connectors.stageBatch(batch, url, "xo4_stage", "q1", 0L, "attempt-a", new Properties())
+    Connectors.stageBatch(batch, url, "xo4_stage", "q1", 0L, "attempt-a", new Properties())
+    val staged = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "xo4_stage").load()
+    assert(staged.count() === 3L)
+    assert(staged.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
   test("exactly-once sink: two concurrent writers of the same epoch — exactly one commits") {
