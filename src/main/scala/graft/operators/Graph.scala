@@ -29,16 +29,23 @@ object Graph {
     * checkpoint ONCE (they are the narrow inputs every iteration
     * reuses; GraphX materializes the same two), while the fat
     * edge⋈degree join, the per-iteration contributions, and the rank
-    * updates stay lazy — a fixed iteration count makes no driver-side
-    * decisions, so the iterations compose into ONE final query whose
-    * identical edge/degree sides dedup via exchange reuse (AQE
+    * updates stay lazy — the iterations compose into ONE final query
+    * whose identical edge/degree sides dedup via exchange reuse (AQE
     * broadcasts the k-row rank relation locally; at cluster scale the
-    * reused src-hash exchange co-locates the join). The node count
-    * joins as a broadcast 1-ROW relation onto the small
-    * post-aggregation relation — never carried through the big edge
-    * shuffle, no `first()` per group. Lineage only needs cutting on
-    * long runs: every 4th iteration a checkpoint truncates the plan.
-    * Returns (node, rank) with rank rounded to 6 dp.
+    * reused src-hash exchange co-locates the join). The node count is
+    * LOOP-INVARIANT, so it is computed exactly once as a driver-side
+    * scalar over the already-materialized degree checkpoint (one
+    * 1-row-result job, the same planning-aggregate pattern as the
+    * join-variant chooser in Dedup) and enters every iteration as a
+    * literal — no per-iteration broadcast-join stage, and the
+    * (1−d)/n + d·Σ update fuses INTO the aggregation select, so an
+    * iteration is exactly join → partial agg → final agg. Edges with a
+    * NULL endpoint are dropped up front: least/greatest would otherwise
+    * fold a half-null edge into a self-loop that adds phantom degree
+    * and rank mass (a union-symmetrize leaves them inert — dropping
+    * preserves those semantics explicitly). Lineage only needs cutting
+    * on long runs: every 4th iteration a checkpoint truncates the
+    * plan. Returns (node, rank) with rank rounded to 6 dp.
     *
     * Feed NARROW node ids: the per-iteration join/shuffle carries the
     * id on every edge, so a bigint id is ~an order cheaper than a
@@ -55,7 +62,9 @@ object Graph {
     // the union back to both directions is pure map work over cached
     // blocks. Self-loops symmetrize to themselves — swap only proper
     // pairs or they would double.
-    val canon = edges.select(
+    val canon = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(
         least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
       .distinct()
@@ -69,10 +78,11 @@ object Graph {
     val deg = und.groupBy("src").agg(count(lit(1)).as("_deg"))
       .localCheckpoint()
     val undDeg = und.join(deg, "src")
-    val nDf = deg.agg(count(lit(1)).as("_n"))
-    var ranks = deg.select(col("src").as("node"))
-      .crossJoin(broadcast(nDf))
-      .select(col("node"), round(lit(1.0) / col("_n"), 10).as("rank"))
+    // loop-invariant node count: one 1-row job over the checkpointed
+    // degree relation, then a literal in every iteration's plan
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"),
+      round(lit(1.0) / lit(n), 10).as("rank"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     for (i <- 1 to iters) {
       val contrib = undDeg
@@ -80,10 +90,8 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("_deg")).cast(dec).as("_c"))
       ranks = contrib.groupBy("node")
-        .agg(sum(col("_c")).as("_s"))
-        .crossJoin(broadcast(nDf))
-        .select(col("node"), round(lit(1 - damping) / col("_n")
-          + lit(damping) * col("_s").cast("double"), 10).as("rank"))
+        .agg(round(lit(1 - damping) / lit(n)
+          + lit(damping) * sum(col("_c")).cast("double"), 10).as("rank"))
       if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))

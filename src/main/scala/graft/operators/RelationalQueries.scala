@@ -331,9 +331,11 @@ object RelationalQueries extends QueryPack {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 3)
+        // `div` = integral division: exact for the full bigint key
+        // range (a double `/` is only exact below 2^53)
         .select(when(col("node") % 2 === 0,
-            concat(lit("c"), (col("node") / 2).cast("long")))
-          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+            concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
           .as("node"), col("rank"))
         .orderBy(desc("rank"), asc("node"))
         .limit(10)
