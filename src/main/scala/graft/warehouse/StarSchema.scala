@@ -206,10 +206,19 @@ object StarSchema {
     * DESC LIMIT 1` — tie-UNSTABLE) becomes the J6 pattern: a 1-row
     * TakeOrdered relation with a deterministic title tiebreak,
     * attached by broadcast — no driver fetch.
+    *
+    * Eligible titles are the dim_role-SEEDED ones only (broadcast
+    * semi-join): the reference's subquery counts `r.title` through an
+    * inner join on role_id (`etl/pipeline.py:517-522`), so a title
+    * outside dim_role can never win there — our fact keeps unseeded
+    * titles (the left-join/Other fallback), and without this
+    * restriction one of them could take most_common_role.
     */
-  def aggDailyOwners(dimO: DataFrame, fact: DataFrame, dateId: String): DataFrame = {
+  def aggDailyOwners(dimO: DataFrame, fact: DataFrame, dimR: DataFrame,
+                     dateId: String): DataFrame = {
     val current = dimO.join(fact.select("owner_id").distinct(), Seq("owner_id"))
-    val topRole = fact.groupBy("title").agg(count(lit(1)).as("_cnt"))
+    val topRole = fact.join(broadcast(dimR.select("title")), Seq("title"), "left_semi")
+      .groupBy("title").agg(count(lit(1)).as("_cnt"))
       .orderBy(desc("_cnt"), asc("title")).limit(1)
       .select(col("title").as("most_common_role"))
     current.agg(
@@ -232,6 +241,29 @@ object StarSchema {
       .withColumn("percentage",
         round(col("role_count") * 100.0 /
           sum(col("role_count")).over(Window.partitionBy()), 2))
+
+  /** Multi-day aggregate accumulation — the reference's actual
+    * operating mode: each daily run INSERTs its `agg_daily_*` rows
+    * `ON CONFLICT (date_id) DO UPDATE` into a table that accumulates
+    * across days (`etl/pipeline.py:485-531`). Fold the J5 upsert over
+    * the runs IN ORDER: a re-run of an already-loaded date REPLACES
+    * that date's rows (idempotent re-load, last run wins — EXCLUDED
+    * semantics), new dates append. `keys` defaults to the daily
+    * tables' `date_id` conflict target; `agg_role_distribution`
+    * passes its composite `(date_id, role_id)`.
+    *
+    * Scale shape: each upsert is one anti-join of the accumulated
+    * table against a 1-row-per-date update side — Catalyst broadcasts
+    * the update relation, so accumulating N days over an M-row table
+    * never shuffles the table. Callers persisting between runs get
+    * the same fold via `Streaming.upsertBatchToParquet` (temp-and-swap
+    * write, same keys).
+    */
+  def accumulateDaily(runs: Seq[DataFrame],
+                      keys: Seq[String] = Seq("date_id")): DataFrame = {
+    require(runs.nonEmpty, "at least one daily run is required")
+    runs.reduceLeft((acc, day) => Joins.upsert(acc, day, keys))
+  }
 
   /** Post-load integrity validation (`etl/pipeline.py:567-609`):
     * anti-join orphan counts for every FK + a pass/fail verdict.
@@ -268,7 +300,7 @@ object StarSchema {
       "fact_business_metrics" -> metrics,
       "fact_owner_demographics" -> factOwnerDemographics(dimO),
       "agg_daily_business" -> aggDailyBusiness(dimB, metrics, dateId),
-      "agg_daily_owners" -> aggDailyOwners(dimO, fact, dateId),
+      "agg_daily_owners" -> aggDailyOwners(dimO, fact, dimR, dateId),
       "agg_role_distribution" -> aggRoleDistribution(fact),
       "integrity" -> integrityCheck(spark, fact, dimB, dimO))
   }

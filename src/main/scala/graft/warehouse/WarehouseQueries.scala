@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import graft.core.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-checkable queries for the warehouse aggregate tables
@@ -24,11 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseQueries extends QueryPack {
 
-  /** Orders → the cleaned staging schema the ETL consumes. */
-  private def staging(s: SparkSession, dir: String): DataFrame = {
+  /** Orders → the cleaned staging schema the ETL consumes. `pred`
+    * restricts the orders feeding a run — the multi-day query uses it
+    * to give each simulated day its own staging slice.
+    */
+  private def staging(s: SparkSession, dir: String,
+                      pred: Column = lit(true)): DataFrame = {
     val ind = col("o_orderkey") % 2 === 0
     val who = concat(lit("OWNER "), (col("o_orderkey") % 97).cast("string"))
-    Tables.orders(s, dir).select(
+    Tables.orders(s, dir).where(pred).select(
       col("o_custkey").as("Account Number"),
       concat(lit("BUSINESS "), col("o_custkey").cast("string")).as("Legal Name"),
       when(ind, who).as("Owner Full Name"),
@@ -67,7 +71,31 @@ object WarehouseQueries extends QueryPack {
       val dimB = StarSchema.dimBusiness(st)
       val dimO = StarSchema.dimOwner(st)
       val fact = StarSchema.factOwnership(st, dimB, dimO, StarSchema.dimRole(s))
-      StarSchema.aggDailyOwners(dimO, fact, "2024-06-01")
+      StarSchema.aggDailyOwners(dimO, fact, StarSchema.dimRole(s), "2024-06-01")
+    }),
+
+    // Multi-day accumulation — the reference's daily ON CONFLICT
+    // upsert into agg_daily_business replayed over three simulated
+    // days (orders sliced by o_orderkey % 3). Day 2 is first loaded
+    // STALE (half its slice) and later re-run corrected: the J5
+    // upsert fold must REPLACE the stale row, not append — the final
+    // table holds exactly one row per date, day 2's from the re-run.
+    "q_agg_daily_multiday" -> ((s, dir) => {
+      def dayAgg(pred: Column, dateId: String): DataFrame = {
+        val st = staging(s, dir, pred)
+        val dimB = StarSchema.dimBusiness(st)
+        val dimO = StarSchema.dimOwner(st)
+        val fact = StarSchema.factOwnership(st, dimB, dimO, StarSchema.dimRole(s))
+        StarSchema.aggDailyBusiness(dimB,
+          StarSchema.factBusinessMetrics(fact), dateId)
+      }
+      StarSchema.accumulateDaily(Seq(
+        dayAgg(col("o_orderkey") % 3 === 0, "2024-06-01"),
+        dayAgg(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 2 === 0,
+          "2024-06-02"), // stale half-load, later replaced
+        dayAgg(col("o_orderkey") % 3 === 2, "2024-06-03"),
+        dayAgg(col("o_orderkey") % 3 === 1, "2024-06-02"), // corrected re-run
+      )).orderBy("date_id")
     }),
   )
 
@@ -88,6 +116,31 @@ object WarehouseQueries extends QueryPack {
       |fact AS (SELECT DISTINCT acct, title,
       |    coalesce(full_name, '') || '|' || coalesce(entity, '') AS owner_key
       |  FROM stage)""".stripMargin
+
+  /** One simulated day's agg_daily_business replay: staging slice →
+    * per-account distinct-owner metrics → the one-row daily aggregate.
+    * The stale day-2 half-load needs no CTE — the upsert fold replaces
+    * it, so only each date's LAST run reaches the accumulated table.
+    */
+  private def dayBizCtes(i: Int, pred: String): String =
+    s"""stage$i AS (SELECT o_custkey AS acct,
+       |    CASE WHEN o_orderkey % 2 = 0
+       |      THEN 'OWNER ' || CAST(o_orderkey % 97 AS VARCHAR) END AS full_name,
+       |    CASE WHEN o_orderkey % 2 = 1
+       |      THEN 'OWNER ' || CAST(o_orderkey % 97 AS VARCHAR) || ' HOLDINGS' END AS entity
+       |  FROM orders WHERE $pred),
+       |m$i AS (SELECT acct, COUNT(DISTINCT
+       |      coalesce(full_name, '') || '|' || coalesce(entity, '')) AS total_owners
+       |  FROM stage$i GROUP BY acct)""".stripMargin
+
+  private def dayBizSelect(i: Int, dateId: String): String =
+    s"""SELECT CAST('$dateId' AS DATE) AS date_id,
+       |  COUNT(DISTINCT m.acct) AS total_businesses,
+       |  CAST(0 AS BIGINT) AS new_businesses,
+       |  COUNT(DISTINCT CASE WHEN m.total_owners > 1 THEN m.acct END) AS multi_owner_businesses,
+       |  COUNT(DISTINCT CASE WHEN m.total_owners = 1 THEN m.acct END) AS single_owner_businesses,
+       |  ROUND(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners), 2) AS avg_owners_per_business
+       |FROM m$i m""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q_agg_daily_business" ->
@@ -114,8 +167,10 @@ object WarehouseQueries extends QueryPack {
          |    coalesce(full_name, '') || '|' || coalesce(entity, '') AS owner_key
          |  FROM stage),
          |cur AS (SELECT DISTINCT owner_key FROM fact),
-         |top AS (SELECT title FROM fact GROUP BY title
-         |  ORDER BY COUNT(*) DESC, title LIMIT 1)
+         |top AS (SELECT title FROM fact
+         |  WHERE title IN ('CEO','PRESIDENT','MANAGING MEMBER','MANAGER',
+         |    'DIRECTOR','OWNER','SHAREHOLDER','PARTNER','MEMBER','OTHER')
+         |  GROUP BY title ORDER BY COUNT(*) DESC, title LIMIT 1)
          |SELECT CAST('2024-06-01' AS DATE) AS date_id,
          |  COUNT(DISTINCT o.owner_key) AS total_owners,
          |  COUNT(DISTINCT CASE WHEN o.is_ind THEN o.owner_key END) AS individual_owners,
@@ -123,5 +178,17 @@ object WarehouseQueries extends QueryPack {
          |  COUNT(DISTINCT o.full_name) AS unique_owners,
          |  (SELECT title FROM top) AS most_common_role
          |FROM owners o JOIN cur ON o.owner_key = cur.owner_key""".stripMargin,
+
+    "q_agg_daily_multiday" ->
+      s"""WITH ${dayBizCtes(1, "o_orderkey % 3 = 0")},
+         |${dayBizCtes(2, "o_orderkey % 3 = 1")},
+         |${dayBizCtes(3, "o_orderkey % 3 = 2")}
+         |SELECT * FROM (
+         |  ${dayBizSelect(1, "2024-06-01")}
+         |  UNION ALL
+         |  ${dayBizSelect(2, "2024-06-02")}
+         |  UNION ALL
+         |  ${dayBizSelect(3, "2024-06-03")}
+         |) ORDER BY date_id""".stripMargin,
   )
 }

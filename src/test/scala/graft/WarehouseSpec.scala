@@ -112,6 +112,46 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[String]("most_common_role") === "CEO")
   }
 
+  test("multi-day accumulation: re-loading a date REPLACES its row; persisted fold is idempotent") {
+    val dimR = StarSchema.dimRole(spark)
+    def day(df: org.apache.spark.sql.DataFrame, dateId: String) = {
+      val b = StarSchema.dimBusiness(df)
+      val o = StarSchema.dimOwner(df)
+      val f = StarSchema.factOwnership(df, b, o, dimR)
+      StarSchema.aggDailyBusiness(b, StarSchema.factBusinessMetrics(f), dateId)
+    }
+    val day1 = cleaned.filter(col("Account Number").isin(85613L, 509748L))
+    val day2Stale = cleaned.filter(col("Account Number") === 600100L)
+    val day2Fix = cleaned.filter(col("Account Number").isin(600100L, 600200L))
+    // out-of-order corrected re-run of day 2: its stale row must be
+    // REPLACED (the reference's ON CONFLICT DO UPDATE), day 1 untouched
+    val acc = StarSchema.accumulateDaily(Seq(
+      day(day1, "2024-01-01"), day(day2Stale, "2024-01-02"),
+      day(day2Fix, "2024-01-02")))
+    val rows = acc.collect()
+      .map(r => r.getAs[java.sql.Date]("date_id").toString ->
+        r.getAs[Long]("total_businesses")).toMap
+    assert(rows === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+    assert(acc.count() === 2) // one row per date, stale row gone
+
+    // persisted operating mode: write the accumulated table, re-load
+    // the SAME day from disk state — the fold is idempotent (no growth,
+    // values unchanged)
+    val path = java.nio.file.Files.createTempDirectory("graft_aggacc").toString + "/agg"
+    acc.write.parquet(path)
+    val reloaded = StarSchema.accumulateDaily(Seq(
+      spark.read.parquet(path), day(day2Fix, "2024-01-02")))
+    assert(reloaded.count() === 2)
+    assert(reloaded.collect().map(r =>
+        (r.getAs[java.sql.Date]("date_id").toString,
+          r.getAs[Long]("total_businesses"),
+          r.getAs[Double]("avg_owners_per_business"))).sorted.toSeq
+      === acc.collect().map(r =>
+        (r.getAs[java.sql.Date]("date_id").toString,
+          r.getAs[Long]("total_businesses"),
+          r.getAs[Double]("avg_owners_per_business"))).sorted.toSeq)
+  }
+
   test("integrity check passes on a consistent load") {
     val verdict = wh("integrity").collect().head
     assert(verdict.getAs[Boolean]("passed"))
