@@ -21,8 +21,8 @@ object Bench {
     // Optional name filter (exact or substring) for local iteration on
     // one query's plan; the driver passes no args and benches the lot.
     val picked =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+      if (args.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (n, _) => args.exists(n.contains) }
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

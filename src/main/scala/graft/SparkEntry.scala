@@ -33,4 +33,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
+
+  /** The bench surface: every oracled query plus the bench-only twins
+    * (production-hash sketch variants) — what `graft.Bench` times.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ packs.flatMap(_.benchOnly)
 }

@@ -20,4 +20,13 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracle: Map[String, String]
+
+  /** Bench-only twins: measured by `graft.Bench` but EXCLUDED from the
+    * Verify/oracle surface — for production variants whose only delta
+    * from an oracled query is a non-SQL-expressible ingredient (e.g.
+    * the xxhash64 sketch family vs its Md5Portable oracle stand-in).
+    * Keeping them out of `queries` keeps the correctness report free
+    * of weaker rows-only rows.
+    */
+  def benchOnly: Map[String, Q] = Map.empty
 }

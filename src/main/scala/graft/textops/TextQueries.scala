@@ -741,6 +741,25 @@ object TextQueries extends QueryPack {
       |  FROM sub s JOIN cb c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
       |enc AS (SELECT vec_id, sub, m.code AS code FROM enc0)""".stripMargin
 
+  /** Production-hash twins of the two sketch queries: identical plans
+    * to q_t_minhash_lsh / q_t_simhash but under the Xx64 default family
+    * (codegen'd xxhash64, ~2× cheaper than the md5-derived portable
+    * family the oracles need). Bench-only — xxhash64 has no DuckDB
+    * counterpart, so an oracle row would only be rows-only noise; the
+    * family-equivalence itself is spec-asserted in DedupSpec.
+    */
+  override def benchOnly: Map[String, Q] = Map(
+    "q_t_minhash_lsh_xx64" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4,
+          family = HashFamily.Xx64)
+        .orderBy("doc_a", "doc_b")),
+    "q_t_simhash_xx64" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, family = HashFamily.Xx64)
+        .orderBy("doc_a", "doc_b")),
+  )
+
   override def oracle: Map[String, String] = Map(
     // Full MinHash-LSH replay under the Md5Portable family: the same
     // 64 fixed-seed permutation coefficients (embedded as literals via
