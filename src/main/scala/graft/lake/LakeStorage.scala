@@ -113,9 +113,20 @@ object LakeStorage {
     // Swap by rename pairs, never delete-then-rename: a crash at any
     // point leaves the full data at a recoverable path (live, backup,
     // or tmp) — the old delete-first order had a window where the
-    // dataset existed nowhere. Readers can still catch the instant
-    // between the two renames; a transactional table format is the
-    // real fix for concurrent readers (see module doc).
+    // dataset existed nowhere.
+    //
+    // CONCURRENT-READER CONTRACT (spec-pinned in IngestLakeSpec):
+    //  - a reader that resolves `path` BETWEEN the two renames gets a
+    //    PATH_NOT_FOUND AnalysisException — never partial data. The
+    //    window is transient (two directory renames); [[readRetrying]]
+    //    absorbs it.
+    //  - a scan PLANNED against the pre-compact file listing can fail
+    //    mid-read once the backup directory is deleted (files gone
+    //    under it). Re-planning (retrying the read) repairs it — the
+    //    data is equal, only the file layout changed.
+    //  - a transactional table format (manifest indirection) is the
+    //    real fix at multi-writer scale; this contract is what plain
+    //    directory parquet can honor.
     if (!fs.rename(target, backup))
       throw new java.io.IOException(s"compact: could not move $target aside")
     if (!fs.rename(tmp, target)) {
@@ -124,6 +135,30 @@ object LakeStorage {
     }
     fs.delete(backup, true)
     n
+  }
+
+  /** Reader-side counterpart of [[compact]]'s swap window: a parquet
+    * read that treats a missing path as TRANSIENT, retrying with
+    * backoff. The only moment a compacted dataset's path is absent is
+    * the instant between compact's two renames, so a handful of short
+    * retries converts the race into at-most-milliseconds of latency.
+    * A genuinely absent dataset still fails after `attempts` tries —
+    * this does not mask real errors, it bounds the swap race.
+    */
+  def readRetrying(spark: SparkSession, path: String, attempts: Int = 5,
+                   backoffMs: Long = 100): DataFrame = {
+    var tries = 0
+    while (true) {
+      try return spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if tries < attempts - 1 && e.getMessage != null &&
+              e.getMessage.toUpperCase.contains("PATH_NOT_FOUND") =>
+          tries += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Snapshot diff — change-data-capture between two corpus versions

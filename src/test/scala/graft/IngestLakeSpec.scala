@@ -197,6 +197,42 @@ class IngestLakeSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"compaction left working dirs: ${leftovers.toSeq}")
   }
 
+  test("compact's swap window: readers see PATH_NOT_FOUND, never partial data; readRetrying absorbs it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_rd").toString + "/t"
+    (1L to 100L).toDF("id").repartition(8).write.parquet(dir)
+    // Reproduce the exact between-renames state with the same
+    // filesystem op compact uses: the live path is momentarily absent
+    // (moved to backup), the replacement not yet renamed in.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_test_bak")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), bak))
+    // Contract point 1: a mid-swap reader fails loudly with a missing
+    // path — it can never observe a half-renamed mixture.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(dir)
+    }
+    assert(e.getMessage.toUpperCase.contains("PATH_NOT_FOUND"))
+    // Contract point 2: readRetrying rides out the window — a
+    // concurrent "compactor" completes the second rename while the
+    // reader is backing off.
+    val restorer = new Thread(() => {
+      Thread.sleep(250)
+      fs.rename(bak, new org.apache.hadoop.fs.Path(dir)); ()
+    })
+    restorer.start()
+    val got = LakeStorage.readRetrying(spark, dir, attempts = 10, backoffMs = 100)
+      .as[Long].collect().sorted.toSeq
+    restorer.join()
+    assert(got === (1L to 100L))
+    // Contract point 3: a genuinely absent dataset still fails after
+    // the bounded retries — the helper masks the race, not real errors.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      LakeStorage.readRetrying(spark, dir + "_nope", attempts = 2, backoffMs = 10)
+    }
+  }
+
   test("audited JSONL read parses good lines and quarantines malformed ones") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl").toString
