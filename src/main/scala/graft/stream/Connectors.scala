@@ -16,6 +16,20 @@ import java.util.Properties
   * though this environment has no Kafka broker; the stream builders
   * assemble the exact `format("kafka")` plans a deployment runs. The
   * JDBC seam is exercised for real against embedded Derby.
+  *
+  * WHY no end-to-end Kafka test (adjudicated blocker, spec-pinned in
+  * ConnectorsSpec): the build environment ships zero Kafka artifacts —
+  * `/opt/spark/jars` (287 jars) has neither
+  * `org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2` (the
+  * `format("kafka")` provider) nor
+  * `org.apache.spark:spark-token-provider-kafka-0-10_2.13:4.1.2` nor
+  * `org.apache.kafka:kafka-clients`, the offline coursier cache holds
+  * no Kafka coordinates, and an embedded broker would additionally
+  * need the `org.apache.kafka:kafka_2.13` server artifact. With
+  * COURSIER_MODE=offline and no network egress, none of the four can
+  * be resolved. On a deployment classpath that carries the standard
+  * spark-sql-kafka bundle, [[readEventStream]]/[[writeEventStream]]
+  * run as-is — they only assemble options around the stock source.
   */
 object Connectors {
 
@@ -215,9 +229,16 @@ object Connectors {
       .withColumn("_query_name", lit(queryName))
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_attempt", lit(attempt))
-      .withColumn("_part", spark_partition_id())
-    appendRaceSafe(tagged.limit(0), url, stage, props)
-    val cols = tagged.columns.toSeq
+    // `_part` is bound IN-TASK from TaskContext — never as a
+    // `spark_partition_id()` column. The column form can be evaluated
+    // with a partition index that differs from the foreachPartition
+    // task's (e.g. when the optimizer folds a local relation), and a
+    // mismatch is destructive here: the per-partition DELETE would
+    // erase rows another task committed under the same tag. Deriving
+    // the tag and the DELETE key from the one TaskContext value makes
+    // them consistent by construction.
+    appendRaceSafe(tagged.withColumn("_part", lit(0)).limit(0), url, stage, props)
+    val cols = tagged.columns.toSeq :+ "_part"
     val insertSql = s"INSERT INTO $stage (${cols.map(quoteId(url, _)).mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val deleteSql = s"DELETE FROM $stage " +
@@ -255,6 +276,7 @@ object Connectors {
                 else ins.setObject(i + 1, v)
                 i += 1
               }
+              ins.setInt(jdbcTypes.length + 1, pid)
               ins.addBatch(); pending += 1
               if (pending >= 500) { ins.executeBatch(); pending = 0 }
             }
