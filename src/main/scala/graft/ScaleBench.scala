@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness: measure the heavy dedup/similarity/graph
+  * family at three corpus sizes spanning 100× (S ≈ sf0.01, M ≈ sf0.1,
+  * L ≈ sf1) and report per-query growth, the strongest sandbox proxy
+  * for "survives a 100× scale-up".
+  *
+  * The three corpora are generated (once, cached under /tmp) by the
+  * SAME expression-based deterministic recipe with only the row count
+  * varying, so growth curves compare like with like. Structure mirrors
+  * the driver `documents` table: 10–99 token docs, 5 langs, 20
+  * sources, ~5% of docs a near-duplicate twin of their predecessor
+  * (10% token mutation → shingle-3 Jaccard ≈ 0.57, above the 0.4
+  * dedup threshold). Vocabulary 1500 — large enough that shingle
+  * buckets hold true near-dups rather than whole-corpus collisions,
+  * the regime the subquadratic paths (prefix filter, LSH banding) are
+  * designed for. Embeddings: 64-dim around 8 seeded centroids (the
+  * q_t_kmeans shape). Graph: TPC-H-ratio orders/lineitem keys (the
+  * q_g1_pagerank shape).
+  *
+  * Deliberately EXCLUDED at L: `q_t_jaccard_pairs` — the full
+  * Σ bucket² shingle join is the documented small-n exactness oracle
+  * (`Dedup.scala` scaladoc), not the scale path; its prefix-filtered
+  * and LSH siblings are the 100× plans and are measured at all sizes.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` (add size names to restrict,
+  * e.g. `runMain graft.ScaleBench S M`). One JSON line per
+  * (size, query) with the min-of-2 seconds, then a growth summary.
+  */
+object ScaleBench {
+
+  /** documents-shaped corpus: `n` docs, deterministic, ~5% near-dup
+    * twins of the previous doc id with 10% per-position mutation.
+    */
+  def docs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = 1500
+    spark.range(n)
+      .withColumn("is_twin",
+        col("id") > 0 && pmod(xxhash64(col("id"), lit(7)), lit(100)) < 5)
+      .withColumn("base", when(col("is_twin"), col("id") - 1).otherwise(col("id")))
+      .withColumn("len", (pmod(xxhash64(col("base"), lit(99)), lit(90)) + 10).cast("int"))
+      .withColumn("toks", expr(
+        s"""transform(sequence(0, len - 1), p ->
+           |  CASE WHEN is_twin AND pmod(xxhash64(id, p, 13), 100) < 10
+           |    THEN concat('w', pmod(xxhash64(id, p, 17), $vocab))
+           |    ELSE concat('w', pmod(xxhash64(base, p), $vocab)) END)""".stripMargin))
+      .select(
+        col("id").as("doc_id"),
+        array_join(col("toks"), " ").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+          (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(4)), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** embeddings-shaped table: 64-dim floats around 8 seeded centroids. */
+  def embeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .withColumn("label", pmod(xxhash64(col("id"), lit(11)), lit(8)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), d -> CAST(
+          |  pmod(xxhash64(label, d, 5), 1000) / 1000.0
+          |  + (pmod(xxhash64(id, d), 1000) / 1000.0 - 0.5) * 0.2 AS FLOAT))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"), col("label"))
+
+  /** orders/lineitem key columns at TPC-H ratios for the trade graph. */
+  def orders(spark: SparkSession, nOrders: Long): DataFrame =
+    spark.range(nOrders).select(
+      (col("id") + 1).as("o_orderkey"),
+      (pmod(xxhash64(col("id"), lit(21)), lit(math.max(nOrders / 10, 1))) + 1)
+        .as("o_custkey"))
+
+  def lineitem(spark: SparkSession, nOrders: Long): DataFrame =
+    spark.range(nOrders * 4).select(
+      (col("id") / 4 + 1).cast("long").as("l_orderkey"),
+      (pmod(xxhash64(col("id"), lit(23)), lit(math.max(nOrders / 100, 1))) + 1)
+        .as("l_suppkey"))
+
+  // (name, docRows, embRows, orderRows) — S/M/L ≈ sf0.01/sf0.1/sf1
+  val sizes: Seq[(String, Long, Long, Long)] = Seq(
+    ("S", 500L, 500L, 15000L),
+    ("M", 5000L, 2000L, 150000L),
+    ("L", 50000L, 20000L, 1500000L))
+
+  val heavy: Seq[String] = Seq(
+    "q_t_exact_dedup",     // linear control
+    "q_t_minhash_lsh", "q_t_simhash",
+    "q_t_jaccard_prefix", "q_t_jaccard_pairs",
+    "q_t_near_dedup", "q_t_cluster_split",
+    "q_t_kmeans", "q_g1_pagerank")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+
+    val wanted = if (args.isEmpty) sizes else sizes.filter(s => args.contains(s._1))
+    val results = scala.collection.mutable.Map.empty[(String, String), Double]
+    for ((name, nDoc, nEmb, nOrd) <- wanted) {
+      val dir = s"/tmp/graft_scale/$name"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        docs(spark, nDoc).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        embeddings(spark, nEmb).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        orders(spark, nOrd).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        lineitem(spark, nOrd).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+      for (q <- heavy) {
+        // the full-pairs oracle is small-n by design — skip at L
+        if (!(q == "q_t_jaccard_pairs" && name == "L")) {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(q)(spark, dir).count() }
+            catch { case e: Throwable =>
+              System.err.println(s"[scale] $name/$q failed: ${e.getMessage}"); -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val best = times.min
+          results((name, q)) = best
+          println(f"""{"size":"$name","query":"$q","sec":$best%.3f}""")
+        }
+      }
+    }
+    // growth summary: seconds ratio per 10× data step
+    println("query,S_sec,M_sec,L_sec,M_over_S,L_over_M")
+    for (q <- heavy) {
+      def g(sz: String) = results.get((sz, q))
+      def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
+      def ratio(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (Some(x), Some(y)) if x > 0 => f"${y / x}%.1f"
+        case _ => "-"
+      }
+      println(s"$q,${fmt(g("S"))},${fmt(g("M"))},${fmt(g("L"))}," +
+        s"${ratio(g("S"), g("M"))},${ratio(g("M"), g("L"))}")
+    }
+    spark.stop()
+  }
+}
