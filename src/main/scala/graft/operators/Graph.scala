@@ -77,21 +77,31 @@ object Graph {
     // separate distinct passes.
     val deg = und.groupBy("src").agg(count(lit(1)).as("_deg"))
       .localCheckpoint()
-    val undDeg = und.join(deg, "src")
     // loop-invariant node count: one 1-row job over the checkpointed
     // degree relation, then a literal in every iteration's plan
     val n = deg.count()
-    var ranks = deg.select(col("src").as("node"),
-      round(lit(1.0) / lit(n), 10).as("rank"))
+    // The degree rides the SMALL rank relation, not the edge relation:
+    // rank/deg is per-NODE constant within an iteration, so computing
+    // it on the k-row side before the broadcast does the division n
+    // times instead of 2|E| times and — more importantly — drops the
+    // per-iteration edge⋈degree join entirely. Each iteration is then
+    // exactly: edges BHJ (broadcast per-src contribution) → partial
+    // agg → final agg → tiny deg re-attach on the k-row aggregate.
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    var ranks = deg.select(col("src").as("node"),
+      round(lit(1.0) / lit(n), 10).as("rank"), col("_deg"))
     for (i <- 1 to iters) {
-      val contrib = undDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"),
-          (col("rank") / col("_deg")).cast(dec).as("_c"))
-      ranks = contrib.groupBy("node")
+      val contrib = und
+        .join(ranks.select(col("node").as("src"),
+          (col("rank") / col("_deg")).cast(dec).as("_c")), "src")
+        .select(col("dst").as("node"), col("_c"))
+      val agg = contrib.groupBy("node")
         .agg(round(lit(1 - damping) / lit(n)
           + lit(damping) * sum(col("_c")).cast("double"), 10).as("rank"))
+      ranks =
+        if (i < iters)
+          agg.join(deg.select(col("src").as("node"), col("_deg")), "node")
+        else agg
       if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
