@@ -187,4 +187,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.split("FileScan").length - 1 === 1, p)
   }
+
+  test("pageRank: one edge-side join per iteration — the degree rides the rank relation") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val df = graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+    df.collect() // finalize the adaptive plan
+    // toString prints "== Final Plan ==" then "== Initial Plan ==" —
+    // count joins in the final section only, or every join doubles
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // 3 iterations = 3 edge⋈rank joins + 2 k-row degree re-attaches.
+    // The old shape carried an edge⋈degree join per iteration too (6
+    // total); a regression back to it fails this bound.
+    val joins =
+      "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins <= 5, s"expected at most 5 joins for 3 iterations, got $joins\n$p")
+  }
 }
