@@ -382,6 +382,18 @@ object TextQueries extends QueryPack {
           max(col("n_chars_obs")).as("max_chars"))
         .orderBy("source")),
 
+    // Heavy-hitter tokens: MG-sketch candidates (64 counters) + exact
+    // verify — the bounded-state form of a corpus vocabulary head. At
+    // this vocab the sketch holds every token (distinct ≤ k), so the
+    // result is exactly the top-10 frequency table; at open-vocabulary
+    // scale the same plan caps state/shuffle at k per partial.
+    "q_t_heavy_tokens" -> ((s, dir) =>
+      graft.analytics.HeavyHitters.topHeavy(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= ""),
+        "tok", counters = 64, topN = 10)),
+
     // Greedy sequence packing: per-source 200-token context windows,
     // summarized per pack. The oracle replays the same greedy walk as a
     // recursive CTE.
@@ -1218,6 +1230,13 @@ object TextQueries extends QueryPack {
         |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
         |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // The MG+verify composition is exact here (distinct tokens ≤ 64
+    // counters), so the oracle is the plain exact top-10.
+    "q_t_heavy_tokens" ->
+      """SELECT tok AS key, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
 
     // Recursive CTE replays the same greedy walk: seed each source's
     // first doc with pack 0, then step in id order.

@@ -402,4 +402,39 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Int].collect().toSeq.sorted
     assert(hits === Seq(1, 2))
   }
+
+  test("heavyHitters: exact regime (distinct <= counters) equals the exact top-N") {
+    import graft.analytics.HeavyHitters
+    val df = (1 to 400).map(i => s"k${i % 23}").toDF("key")
+    val expected = df.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("key")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    val got = HeavyHitters.topHeavy(df, "key", counters = 64, topN = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("heavyHitters: planted heavies survive a sketch far smaller than the key space") {
+    import graft.analytics.HeavyHitters
+    // 3 heavy keys (600 rows each) over a 5000-key uniform tail
+    // (1 row each): total 6800, threshold total/(k+1) = 6800/65 ≈ 105
+    // — the heavies clear it by 5×, the tail never can.
+    val heavy = Seq("alpha", "beta", "gamma").flatMap(k => Seq.fill(600)(k))
+    val tail = (1 to 5000).map(i => s"t$i")
+    val df = (heavy ++ tail).toDF("key")
+    for (layout <- Seq(df, df.repartition(17), df.orderBy(desc("key")))) {
+      val got = HeavyHitters.topHeavy(layout, "key", counters = 64, topN = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq(("alpha", 600L), ("beta", 600L), ("gamma", 600L)))
+    }
+  }
+
+  test("heavyHitters: nulls are excluded, non-string keys count by string form") {
+    import graft.analytics.HeavyHitters
+    val df = Seq(Some(7L), Some(7L), Some(7L), Some(8L), Some(8L), None, None, None, None)
+      .toDF("key")
+    val got = HeavyHitters.topHeavy(df, "key", counters = 8, topN = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("7", 3L), ("8", 2L)))
+  }
 }

@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
     assert(p.split("FileScan").length - 1 === 1, p)
   }
 
+  test("heavy-hitter tokens: bounded sketch agg, broadcast semi-join verify, TakeOrdered") {
+    val p = plan("q_t_heavy_tokens")
+    // pass 1 runs as the typed-buffer ObjectHashAggregate (k-bounded
+    // MG state); pass 2 filters via a broadcast LeftSemi and ends in
+    // TakeOrdered — no full-cardinality sort, no cartesian anywhere
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pageRank: one edge-side join per iteration — the degree rides the rank relation") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L))
