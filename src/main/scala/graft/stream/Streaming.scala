@@ -169,6 +169,53 @@ object Streaming {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming heavy-hitter keys with bounded state — the stream form
+    * of [[graft.analytics.HeavyHitters]], sharing its Misra–Gries
+    * reduce/merge verbatim. Keys are hash-sharded into `shards` state
+    * groups; each group's state is ONE k-counter MG sketch of its
+    * shard's substream, updated per micro-batch and emitted as a
+    * (shard, key, count_lb) snapshot. Because the hash partition makes
+    * shard key-spaces disjoint, the union of shard sketches IS the
+    * global candidate set — no cross-shard merge conflict — and the
+    * retention guarantee is per-shard: a key whose shard-local
+    * frequency exceeds shardTotal/(k+1) is always present, i.e. with S
+    * balanced shards the effective global threshold is total/(S·(k+1))
+    * — S× better than one global sketch, while state stays S·k
+    * counters regardless of stream lifetime or key cardinality.
+    *
+    * One state GROUP per shard — never one global group (a single-key
+    * `flatMapGroupsWithState` funnels the whole stream through one
+    * task; sharding keeps the state update parallel at cluster scale).
+    * `count_lb` is the MG lower bound (exact while a shard's distinct
+    * keys ≤ k — the spec's regime); consumers needing exact figures
+    * re-count candidates against the at-rest data, as the batch
+    * operator does.
+    */
+  def streamingHeavyHitters(rows: DataFrame, keyCol: String,
+                            counters: Int, shards: Int = 32): DataFrame = {
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.MisraGriesAggregator(counters)
+    rows.where(col(keyCol).isNotNull)
+      .select(pmod(xxhash64(col(keyCol).cast("string")), lit(shards))
+          .cast("int").as("shard"),
+        col(keyCol).cast("string").as("key"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(Int, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val sketch = batch.foldLeft(state.getOption.getOrElse(mg.zero)) {
+            (buf, row) => mg.reduce(buf, row._2)
+          }
+          state.update(sketch)
+          sketch.iterator.map { case (k, c) => (shard, k, c) }
+      }
+      .toDF("shard", "key", "count_lb")
+  }
+
   /** One micro-batch step of incremental NEAR-duplicate dedup — the
     * MinHash-LSH analogue of [[dedupeByContent]]'s exact-fingerprint
     * dedup. State is the persisted (band, key, ts) LSH banding relation

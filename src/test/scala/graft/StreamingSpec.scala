@@ -323,6 +323,55 @@ class StreamingSpec extends SparkSpec {
     assert(snaps === Set((2L, 3.0), (3L, 7.0)))
   }
 
+  test("streaming heavy hitters: counts accumulate across batches, state stays k-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // ONE shard so the k-bound is exercised directly; k=4 counters
+    // against 30+ distinct keys forces MG decrements.
+    val q = Streaming.streamingHeavyHitters(
+        input.toDF().withColumnRenamed("value", "key"),
+        "key", counters = 4, shards = 1)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    input.addData(Seq.fill(20)("hot") ++ (1 to 15).map(i => s"cold$i"): _*)
+    q.processAllAvailable()
+    val b1 = spark.table("hh_out")
+      .select("key", "count_lb").as[(String, Long)].collect().toMap
+    assert(b1.size <= 4)                 // state never exceeds k entries
+    assert(b1.contains("hot"))           // 20/35 ≫ total/(k+1)=7 — guaranteed
+    assert(b1("hot") >= 20L - 35L / 5)   // undercount bounded by total/(k+1)
+    input.addData(Seq.fill(25)("hot") ++ (16 to 30).map(i => s"cold$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest snapshot (batch 2 emits after the first): state carried
+    // the hot key's count over and kept the bound.
+    val snaps = spark.table("hh_out").select("key", "count_lb")
+      .as[(String, Long)].collect()
+    val hot2 = snaps.collect { case ("hot", c) => c }.max
+    assert(hot2 > b1("hot"))             // accumulated, not reset
+    assert(hot2 >= 45L - 75L / 5 && hot2 <= 45L)
+  }
+
+  test("streaming heavy hitters: shards partition the key space disjointly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Streaming.streamingHeavyHitters(
+        input.toDF().withColumnRenamed("value", "key"),
+        "key", counters = 8, shards = 4)
+      .writeStream.format("memory").queryName("hh_shard_out")
+      .outputMode("append").start()
+    input.addData((1 to 40).map(i => s"k${i % 10}"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_shard_out")
+      .select("shard", "key", "count_lb").as[(Int, String, Long)].collect()
+    // each key lives in exactly one shard; disjoint union = exact
+    // global counts here (every shard's distinct ≤ k)
+    assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
+    assert(rows.map(r => r._2 -> r._3).toMap ===
+      (0 to 9).map(i => s"k$i" -> 4L).toMap)
+  }
+
   test("multimodal stub featurizer emits one normalized feature row per doc") {
     val df = Seq((1L, "hello"), (2L, "a much longer document text"))
       .toDF("doc_id", "text")
