@@ -139,6 +139,25 @@ object JoinQueries extends QueryPack {
         .orderBy("d_key", "c_custkey")
     }),
 
+    // J10 (extension): bin-bucketed interval join — orders placed
+    // inside each supplier's first-30-days shipping window. The
+    // BETWEEN predicate alone would plan a nested loop; binning by the
+    // 30-day window width makes it a hash join (plan-asserted).
+    "q_j10_interval_join" -> ((s, dir) => {
+      val windows = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(min(unix_date(to_date(col("l_shipdate")))).as("w_start"))
+        .withColumn("w_end", col("w_start") + 30)
+      val points = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).as("o_day"))
+      Joins.intervalJoin(points, "o_day", windows, "w_start", "w_end",
+          binWidth = 30)
+        .groupBy("suppkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("suppkey")
+    }),
+
     // J7/A8/F21: grouped list collection (sorted for determinism) —
     // parallel arrays of the reference's zip-join presentation shape.
     "q_j7_group_lists" -> ((s, dir) => {
@@ -236,5 +255,15 @@ object JoinQueries extends QueryPack {
         |WHERE abs(length(d.d_name) - length(c.c_name)) <= 1
         |  AND levenshtein(d.d_name, c.c_name) <= 1
         |ORDER BY d_key, c_custkey""".stripMargin,
+
+    "q_j10_interval_join" ->
+      """WITH w AS (SELECT l_suppkey AS suppkey,
+        |    MIN(CAST(l_shipdate AS DATE)) AS ws
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, COUNT(*) AS n_orders
+        |FROM w JOIN orders
+        |  ON CAST(o_orderdate AS DATE) >= ws
+        | AND CAST(o_orderdate AS DATE) <= ws + INTERVAL 30 DAY
+        |GROUP BY suppkey ORDER BY suppkey""".stripMargin,
   )
 }

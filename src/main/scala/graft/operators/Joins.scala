@@ -119,6 +119,45 @@ object Joins {
     * from one end). Scale: Σ block² candidate work, governed by the
     * selectivity of the caller's keys; every stage is a hash shuffle.
     */
+  /** Bin-bucketed interval join — `point ∈ [start, end]` matching over
+    * NUMERIC columns (epoch days/seconds; callers convert temporals).
+    *
+    * The direct formulation (`points.join(intervals, p.between(s, e))`)
+    * has no equi key, so Spark plans a BroadcastNestedLoopJoin —
+    * O(points·intervals) comparisons, unusable at scale. Binning
+    * restores a hash key: points land in bin ⌊p/binWidth⌋; each
+    * interval explodes to every bin its span covers; an equi-join on
+    * the bin finds all candidates, and the exact BETWEEN re-check
+    * removes same-bin near-misses. Identical results to the nested
+    * loop (property-tested), but the join is a plain shuffled/broadcast
+    * hash join: work is O(points + Σ span/binWidth + true matches).
+    *
+    * Pick `binWidth` ≈ the typical interval span: much smaller
+    * multiplies the interval side's explode factor; much larger piles
+    * unrelated candidates into each bin for the residual filter to
+    * discard. Both degrade gracefully (correctness never depends on
+    * the width). Hot bins (a burst window every interval covers) are
+    * ordinary join skew — AQE skew-join or salting applies unchanged.
+    * Intervals with `end < start` are empty by definition and match
+    * nothing; null endpoints/points drop (SQL three-valued BETWEEN
+    * would reject them anyway).
+    */
+  def intervalJoin(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.where(col(pointCol).isNotNull)
+      .withColumn("_bin", floor(col(pointCol) / binWidth))
+    val iv = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    p.join(iv, Seq("_bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   def blockedFuzzyJoin(left: DataFrame, leftId: String, leftKey: String,
                        right: DataFrame, rightId: String, rightKey: String,
                        maxDist: Int,

@@ -403,6 +403,26 @@ class OperatorsSpec extends SparkSpec {
     assert(hits === Seq(1, 2))
   }
 
+  test("intervalJoin equals the nested-loop BETWEEN join at any bin width") {
+    val points = (0L to 200L).map(p => (s"p$p", p)).toDF("pid", "t")
+    val ivs = Seq(("a", 0L, 10L), ("b", 5L, 5L), ("c", 7L, 60L),
+      ("d", 199L, 210L), ("e", 50L, 40L), // empty: end < start
+      ("f", 30L, 30L)).toDF("iid", "s", "e")
+    val naive = points.join(ivs, col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    for (w <- Seq(1L, 7L, 30L, 1000L)) {
+      val got = Joins.intervalJoin(points, "t", ivs, "s", "e", binWidth = w)
+        .select("pid", "iid").as[(String, String)].collect().toSet
+      assert(got === naive, s"binWidth=$w")
+    }
+    // boundary inclusivity: exactly t=5 ∈ [5,5]; e<s matches nothing
+    assert(naive.contains(("p5", "b")) && !naive.contains(("p4", "b")))
+    assert(!naive.exists(_._2 == "e"))
+    // nulls drop like SQL three-valued BETWEEN
+    val nullIv = Seq(("g", Some(1L), None: Option[Long])).toDF("iid", "s", "e")
+    assert(Joins.intervalJoin(points, "t", nullIv, "s", "e", 10).count() === 0)
+  }
+
   test("heavyHitters: exact regime (distinct <= counters) equals the exact top-N") {
     import graft.analytics.HeavyHitters
     val df = (1 to 400).map(i => s"k${i % 23}").toDF("key")

@@ -188,6 +188,12 @@ class PlanSpec extends SparkSpec {
     assert(p.split("FileScan").length - 1 === 1, p)
   }
 
+  test("interval join runs as a hash join on the bin — no nested loop") {
+    val p = plan("q_j10_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("heavy-hitter tokens: bounded sketch agg, broadcast semi-join verify, TakeOrdered") {
     val p = plan("q_t_heavy_tokens")
     // pass 1 runs as the typed-buffer ObjectHashAggregate (k-bounded
