@@ -470,4 +470,133 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** d×d gram matrix Σᵣ vᵣ·vᵣᵀ of an embedding column as (i, j, s)
+    * rows — the one-pass statistic under covariance, PCA, and
+    * whitening. Each row contributes its d² element products
+    * (posexplode twice); map-side partial aggregation then collapses
+    * every partition to ≤d² groups BEFORE the shuffle, so the exchange
+    * carries O(partitions·d²) rows regardless of corpus size — the
+    * same bounded-shuffle property as the MG sketch. float×float
+    * products are exact in double (24+24 significand bits < 53);
+    * cross-row sums run over DECIMAL(38,16) so the matrix is identical
+    * under any partitioning or engine (the kmeans/logprob discipline).
+    * For d where the d²-per-row explode dominates (d ≳ 10³), the seam
+    * is a typed Aggregator with a d²-double buffer — same output,
+    * no materialized pair rows.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    df.select(col(vecCol).as("_v"), posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("_v")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"),
+        (col("xi") * col("xj").cast("double")).as("p"))
+      .groupBy("i", "j")
+      .agg(round(sum(col("p").cast(dec)).cast("double"), 6).as("s"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * deterministic (fixed sweep order, fixed iteration count on top of
+    * the off-diagonal-mass exit), driver-side: the input is a d×d
+    * PLANNING artifact (gram/covariance), never data-sized. Returns
+    * (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending, each vector's sign fixed so its largest-|component|
+    * entry is positive (Jacobi's sign is otherwise arbitrary).
+    */
+  private[textops] def jacobiEigen(a0: Array[Array[Double]],
+                                   sweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val m = col.indices.maxBy(k => math.abs(col(k)))
+      if (col(m) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Principal components of an embedding column: covariance from the
+    * one-pass [[gramMatrix]] + mean (cov = G/n − μμᵀ), eigensolved
+    * driver-side ([[jacobiEigen]] — d×d, a planning artifact like the
+    * Dedup join-variant statistics, NOT a data collect). Returns the
+    * mean and the top-k (eigenvalue, component) pairs.
+    */
+  def principalComponents(df: DataFrame, vecCol: String,
+                          k: Int): (Array[Double], Array[(Double, Array[Double])]) = {
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      array((0 until dimOf(df, vecCol)).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("mu"))
+      .collect()(0)
+    val n = stats.getLong(0).toDouble
+    val mu = stats.getSeq[Double](1).toArray
+    val d = mu.length
+    require(k >= 1 && k <= d, s"k must be in 1..$d, got $k")
+    val g = Array.ofDim[Double](d, d)
+    gramMatrix(df, vecCol).collect().foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    val cov = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mu(i) * mu(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    (mu, vals.zip(vecs).take(k))
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Project (and optionally whiten) every vector onto the top-k
+    * principal axes: proj_c = Σ_d (v_d − μ_d)·e_cd, divided by √λ_c
+    * when whitening. The axes enter the plan as LITERAL arrays
+    * (broadcast by the plan itself — k·d doubles), so the projection
+    * is one narrow codegen'd map over the data: no join, no shuffle.
+    * Output: (idCol, proj array<double> rounded to 6 dp).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 whiten: Boolean = false): DataFrame = {
+    val (mu, comps) = principalComponents(df, vecCol, k)
+    val centered = zip_with(col(vecCol).cast("array<double>"),
+      typedLit(mu.toSeq), (x, m) => x - m)
+    val projs = comps.map { case (lam, e) =>
+      val raw = aggregate(
+        zip_with(centered, typedLit(e.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      if (whiten) raw / math.sqrt(math.max(lam, 1e-12)) else raw
+    }
+    df.select(col(idCol),
+      array(projs.map(p => round(p, 6)): _*).as("proj"))
+  }
 }

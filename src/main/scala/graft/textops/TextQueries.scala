@@ -265,6 +265,14 @@ object TextQueries extends QueryPack {
           "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // Embedding gram matrix: the one-pass d×d statistic under
+    // covariance/PCA/whitening. Map-side partials bound the shuffle at
+    // d² groups per partition; DECIMAL sums make it partition- and
+    // engine-exact.
+    "q_t_gram" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding")
+        .orderBy("i", "j")),
+
     // Language ID vs the labelled lang column: confusion counts.
     "q_t_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), "text")
@@ -1134,6 +1142,17 @@ object TextQueries extends QueryPack {
          |  FROM e CROSS JOIN q ORDER BY d2, vec_id LIMIT 10)
          |SELECT CAST(10 AS INT) AS k, COUNT(*) AS n_overlap
          |FROM adc JOIN exact USING (vec_id)""".stripMargin,
+
+    "q_t_gram" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT v, UNNEST(v) AS xi,
+        |    CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS i FROM e),
+        |pair AS (SELECT i, xi, UNNEST(v) AS xj,
+        |    CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS j FROM ex)
+        |SELECT i, j,
+        |  ROUND(CAST(SUM(CAST(xi * xj AS DECIMAL(38,16))) AS DOUBLE), 6) AS s
+        |FROM pair GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,

@@ -566,6 +566,55 @@ class TextOpsSpec extends SparkSpec {
     assert(spans.map(s => s._2 + s._3).max >= chunk.length * 2 + " and then later on ".length)
   }
 
+  test("gramMatrix is symmetric, layout-invariant, and equals the hand sum") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 3.0f)),
+      (3L, Seq(2.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val g = asMap(Similarity.gramMatrix(df, "embedding"))
+    // hand-computed Σ v·vᵀ
+    assert(g((0, 0)) === 5.0 && g((1, 1)) === 5.0 && g((2, 2)) === 10.0)
+    assert(g((0, 1)) === 2.0 && g((1, 2)) === 3.0 && g((0, 2)) === 2.0)
+    assert(g.forall { case ((i, j), s) => g((j, i)) === s }) // symmetric
+    assert(asMap(Similarity.gramMatrix(df.repartition(7), "embedding")) === g)
+  }
+
+  test("PCA recovers the dominant axis and whitening equalizes variance") {
+    // 80 points along direction (3,4)/5 in 3-d with a small orthogonal
+    // wobble: top component must align with the line, eigenvalues
+    // ordered, projections onto axis 1 carry ~all the variance.
+    val pts = (1 to 80).map { i =>
+      val t = (i % 17 - 8).toDouble          // spread along the line
+      val w = (i % 5 - 2).toDouble * 0.01    // tiny orthogonal wobble
+      (i.toLong, Seq((0.6 * t - 0.8 * w).toFloat, (0.8 * t + 0.6 * w).toFloat, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val (mu, comps) = Similarity.principalComponents(pts, "embedding", k = 2)
+    assert(mu.length === 3)
+    val (l1, e1) = comps(0)
+    val (l2, e2) = comps(1)
+    assert(l1 > l2 && l2 >= -1e-9)
+    // dominant axis ≈ ±(0.6, 0.8, 0): |cos| with the true direction ≈ 1
+    val align = math.abs(e1(0) * 0.6 + e1(1) * 0.8)
+    assert(align > 0.999, s"axis alignment $align; e1=${e1.toSeq}")
+    // orthonormal components
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(e1, e1) - 1.0) < 1e-9)
+    assert(math.abs(dot(e1, e2)) < 1e-9)
+    // whitened projections: per-axis variance ≈ 1
+    val proj = Similarity.pcaProject(pts, "vec_id", "embedding", k = 2,
+        whiten = true)
+      .select(col("proj")(0).as("p1"), col("proj")(1).as("p2"))
+      .as[(Double, Double)].collect()
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(math.abs(variance(proj.map(_._1).toSeq) - 1.0) < 0.05)
+    assert(math.abs(variance(proj.map(_._2).toSeq) - 1.0) < 0.05)
+  }
+
   test("approximate aggregates stay within tolerance of exact (100 TB fast path)") {
     val o = Tables.orders(spark, sfDir)
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
