@@ -70,6 +70,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin equals the nested loop for random intervals, points, and bin widths") {
+    val point = Gen.choose(-50L, 150L)
+    val interval = Gen.zip(Gen.choose(-60L, 160L), Gen.choose(0L, 40L))
+      .map { case (s, len) => (s, s + len) }
+    val cfg = Gen.zip(
+      Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, point)),
+      Gen.choose(2, 15).flatMap(m => Gen.listOfN(m, interval)),
+      Gen.choose(1L, 60L))
+    samples(cfg, 6).foreach { case (ps, ivs, w) =>
+      val pdf = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "t")
+      val idf = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iid", "s", "e")
+      val naive = pdf.join(idf, col("t") >= col("s") && col("t") <= col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val binned = graft.operators.Joins.intervalJoin(pdf, "t", idf, "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(binned === naive, s"w=$w ivs=$ivs ps=$ps")
+    }
+  }
+
   test("keyset walk enumerates any table completely, in order, for any page size") {
     samples(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 15)), 6).foreach { case (n, ps) =>
       val df = (1 to n).map(i => (i, s"v$i")).toDF("k", "v")
