@@ -56,4 +56,37 @@ object HeavyHitters {
       .orderBy(desc("cnt"), asc("key"))
       .limit(topN)
   }
+
+  /** Per-GROUP top-N frequent keys — one MG sketch per group (the same
+    * udaf under `groupBy`, so each group's partial state is k-bounded
+    * and the exchange carries ≤k map entries per group per partition),
+    * then the exact re-count of (group, candidate) pairs and a
+    * row_number cut. The ranking window runs over the CANDIDATE
+    * relation — at most groups·k rows, already aggregated — never over
+    * the data, so "top tokens per domain at 100 TB" pays two
+    * data passes and one bounded window. Exactness condition is
+    * [[topHeavy]]'s, per group. Output: (groupCol, key, cnt, rank).
+    */
+  def topHeavyPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                       counters: Int, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    require(counters >= topN,
+      s"counter budget $counters cannot resolve a top-$topN")
+    val keyed = df.where(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(keyCol).cast("string").as("key"))
+    val cands = keyed.groupBy("grp")
+      .agg(mgSketch(counters, col("key")).as("sketch"))
+      .select(col("grp"), explode(map_keys(col("sketch"))).as("key"))
+    // no broadcast hint here: the candidate relation is groups·k rows,
+    // bounded per group but not globally — AQE picks broadcast when
+    // groups are few and a shuffled semi-join when they are not
+    val counted = keyed.join(cands, Seq("grp", "key"), "left_semi")
+      .groupBy("grp", "key").agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(desc("cnt"), asc("key"))))
+      .where(col("rank") <= topN)
+      .withColumnRenamed("grp", groupCol)
+  }
 }

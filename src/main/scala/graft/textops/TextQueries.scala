@@ -402,6 +402,17 @@ object TextQueries extends QueryPack {
           .where(col("tok") =!= ""),
         "tok", counters = 64, topN = 10)),
 
+    // Grouped heavy hitters: top-3 tokens per language — one k-bounded
+    // MG sketch per group, exact re-count of candidates, rank window
+    // over the groups×k candidate relation only.
+    "q_t_heavy_tokens_grouped" -> ((s, dir) =>
+      graft.analytics.HeavyHitters.topHeavyPerGroup(
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= ""),
+        "lang", "tok", counters = 64, topN = 3)
+        .orderBy("lang", "rank")),
+
     // Greedy sequence packing: per-source 200-token context windows,
     // summarized per pack. The oracle replays the same greedy walk as a
     // recursive CTE.
@@ -1256,6 +1267,17 @@ object TextQueries extends QueryPack {
       """SELECT tok AS key, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+
+    "q_t_heavy_tokens_grouped" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS key
+        |  FROM documents),
+        |c AS (SELECT lang, key, COUNT(*) AS cnt FROM t
+        |  WHERE key <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, key, cnt, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY cnt DESC, key) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT lang, key, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
 
     // Recursive CTE replays the same greedy walk: seed each source's
     // first doc with pack 0, then step in id order.

@@ -449,6 +449,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topHeavyPerGroup ranks each group's keys independently and exactly") {
+    import graft.analytics.HeavyHitters
+    val df = (Seq.fill(9)(("g1", "a")) ++ Seq.fill(5)(("g1", "b")) ++
+      Seq.fill(2)(("g1", "c")) ++ Seq.fill(7)(("g2", "b")) ++
+      Seq.fill(7)(("g2", "z")) ++ Seq.fill(1)(("g2", "a")))
+      .toDF("grp", "key")
+    val got = HeavyHitters.topHeavyPerGroup(df, "grp", "key",
+        counters = 16, topN = 2)
+      .orderBy("grp", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(got === Seq(
+      ("g1", "a", 9L, 1), ("g1", "b", 5L, 2),
+      ("g2", "b", 7L, 1), ("g2", "z", 7L, 2))) // tie → key order
+  }
+
   test("heavyHitters: nulls are excluded, non-string keys count by string form") {
     import graft.analytics.HeavyHitters
     val df = Seq(Some(7L), Some(7L), Some(7L), Some(8L), Some(8L), None, None, None, None)
