@@ -90,7 +90,10 @@ object ScaleBench {
     "q_t_minhash_lsh", "q_t_simhash",
     "q_t_jaccard_prefix", "q_t_jaccard_pairs",
     "q_t_near_dedup", "q_t_cluster_split",
-    "q_t_kmeans", "q_g1_pagerank")
+    "q_t_kmeans", "q_g1_pagerank",
+    // round-9 additions: the gram's d²-per-row explode and the two
+    // sketch+verify passes are the growth questions worth measuring
+    "q_t_gram", "q_t_heavy_tokens", "q_t_heavy_tokens_grouped")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
