@@ -187,6 +187,40 @@ object LakeStorage {
           .otherwise("changed"))
   }
 
+  /** CDC change feed between two snapshots — the replayable form of
+    * [[snapshotDiff]]: full NEW-side rows for added/changed keys (op =
+    * 'added'/'changed') plus bare key rows for removals (op =
+    * 'removed', other columns null). Feed size ∝ the churn, not the
+    * corpus — the artifact a downstream consumer ships instead of the
+    * snapshot.
+    */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val diff = snapshotDiff(oldDf, newDf, idCol, textCol)
+      .select(col(idCol), col("status"))
+    val upserts = newDf
+      .join(diff.where(col("status").isin("added", "changed")), Seq(idCol))
+      .withColumnRenamed("status", "op")
+    val removals = diff.where(col("status") === "removed")
+      .select(Seq(col(idCol)) ++
+        newDf.columns.filter(_ != idCol).map(c => lit(null).cast(
+          newDf.schema(c).dataType).as(c)) :+ col("status").as("op"): _*)
+    upserts.unionByName(removals)
+  }
+
+  /** Apply a [[changeFeed]] to a base snapshot: removed keys drop,
+    * added/changed rows replace by key. One anti-join (touched keys
+    * out) + one union (upserts in) — shuffle ∝ base on the key plus
+    * the feed, never a full rewrite of untouched data when the lake is
+    * key-partitioned. Round-trip law (spec'd):
+    * `applyChanges(old, changeFeed(old, new)) ≡ new` row-for-row.
+    */
+  def applyChanges(base: DataFrame, feed: DataFrame, idCol: String): DataFrame = {
+    val touched = feed.select(col(idCol))
+    val upserts = feed.where(col("op") =!= "removed").drop("op")
+    base.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
+  }
+
   /** Incremental maintenance of a grouped aggregate across snapshot
     * versions — materialized-view refresh driven by [[snapshotDiff]]:
     * groups untouched by the change set keep their stored rows

@@ -515,6 +515,28 @@ object TextQueries extends QueryPack {
         .orderBy("status")
     }),
 
+    // CDC feed + apply round trip: build a mutated snapshot (removals,
+    // content changes, additions), derive the change FEED from the two
+    // snapshots, apply it back onto the old one, and aggregate the
+    // result. The oracle aggregates the mutated snapshot built
+    // DIRECTLY in SQL — hash-matching proves feed+apply reconstructs
+    // it exactly, exercising the whole diff→feed→apply loop.
+    "q_t_cdc_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nw = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(lit("new "), col("text"))))
+      val feed = graft.lake.LakeStorage.changeFeed(docs, nw, "doc_id", "text")
+      graft.lake.LakeStorage.applyChanges(docs, feed, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("source")
+    }),
+
     // Incremental aggregate refresh (materialized-view maintenance):
     // per-source stats carried from the old snapshot's stored aggregate
     // except for sources touched by the diff, which re-aggregate from
@@ -1439,6 +1461,21 @@ object TextQueries extends QueryPack {
          |SELECT status, COUNT(*) AS n,
          |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
          |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    // The mutated snapshot built directly — feed+apply must
+    // reconstruct it bit-for-bit.
+    "q_t_cdc_apply" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text, source
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        |FROM newsnap GROUP BY source ORDER BY source""".stripMargin,
 
     // Direct aggregation of the new snapshot — the incremental refresh
     // must reproduce this bit-for-bit.

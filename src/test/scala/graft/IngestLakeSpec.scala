@@ -174,6 +174,29 @@ class IngestLakeSpec extends SparkSpec {
     assert(d2 === Map(2L -> "unchanged", 3L -> "unchanged"))
   }
 
+  test("changeFeed is churn-only and applyChanges round-trips to the new snapshot") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
+      .toDF("doc_id", "text", "src")
+    val nw = Seq((2L, "beta", "s1"), (3L, "gamma REVISED", "s2"),
+      (4L, "delta", "s2")).toDF("doc_id", "text", "src")
+    val feed = LakeStorage.changeFeed(old, nw, "doc_id", "text")
+    // feed ∝ churn: one removed (bare key), one changed, one added —
+    // the unchanged row never appears
+    val ops = feed.select("doc_id", "op").as[(Long, String)].collect().toMap
+    assert(ops === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    assert(feed.where($"op" === "removed").select("text").as[Option[String]]
+      .collect() === Seq(None))
+    // round-trip law: apply(old, feed(old, new)) ≡ new, row for row
+    val applied = LakeStorage.applyChanges(old, feed, "doc_id")
+    assert(applied.orderBy("doc_id").collect().toSeq ===
+      nw.orderBy("doc_id").collect().toSeq)
+    // idempotent: re-applying the same feed changes nothing
+    val again = LakeStorage.applyChanges(applied, feed, "doc_id")
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      nw.orderBy("doc_id").collect().toSeq)
+  }
+
   test("compact rewrites a fragmented directory into few files, data intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
