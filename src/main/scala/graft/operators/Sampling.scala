@@ -143,4 +143,38 @@ object Sampling {
       .orderBy(asc(outCol), col(keyCol).asc)
       .limit(k)
   }
+
+  /** Exactly `n` rows per stratum, deterministic, WITHOUT a per-group
+    * sort — the exact-count counterpart of [[stratified]]'s Bernoulli
+    * fractions (eval-set construction wants "exactly 1000 per
+    * language", not "about"). Each row draws the engine-portable
+    * 52-bit md5 uniform of its key (the [[weightedSample]]
+    * derivation); a k-bounded [[graft.functions.TopKAggregator]] keeps
+    * each stratum's n largest uniforms — map-side partials carry ≤n
+    * entries per stratum, so the exchange is O(strata·n) and no
+    * stratum is ever sorted (the window formulation sorts every row of
+    * every stratum; a hot stratum at 100 TB sorts billions of rows to
+    * keep a thousand). Strata with ≤ n rows pass through whole.
+    * Membership is a pure function of (salt, key): stable across runs,
+    * layouts, and engines. `keyCol` must be integral (the id rides the
+    * bounded buffer as a long).
+    */
+  def stratifiedExactN(df: DataFrame, strataCol: String, keyCol: String,
+                       n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"per-stratum sample size must be positive, got $n")
+    val v = conv(substring(md5(concat(lit(salt), lit("\u0000"),
+      col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(4503599627370497.0)
+    val winners = df
+      .select(col(strataCol).as("_g"), col(keyCol).cast("long").as("_id"),
+        u.as("_u"))
+      .groupBy("_g")
+      .agg(graft.functions.TopKAggregator.topK(n, col("_u"), col("_id"))
+        .as("_top"))
+      .select(col("_g"), explode(col("_top")).as("_e"))
+      .select(col("_g"), col("_e.id").as("_wid"))
+    df.join(winners,
+      col(strataCol) === col("_g") && col(keyCol).cast("long") === col("_wid"),
+      "left_semi")
+  }
 }

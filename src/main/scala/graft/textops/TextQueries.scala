@@ -390,6 +390,15 @@ object TextQueries extends QueryPack {
           max(col("n_chars_obs")).as("max_chars"))
         .orderBy("source")),
 
+    // Exact-n stratified sample: exactly 5 docs per language, chosen by
+    // each doc's md5 uniform through a bounded per-stratum top-k — no
+    // stratum is ever sorted.
+    "q_t_strat_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedExactN(
+        Tables.documents(s, dir), "lang", "doc_id", n = 5, salt = "s9")
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
     // Heavy-hitter tokens: MG-sketch candidates (64 counters) + exact
     // verify — the bounded-state form of a corpus vocabulary head. At
     // this vocab the sketch holds every token (distinct ≤ k), so the
@@ -1282,6 +1291,18 @@ object TextQueries extends QueryPack {
         |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
         |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Window replay of the bounded top-k: same md5 uniform, same
+    // (u DESC, id ASC) order.
+    "q_t_strat_sample" ->
+      """WITH u AS (SELECT lang, doc_id,
+        |    (CAST(('0x' || substring(
+        |        md5('s9' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      + 1.0) / 4503599627370497.0 AS u
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY u DESC, doc_id) AS rn FROM u)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     // The MG+verify composition is exact here (distinct tokens ≤ 64
     // counters), so the oracle is the plain exact top-10.

@@ -449,6 +449,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedExactN: exactly n per stratum, layout-stable, small strata whole") {
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "tiny"))).toDF("id", "grp")
+    val a = Sampling.stratifiedExactN(df, "grp", "id", n = 6, salt = "x")
+      .as[(Long, String)].collect().toSet
+    assert(a.count(_._2 == "big") === 6)
+    assert(a.count(_._2 == "tiny") === 3) // stratum smaller than n → whole
+    // pure function of (salt, key): any layout gives the same sample
+    val b = Sampling.stratifiedExactN(df.repartition(13).orderBy(desc("id")),
+      "grp", "id", n = 6, salt = "x").as[(Long, String)].collect().toSet
+    assert(b === a)
+    // a different salt draws a different big-stratum sample
+    val c = Sampling.stratifiedExactN(df, "grp", "id", n = 6, salt = "y")
+      .as[(Long, String)].collect().toSet
+    assert(c !== a)
+  }
+
   test("topHeavyPerGroup ranks each group's keys independently and exactly") {
     import graft.analytics.HeavyHitters
     val df = (Seq.fill(9)(("g1", "a")) ++ Seq.fill(5)(("g1", "b")) ++
