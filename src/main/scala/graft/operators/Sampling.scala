@@ -83,6 +83,49 @@ object Sampling {
       .drop("_source_tokens")
   }
 
+  /** Temperature-weighted corpus mixing — the standard multi-source /
+    * multilingual LLM recipe: source s gets target share
+    * w_s = T_s^α / Σ T^α of a total token budget (α = 1 keeps natural
+    * proportions; α → 0 approaches uniform; α ≈ 0.3–0.7 upweights
+    * tail sources at the head's expense). Keep fraction per source is
+    * min(1, budget·w_s / T_s); membership is the same engine-portable
+    * [[fineBucket]] hash as [[sampleToTokenBudget]], so the sample is
+    * a pure function of the key.
+    *
+    * Numeric discipline: the α-powers are rounded to 9 dp and summed
+    * as DECIMAL (a raw double Σ T^α would depend on the totals
+    * relation's partition order — cross-engine pow noise below 1e-9 is
+    * rounded away, and the sum is then order-exact); the final keep
+    * fraction is rounded to 9 dp before the bucket compare so both
+    * sides of an oracle see identical boundaries. Scale shape as
+    * [[sampleToTokenBudget]]: totals are |sources| rows aggregated
+    * map-side; the corpus never shuffles — one scan, one broadcast
+    * join, one map-side filter. Output adds `mix_frac`.
+    */
+  def sampleWithTemperature(df: DataFrame, sourceCol: String, keyCol: String,
+                            tokensCol: String, totalTokens: Long,
+                            alpha: Double): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val clash = df.columns.filter(Set("_t", "_w", "_ws", "mix_frac").contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with " +
+        "sampleWithTemperature's working/output names — rename them first")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("_t"))
+      .withColumn("_w", round(pow(col("_t").cast("double"), lit(alpha)), 9))
+    val wsum = totals.agg(sum(col("_w").cast(dec)).cast("double").as("_ws"))
+    val fracs = totals.crossJoin(broadcast(wsum))
+      .withColumn("mix_frac", round(least(lit(1.0),
+        lit(totalTokens.toDouble) * col("_w") / col("_ws")
+          / col("_t").cast("double")), 9))
+      .select(col(sourceCol), col("mix_frac"))
+    df.join(broadcast(fracs), Seq(sourceCol))
+      .filter(fineBucket(col(keyCol)).cast("double") <
+        col("mix_frac") * lit((1L << 24).toDouble))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * stable position `outCol` = its rank under `md5(seed \\0 key)`
     * (key as tie-break). Reordering a 100 TB corpus is a range shuffle

@@ -390,6 +390,21 @@ object TextQueries extends QueryPack {
           max(col("n_chars_obs")).as("max_chars"))
         .orderBy("source")),
 
+    // Temperature mixing: α=0.5 flattens source shares toward uniform
+    // before sampling to a 2000-token total budget; per-source report.
+    "q_t_mix_temp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      graft.operators.Sampling
+        .sampleWithTemperature(docs, "source", "doc_id", "n_tokens",
+          totalTokens = 2000L, alpha = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          round(min(col("mix_frac")), 6).as("mix_frac"))
+        .orderBy("source")
+    }),
+
     // Exact-n stratified sample: exactly 5 docs per language, chosen by
     // each doc's md5 uniform through a bounded per-stratum top-k — no
     // stratum is ever sorted.
@@ -1291,6 +1306,27 @@ object TextQueries extends QueryPack {
         |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
         |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same α-power/DECIMAL-sum/9-dp-round pipeline, replayed.
+    "q_t_mix_temp" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, SUM(n_tokens) AS tt,
+        |    ROUND(POW(CAST(SUM(n_tokens) AS DOUBLE), 0.5), 9) AS w
+        |  FROM d GROUP BY source),
+        |ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS s FROM t),
+        |f AS (SELECT t.source,
+        |    ROUND(LEAST(1.0, 2000.0 * t.w / ws.s / CAST(t.tt AS DOUBLE)), 9)
+        |      AS mix_frac
+        |  FROM t, ws),
+        |k AS (SELECT d.*, f.mix_frac FROM d JOIN f USING (source)
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      < f.mix_frac * 16777216.0)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |  ROUND(MIN(mix_frac), 6) AS mix_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // Window replay of the bounded top-k: same md5 uniform, same
     // (u DESC, id ASC) order.

@@ -449,6 +449,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sampleWithTemperature upweights tail sources and is layout-stable") {
+    // head: 900 tokens over 90 docs; tail: 100 tokens over 10 docs
+    val df = ((1 to 90).map(i => (i.toLong, "head", 10L)) ++
+      (101 to 110).map(i => (i.toLong, "tail", 10L))).toDF("id", "src", "n_tok")
+    val out = Sampling.sampleWithTemperature(df, "src", "id", "n_tok",
+      totalTokens = 500L, alpha = 0.5)
+    val fr = out.select("src", "mix_frac").distinct()
+      .as[(String, Double)].collect().toMap
+    // α=0.5: weights √900=30 / √100=10 → shares 0.75/0.25 →
+    // frac_head = 500·0.75/900 ≈ 0.4167, frac_tail = 500·0.25/100 → capped 1
+    assert(math.abs(fr("head") - 0.416666667) < 1e-6)
+    assert(fr("tail") === 1.0)
+    assert(out.filter($"src" === "tail").count() === 10) // tail kept whole
+    // proportional (α=1) would keep frac_head = frac_tail = 0.5: the
+    // temperature genuinely moved share toward the tail
+    val prop = Sampling.sampleWithTemperature(df, "src", "id", "n_tok",
+        totalTokens = 500L, alpha = 1.0)
+      .select("src", "mix_frac").distinct().as[(String, Double)].collect().toMap
+    assert(math.abs(prop("head") - 0.5) < 1e-6 && math.abs(prop("tail") - 0.5) < 1e-6)
+    // membership is a pure function of the key — any layout agrees
+    val again = Sampling.sampleWithTemperature(df.repartition(9).orderBy(desc("id")),
+      "src", "id", "n_tok", 500L, 0.5)
+    assert(again.select("id").as[Long].collect().toSet ===
+      out.select("id").as[Long].collect().toSet)
+  }
+
   test("stratifiedExactN: exactly n per stratum, layout-stable, small strata whole") {
     val df = ((1 to 40).map(i => (i.toLong, "big")) ++
       (101 to 103).map(i => (i.toLong, "tiny"))).toDF("id", "grp")
