@@ -158,6 +158,23 @@ object JoinQueries extends QueryPack {
         .orderBy("suppkey")
     }),
 
+    // J11 (extension): sketch-driven hot/cold differentiated join —
+    // MG-detected hot keys take a broadcast path (no shuffle sees
+    // them), the cold remainder shuffles normally; the union must be
+    // row-identical to the plain join, which is exactly what the
+    // oracle's plain join checks.
+    "q_j11_hotcold_join" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.hotColdJoin(fact, dim, "suppkey", hotCounters = 32)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
     // J7/A8/F21: grouped list collection (sorted for determinism) —
     // parallel arrays of the reference's zip-join presentation shape.
     "q_j7_group_lists" -> ((s, dir) => {
@@ -255,6 +272,12 @@ object JoinQueries extends QueryPack {
         |WHERE abs(length(d.d_name) - length(c.c_name)) <= 1
         |  AND levenshtein(d.d_name, c.c_name) <= 1
         |ORDER BY d_key, c_custkey""".stripMargin,
+
+    "q_j11_hotcold_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_j10_interval_join" ->
       """WITH w AS (SELECT l_suppkey AS suppkey,

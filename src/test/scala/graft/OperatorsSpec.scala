@@ -449,6 +449,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hotColdJoin equals the plain join under extreme key skew") {
+    // one key holds 90% of the fact; dim has extra keys with no fact rows
+    val fact = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (901 to 1000).map(i => (i.toLong, s"k${i % 37}"))).toDF("row_id", "k")
+    val dim = (Seq("hot") ++ (0 until 37).map(i => s"k$i") ++ Seq("orphan"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10) }.toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+      .select("row_id", "attr").as[(Long, Int)].collect().sorted.toSeq
+    val split = graft.operators.Skew.hotColdJoin(fact, dim, "k", hotCounters = 8)
+      .select("row_id", "attr").as[(Long, Int)].collect().sorted.toSeq
+    assert(split === plain)
+  }
+
   test("sampleWithTemperature upweights tail sources and is layout-stable") {
     // head: 900 tokens over 90 docs; tail: 100 tokens over 10 docs
     val df = ((1 to 90).map(i => (i.toLong, "head", 10L)) ++
