@@ -34,7 +34,24 @@ object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, payloadCols, forward = false)
+
+  /** Forward as-of join: attach the single right row with the SMALLEST
+    * `rightTs >= leftTs` per key — outcome labeling (each event joined
+    * to the next conversion/order at or after it). Same single-shuffle
+    * union+window shape as [[asofJoin]], with the running pass walking
+    * time backwards; equality ties match, like DuckDB's
+    * `ASOF JOIN ... ON l.ts <= r.ts`.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, payloadCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // The whole right payload travels as ONE struct so the running
     // last(ignoreNulls) picks an entire right row atomically — filling
@@ -56,7 +73,11 @@ object AsOf {
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payloadCols.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_tag").asc)
+      // forward = the same running pass over time reversed; at equal
+      // ts the right row (tag 0) is seen first either way, so both
+      // directions match exact-timestamp snapshots
+      .orderBy(if (forward) col("_ts").desc else col("_ts").asc,
+        col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))

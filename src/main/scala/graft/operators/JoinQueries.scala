@@ -120,6 +120,31 @@ object JoinQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // J12 (extension): forward as-of — each event labeled with the NEXT
+    // order at or after it per user (outcome labeling), same
+    // union+window single-shuffle shape as q_j8 walked backwards.
+    "q_j12_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("edate"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          to_date(col("o_orderdate")).as("odate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("user_id"), col("odate"),
+          col("m.o_orderkey").as("next_orderkey"),
+          col("m.o_totalprice").as("next_totalprice"))
+      AsOf.asofJoinForward(ev, ord, Seq("user_id"), "edate", "odate",
+          Seq("next_orderkey", "next_totalprice"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("next_orderkey")).as("n_matched"),
+          sum(col("next_totalprice").cast(dec)).cast("double")
+            .as("sum_next_price"),
+          max(col("next_orderkey")).as("max_orderkey"))
+        .orderBy("event_type")
+    }),
+
     // J9 (extension): blocked fuzzy join — recover entity links from a
     // deterministically corrupted name column (char 10 replaced) with
     // two selective blocking passes (last-4 / digits 14-17) + exact
@@ -272,6 +297,22 @@ object JoinQueries extends QueryPack {
         |WHERE abs(length(d.d_name) - length(c.c_name)) <= 1
         |  AND levenshtein(d.d_name, c.c_name) <= 1
         |ORDER BY d_key, c_custkey""".stripMargin,
+
+    "q_j12_asof_forward" ->
+      """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS odate,
+        |    MAX(o_orderkey) AS next_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS next_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS edate
+        |  FROM events),
+        |j AS (SELECT l.event_type, r.next_orderkey, r.next_totalprice
+        |  FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.edate <= r.odate)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(next_orderkey) AS n_matched,
+        |  CAST(SUM(CAST(next_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_next_price,
+        |  MAX(next_orderkey) AS max_orderkey
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_j11_hotcold_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,

@@ -29,6 +29,23 @@ class AsOfSpec extends SparkSpec {
       ("e3", None), ("e4", Some(300.0))))
   }
 
+  test("asofJoinForward picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, 10, "e1"), (1L, 25, "e2"), (2L, 5, "e3"), (2L, 40, "e4"))
+      .toDF("k", "lt", "ev")
+    val right = Seq(
+      (1L, 10, 100.0), (1L, 20, 200.0), (2L, 6, 300.0))
+      .toDF("k", "rt", "snap")
+    val out = AsOf.asofJoinForward(left, right, Seq("k"), "lt", "rt", Seq("snap"))
+      .orderBy("k", "lt")
+      .select("ev", "snap").as[(String, Option[Double])].collect()
+    // e1: tie at ts=10 matches (<= semantics). e2: nothing ≥ 25 → null.
+    // e3: earliest of {6} ≥ 5 → 300. e4: nothing ≥ 40 → null.
+    assert(out === Seq(
+      ("e1", Some(100.0)), ("e2", None),
+      ("e3", Some(300.0)), ("e4", None)))
+  }
+
   test("asofJoin carries multiple payload columns and respects keys") {
     val left = Seq((1L, 10), (2L, 10)).toDF("k", "lt")
     val right = Seq((1L, 9, "a", 1.0), (2L, 8, "b", 2.0), (2L, 9, "c", 3.0))
