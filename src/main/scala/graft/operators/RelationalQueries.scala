@@ -248,6 +248,23 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy("o_orderpriority")),
 
+    // R5: unpivot/melt — the inverse of q_r3's pivot: a wide per-nation
+    // metric row melts to (key, metric, value) long form. Pure map-side
+    // Expand, no shuffle beyond the source aggregation.
+    "q_r5_unpivot" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val wide = Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(
+          sum(col("c_acctbal").cast(dec2)).cast("double").as("total_bal"),
+          count(lit(1)).cast("double").as("n_cust"),
+          round(avg(length(col("c_name"))), 6).as("avg_name_len"))
+      wide.unpivot(Array(col("c_nationkey")),
+          Array(col("total_bal"), col("n_cust"), col("avg_name_len")),
+          "metric", "value")
+        .orderBy("c_nationkey", "metric")
+    }),
+
     // F23: string-function kit — pad/translate/reverse/left/replace in
     // one projection (the remaining §2.8 string surface in one pass).
     "q_f23_string_kit" -> ((s, dir) =>
@@ -509,6 +526,16 @@ object RelationalQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_r5_unpivot" ->
+      """WITH wide AS (SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+        |    ROUND(AVG(LENGTH(c_name)), 6) AS avg_name_len
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT * FROM (UNPIVOT wide ON total_bal, n_cust, avg_name_len
+        |  INTO NAME metric VALUE value)
+        |ORDER BY c_nationkey, metric""".stripMargin,
 
     "q_f23_string_kit" ->
       """SELECT n_nationkey,
