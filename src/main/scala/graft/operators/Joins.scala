@@ -180,7 +180,10 @@ object Joins {
       .drop("_pass", "_bv")
       .dropDuplicates(leftId, rightId)
       .filter(abs(length(col(leftKey)) - length(col(rightKey))) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded O(len·maxDist) DP with early exit (−1
+      // when the distance exceeds maxDist) instead of the full
+      // O(len²) matrix — same kept rows, same dist values for them
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
