@@ -35,4 +35,33 @@ object TimeSeries {
       .withColumn("value_ff", last(col(valueCol), ignoreNulls = true).over(w))
       .withColumn("is_observed", col(valueCol).isNotNull)
   }
+
+  /** Rolling distinct count over a trailing day window — WAU/MAU-style
+    * "distinct ids in the `windowDays` days ending at each observed
+    * day". A RANGE-window `countDistinct` doesn't exist in Spark (and
+    * a per-day self-join over the range is O(days·window) scans); the
+    * scale shape is: collapse to per-day DISTINCT ids first (the big
+    * reduction — a 100 TB event log becomes |days|·|dailyActive|
+    * pairs), EXPLODE each (day, id) to the `windowDays` window-ends it
+    * contributes to (the interval-join bin trick with bin = day), keep
+    * window-ends that are observed days (tiny broadcast semi-join),
+    * and count distinct per window-end. Shuffle ∝ windowDays × the
+    * per-day-distinct relation — linear in the window, never quadratic
+    * in days. Output: (dateCol, n_distinct), observed days only.
+    */
+  def rollingDistinct(df: DataFrame, tsCol: String, idCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = df
+      .select(to_date(col(tsCol)).as("_day"), col(idCol).as("_id"))
+      .where(col("_day").isNotNull && col("_id").isNotNull)
+      .distinct()
+    val days = daily.select(col("_day").as("_win_end")).distinct()
+    daily
+      .withColumn("_win_end", explode(sequence(col("_day"),
+        date_add(col("_day"), windowDays - 1))))
+      .join(broadcast(days), Seq("_win_end"), "left_semi")
+      .groupBy(col("_win_end").as(tsCol + "_window_end"))
+      .agg(countDistinct(col("_id")).as("n_distinct"))
+  }
 }

@@ -190,6 +190,15 @@ object WindowQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // W13 (extension): rolling 7-day distinct users per observed day —
+    // per-day distinct first, then the bin-explode trick; no range
+    // self-join, no per-day rescans.
+    "q_w13_rolling_dau" -> ((s, dir) =>
+      TimeSeries.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
+          windowDays = 7)
+        .withColumnRenamed("ts_window_end", "win_day")
+        .orderBy("win_day")),
+
     "q_w9_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id"))
@@ -224,6 +233,15 @@ object WindowQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
         |  CAST(SUM(vff) AS DOUBLE) AS sum_ff
         |FROM ff GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_w13_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS win_day, COUNT(DISTINCT du.user_id) AS n_distinct
+        |FROM days d JOIN du
+        |  ON du.day >= d.day - INTERVAL 6 DAY AND du.day <= d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_w7_lag_delta" ->
       """WITH d AS (SELECT o_custkey, o_orderdate,

@@ -449,6 +449,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rollingDistinct counts trailing-window ids for observed days only") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // days 1,2,5 observed; window 3: day1={a,b}, day2={a,b,c},
+    // day5=day5-only {a} (days 3,4 fall out and are unobserved)
+    val ev = Seq(
+      (t("2024-01-01"), "a"), (t("2024-01-01"), "b"),
+      (t("2024-01-02"), "c"), (t("2024-01-02"), "a"),
+      (t("2024-01-05"), "a")).toDF("ts", "uid")
+    val out = graft.operators.TimeSeries.rollingDistinct(ev, "ts", "uid", 3)
+      .orderBy("ts_window_end")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
+    assert(out === Seq("2024-01-01" -> 2L, "2024-01-02" -> 3L,
+      "2024-01-05" -> 1L))
+  }
+
   test("hotColdJoin equals the plain join under extreme key skew") {
     // one key holds 90% of the fact; dim has extra keys with no fact rows
     val fact = ((1 to 900).map(i => (i.toLong, "hot")) ++
