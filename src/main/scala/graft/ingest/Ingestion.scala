@@ -169,6 +169,35 @@ object Ingestion {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Group-mean imputation — the statistical upgrade of the reference's
+    * constant-fill cleaning (`ingestion_pipeline.py` NA sentinels →
+    * null): nulls in `valueCol` fill with their GROUP's mean, which is
+    * what a per-segment fill should use (a global mean drags every
+    * group toward the grand average). Adds `<valueCol>_imputed`
+    * (double) and `was_imputed`; rows in groups with no observed value
+    * stay null (there is nothing defensible to fill with — gate them
+    * with an [[Expectations.NotNull]] if that's an error).
+    *
+    * Numerics + scale: the per-group mean is a DECIMAL-exact Σ over
+    * observed values divided in double and rounded to 6 dp, so the
+    * fill value is identical under any partitioning or engine. The
+    * means relation is |groups| rows — aggregated map-side and joined
+    * back by broadcast; the data never shuffles.
+    */
+  def imputeByGroupMean(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val means = df.groupBy(col(groupCol))
+      .agg(round(sum(col(valueCol).cast(dec)).cast("double")
+        / count(col(valueCol)), 6).as("_grp_mean"))
+    df.join(broadcast(means), Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_imputed",
+        coalesce(col(valueCol).cast("double"), col("_grp_mean")))
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("_grp_mean").isNotNull)
+      .drop("_grp_mean")
+  }
+
   /** Full pipeline: CSV → profile (JSON) + cleaned Parquet.
     * (`run_ingestion_pipeline`, `ingestion_pipeline.py:152-178`.)
     * The parsed CSV is cached across the two actions (clean-write,

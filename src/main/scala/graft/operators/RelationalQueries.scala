@@ -299,6 +299,22 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 3), 6).as("p75"),
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
+    // A21 (extension): group-mean imputation — values nulled on a
+    // deterministic rule (event_id % 9), refilled with the per-user
+    // DECIMAL-exact mean, summarized per user.
+    "q_a21_impute" -> ((s, dir) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val ev = Tables.events(s, dir)
+        .withColumn("value", when(col("event_id") % 9 === 0, lit(null))
+          .otherwise(col("value")))
+      graft.ingest.Ingestion.imputeByGroupMean(ev, "user_id", "value")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_imputed"), 1L).otherwise(0L)).as("n_imputed"),
+          sum(col("value_imputed").cast(dec6)).cast("double").as("sum_imputed"))
+        .orderBy("user_id")
+    }),
+
     // A20 (extension): group-wise outlier flags — each customer's
     // orders tested against that customer's own 2σ band, with
     // DECIMAL-exact Σx/Σx² so the variance is identical on any
@@ -551,6 +567,22 @@ object RelationalQueries extends QueryPack {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_a21_impute" ->
+      """WITH ev AS (SELECT user_id,
+        |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |m AS (SELECT user_id,
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6)
+        |      AS gm
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ev.v IS NULL AND m.gm IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  CAST(SUM(CAST(COALESCE(ev.v, m.gm) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_imputed
+        |FROM ev LEFT JOIN m USING (user_id)
+        |GROUP BY ev.user_id ORDER BY ev.user_id""".stripMargin,
 
     "q_a17_quantiles" ->
       """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,

@@ -449,6 +449,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("imputeByGroupMean fills from the group's own mean; empty groups stay null") {
+    val df = Seq(
+      ("g1", Some(10.0)), ("g1", Some(20.0)), ("g1", None),
+      ("g2", Some(5.0)), ("g3", None)).toDF("grp", "v")
+    val out = graft.ingest.Ingestion.imputeByGroupMean(df, "grp", "v")
+      .select("grp", "v_imputed", "was_imputed")
+      .as[(String, Option[Double], Boolean)].collect().toSet
+    assert(out === Set(
+      ("g1", Some(10.0), false), ("g1", Some(20.0), false),
+      ("g1", Some(15.0), true),           // g1's own mean, not global
+      ("g2", Some(5.0), false),
+      ("g3", None, false)))               // no observed value → stays null
+  }
+
   test("rollingDistinct counts trailing-window ids for observed days only") {
     import java.sql.Timestamp
     def t(d: String) = Timestamp.valueOf(s"$d 12:00:00")
