@@ -45,4 +45,32 @@ object Anomaly {
             > col("_gvar") * lit(sigma * sigma))
       .drop("_gn", "_gsum", "_gsumsq", "_gmean", "_gvar")
   }
+
+  /** Per-group winsorization: values clip to their group's
+    * [loPct, hiPct] exact interpolated percentiles (percentile_cont
+    * semantics — the same engine-portable form as `q_a17_quantiles`).
+    * Clipping (not dropping) is the standard robust-cleaning move when
+    * downstream wants every row but not the tail's leverage. The
+    * percentile bounds are one aggregation into a |groups|-row
+    * relation, broadcast back; the clip is a map-side
+    * least/greatest — the data never shuffles. Adds
+    * `<valueCol>_winsor` (double, 6 dp) and `was_clipped`; null
+    * values pass through unclipped.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+                loPct: Double = 0.01, hiPct: Double = 0.99): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
+    val bounds = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile($valueCol, ${loPct}D)").as("_lo"),
+      expr(s"percentile($valueCol, ${hiPct}D)").as("_hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn(s"${valueCol}_winsor",
+        round(least(greatest(col(valueCol).cast("double"), col("_lo")),
+          col("_hi")), 6))
+      .withColumn("was_clipped",
+        col(valueCol).isNotNull &&
+          (col(valueCol) < col("_lo") || col(valueCol) > col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -315,6 +315,19 @@ object RelationalQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // A22 (extension): per-user winsorization — event values clipped
+    // to the user's own [p5, p95] interpolated percentiles, summarized.
+    "q_a22_winsorize" -> ((s, dir) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      graft.analytics.Anomaly.winsorize(
+          Tables.events(s, dir), "user_id", "value",
+          loPct = 0.05, hiPct = 0.95)
+        .groupBy("user_id")
+        .agg(sum(when(col("was_clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          sum(col("value_winsor").cast(dec6)).cast("double").as("sum_winsor"))
+        .orderBy("user_id")
+    }),
+
     // A20 (extension): group-wise outlier flags — each customer's
     // orders tested against that customer's own 2σ band, with
     // DECIMAL-exact Σx/Σx² so the variance is identical on any
@@ -567,6 +580,19 @@ object RelationalQueries extends QueryPack {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_a22_winsorize" ->
+      """WITH b AS (SELECT user_id,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id,
+        |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_winsor
+        |FROM events e JOIN b USING (user_id)
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
 
     "q_a21_impute" ->
       """WITH ev AS (SELECT user_id,

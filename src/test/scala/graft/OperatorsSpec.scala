@@ -449,6 +449,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to each group's own percentile band") {
+    // g1: 1..10 → p10/p90 interpolated bounds 1.9 / 9.1; g2 untouched
+    val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
+      Seq(("g2", 100.0), ("g2", 200.0))).toDF("grp", "v")
+    val out = graft.analytics.Anomaly.winsorize(df, "grp", "v", 0.10, 0.90)
+      .select("grp", "v", "v_winsor", "was_clipped")
+      .as[(String, Double, Double, Boolean)].collect().toSet
+    assert(out.contains(("g1", 1.0, 1.9, true)))
+    assert(out.contains(("g1", 10.0, 9.1, true)))
+    assert(out.contains(("g1", 5.0, 5.0, false)))
+    // g2's band comes from g2 only: 100 clips to its own p10 = 110
+    assert(out.contains(("g2", 100.0, 110.0, true)))
+  }
+
   test("imputeByGroupMean fills from the group's own mean; empty groups stay null") {
     val df = Seq(
       ("g1", Some(10.0)), ("g1", Some(20.0)), ("g1", None),
