@@ -188,6 +188,22 @@ class PlanSpec extends SparkSpec {
     assert(p.split("FileScan").length - 1 === 1, p)
   }
 
+  test("group-stat cleaning ops broadcast their stats; the data side never sorts") {
+    for (q <- Seq("q_a21_impute", "q_a22_winsorize")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q\n$p")
+    }
+  }
+
+  test("rolling distinct has no Window operator and no range self-join") {
+    val p = plan("q_w13_rolling_dau")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // observed-days gate is the semi-join
+  }
+
   test("interval join runs as a hash join on the bin — no nested loop") {
     val p = plan("q_j10_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
