@@ -205,6 +205,10 @@ object Sampling {
   def stratifiedExactN(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int, salt: String = ""): DataFrame = {
     require(n > 0, s"per-stratum sample size must be positive, got $n")
+    val clash = df.columns.filter(Set("_g", "_wid").contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with " +
+        "stratifiedExactN's working names (_g, _wid) — rename them first")
     val v = conv(substring(md5(concat(lit(salt), lit("\u0000"),
       col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double")
     val u = (v + lit(1.0)) / lit(4503599627370497.0)
