@@ -106,4 +106,52 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Synchronous label propagation (community detection), fixed
+    * iteration count, fully deterministic: every node starts labeled
+    * with its own id; each iteration every node adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label (min over the (−count, label) pair — integer arithmetic
+    * only, so any engine replays it bit-for-bit; no rounding
+    * discipline needed, unlike PageRank's doubles). Isolated nodes
+    * keep their own label.
+    *
+    * Per iteration: one hash join of the symmetrized edges with the
+    * k-row label relation (the same AQE-broadcast shape as a PageRank
+    * step) and one (node, label) aggregation — no window over the
+    * edge relation. Synchronous updates oscillate on bipartite
+    * structures as LPA classically does; a fixed iteration count is
+    * the deterministic contract, matching the reference-free exactness
+    * discipline of [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iteration count must be positive, got $iters")
+    val canon = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val und = canon.unionByName(
+      canon.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val adopted = und
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy("node")
+        .agg(min(struct((-col("_c")).as("_nc"), col("label").as("_l")))
+          .as("_best"))
+        .select(col("node"), col("_best._l").as("label"))
+      labels = nodes.join(adopted, Seq("node"), "left")
+        .withColumn("label", coalesce(col("label"), col("node")))
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels.select("node", "label")
+  }
 }

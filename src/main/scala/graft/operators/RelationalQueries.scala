@@ -370,6 +370,21 @@ object RelationalQueries extends QueryPack {
     // BIGINTs (customer 2k, supplier 2k+1) — the narrow-key discipline
     // the operator documents — and decorate to the reference's
     // 'c…'/'s…' labels only on the 10-row output. Top 10.
+    // G2 (extension): label-propagation communities over the same
+    // trade graph — 2 synchronous iterations, integer-only (most
+    // frequent neighbor label, ties to the smallest), community-size
+    // table.
+    "q_g2_label_prop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", iters = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy("label")
+    }),
+
     "q_g1_pagerank" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -644,6 +659,26 @@ object RelationalQueries extends QueryPack {
         |  ROUND(MAX(o_totalprice), 6) AS bin_max
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_g2_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS s, l_suppkey*2+1 AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |canon AS (SELECT DISTINCT LEAST(s,d) AS src, GREATEST(s,d) AS dst FROM e0),
+        |und AS (SELECT src, dst FROM canon
+        |  UNION ALL SELECT dst, src FROM canon WHERE src <> dst),
+        |l0 AS (SELECT DISTINCT src AS node FROM und),
+        |c1 AS (SELECT u.dst AS node, l.node AS label, COUNT(*) AS c
+        |  FROM und u JOIN l0 l ON u.src = l.node GROUP BY 1, 2),
+        |a1 AS (SELECT node, label FROM (SELECT node, label,
+        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT u.dst AS node, a.label, COUNT(*) AS c
+        |  FROM und u JOIN a1 a ON u.src = a.node GROUP BY 1, 2),
+        |a2 AS (SELECT node, label FROM (SELECT node, label,
+        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT label, COUNT(*) AS n_members
+        |FROM a2 GROUP BY label ORDER BY label""".stripMargin,
 
     "q_g1_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -449,6 +449,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: hand-checked synchronous iterations on a path graph") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // iter 1 (labels = own id): 1←{2}→2, 2←{1,3} tie→1, 3←{2}→2
+    val l1 = Graph.labelPropagation(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // iter 2: 1 sees label(2)=1 → 1; 2 sees {label(1)=2, label(3)=2} → 2;
+    // 3 sees label(2)=1 → 1
+    val l2 = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // disconnected components never share labels
+    val two = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val lt = Graph.labelPropagation(two, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(lt(1L), lt(2L)).intersect(Set(lt(10L), lt(11L))).isEmpty)
+  }
+
   test("winsorize clips to each group's own percentile band") {
     // g1: 1..10 → p10/p90 interpolated bounds 1.9 / 9.1; g2 untouched
     val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
