@@ -91,9 +91,10 @@ object ScaleBench {
     "q_t_jaccard_prefix", "q_t_jaccard_pairs",
     "q_t_near_dedup", "q_t_cluster_split",
     "q_t_kmeans", "q_g1_pagerank",
-    // round-9 additions: the gram's d²-per-row explode and the two
-    // sketch+verify passes are the growth questions worth measuring
-    "q_t_gram", "q_t_heavy_tokens", "q_t_heavy_tokens_grouped")
+    // round-9 additions: the gram's d²-per-row explode, the two
+    // sketch+verify passes, and the second iterative graph operator
+    "q_t_gram", "q_t_heavy_tokens", "q_t_heavy_tokens_grouped",
+    "q_g2_label_prop")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
