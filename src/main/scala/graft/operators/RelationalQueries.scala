@@ -204,6 +204,23 @@ object RelationalQueries extends QueryPack {
       Joins.withScalar(without, withO)
     }),
 
+    // D5: multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL
+    // respect multiplicities (bag difference / min-multiplicity),
+    // which the set forms above collapse: part keys shipped under
+    // F-status vs O-status orders.
+    "q_d5_setops_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), expr("l_orderkey = o_orderkey"))
+      val f = li.filter(col("o_orderstatus") === "F").select(col("l_partkey"))
+      val o = li.filter(col("o_orderstatus") === "O").select(col("l_partkey"))
+      val exceptAll = f.exceptAll(o)
+        .agg(count(lit(1)).as("n_except_all"),
+          countDistinct(col("l_partkey")).as("n_except_keys"))
+      val interAll = f.intersectAll(o)
+        .agg(count(lit(1)).as("n_intersect_all"))
+      Joins.withScalar(exceptAll, interAll)
+    }),
+
     // R1: ROLLUP — hierarchical subtotals (priority → status → grand
     // total) in one Expand-based aggregation pass, no self-unions.
     "q_r1_rollup" -> ((s, dir) =>
@@ -539,6 +556,18 @@ object RelationalQueries extends QueryPack {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "q_d5_setops_all" ->
+      """WITH f AS (SELECT l_partkey FROM lineitem JOIN orders
+        |    ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'),
+        |o AS (SELECT l_partkey FROM lineitem JOIN orders
+        |    ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O'),
+        |ex AS (SELECT l_partkey FROM f EXCEPT ALL SELECT l_partkey FROM o),
+        |ia AS (SELECT l_partkey FROM f INTERSECT ALL SELECT l_partkey FROM o)
+        |SELECT
+        |  (SELECT COUNT(*) FROM ex) AS n_except_all,
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM ex) AS n_except_keys,
+        |  (SELECT COUNT(*) FROM ia) AS n_intersect_all""".stripMargin,
 
     "q_d4_setops" ->
       """SELECT
