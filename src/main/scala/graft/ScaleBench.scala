@@ -119,16 +119,26 @@ object ScaleBench {
       for (q <- heavy) {
         // the full-pairs oracle is small-n by design — skip at L
         if (!(q == "q_t_jaccard_pairs" && name == "L")) {
-          val times = (1 to 2).map { _ =>
+          // a failed attempt records NO time — feeding its elapsed
+          // seconds into the growth summary would let a crash at L
+          // masquerade as a fast, sublinear curve
+          val times = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
-            try { SparkEntry.queries(q)(spark, dir).count() }
-            catch { case e: Throwable =>
-              System.err.println(s"[scale] $name/$q failed: ${e.getMessage}"); -1L }
-            (System.nanoTime() - t0) / 1e9
+            try {
+              SparkEntry.queries(q)(spark, dir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[scale] $name/$q failed: ${e.getMessage}")
+              None
+            }
           }
-          val best = times.min
-          results((name, q)) = best
-          println(f"""{"size":"$name","query":"$q","sec":$best%.3f}""")
+          if (times.nonEmpty) {
+            val best = times.min
+            results((name, q)) = best
+            println(f"""{"size":"$name","query":"$q","sec":$best%.3f}""")
+          } else {
+            println(s"""{"size":"$name","query":"$q","sec":null,"failed":true}""")
+          }
         }
       }
     }

@@ -55,7 +55,9 @@ object Anomaly {
     * relation, broadcast back; the clip is a map-side
     * least/greatest — the data never shuffles. Adds
     * `<valueCol>_winsor` (double, 6 dp) and `was_clipped`; null
-    * values pass through unclipped.
+    * values pass through unclipped, and so do rows with a NULL group
+    * key (the bounds join is LEFT, matching `imputeByGroupMean`'s
+    * pass-through contract — clip, never drop).
     */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String,
                 loPct: Double = 0.01, hiPct: Double = 0.99): DataFrame = {
@@ -64,13 +66,14 @@ object Anomaly {
     val bounds = df.groupBy(col(keyCol)).agg(
       expr(s"percentile($valueCol, ${loPct}D)").as("_lo"),
       expr(s"percentile($valueCol, ${hiPct}D)").as("_hi"))
-    df.join(broadcast(bounds), keyCol)
+    df.join(broadcast(bounds), Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
         round(least(greatest(col(valueCol).cast("double"), col("_lo")),
           col("_hi")), 6))
       .withColumn("was_clipped",
         col(valueCol).isNotNull &&
-          (col(valueCol) < col("_lo") || col(valueCol) > col("_hi")))
+          coalesce(col(valueCol) < col("_lo") ||
+            col(valueCol) > col("_hi"), lit(false)))
       .drop("_lo", "_hi")
   }
 }

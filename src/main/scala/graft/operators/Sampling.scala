@@ -200,7 +200,12 @@ object Sampling {
     * keep a thousand). Strata with ≤ n rows pass through whole.
     * Membership is a pure function of (salt, key): stable across runs,
     * layouts, and engines. `keyCol` must be integral (the id rides the
-    * bounded buffer as a long).
+    * bounded buffer as a long) and (strataCol, keyCol) pairs must be
+    * DISTINCT across rows: winners are re-selected by key VALUE via a
+    * left_semi join, so a duplicated pair brings back every row that
+    * shares it and the stratum returns more than `n` rows. With a
+    * per-row unique key (the intended use — a surrogate or primary
+    * key) the count is exactly min(n, stratum size).
     */
   def stratifiedExactN(df: DataFrame, strataCol: String, keyCol: String,
                        n: Int, salt: String = ""): DataFrame = {

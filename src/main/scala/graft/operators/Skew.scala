@@ -17,10 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt is `xxhash64` of the WHOLE fact row — a pure function of
+    * row content, so a task retry or stage recomputation reproduces the
+    * identical salt for every row (unlike `rand()` or
+    * `monotonically_increasing_id()`, whose values change on
+    * recomputation and can disagree with shuffle files already
+    * written). Duplicate rows share a salt; for a hot key whose rows
+    * carry any payload variety the hash still spreads them across all
+    * `saltFactor` reducers.
+    */
+  /** Content-derived salt in [0, saltFactor): `xxhash64` over every
+    * column of `fact` — deterministic under recomputation. Exposed for
+    * the determinism spec.
+    */
+  private[graft] def stableSalt(fact: DataFrame, saltFactor: Int) =
+    pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      (pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))).cast("int"))
+    val saltedFact = fact.withColumn("_salt", stableSalt(fact, saltFactor))
     val saltedDim = dim
       .withColumn("_salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
@@ -47,7 +62,11 @@ object Skew {
     */
   def hotColdJoin(fact: DataFrame, dim: DataFrame, key: String,
                   hotCounters: Int = 64): DataFrame = {
-    val hot = fact.agg(graft.functions.MisraGriesAggregator
+    // Null keys never join (dropped by the inner join on both halves)
+    // and a null landing in the MG buffer would be rejected by Catalyst
+    // as a map key, so exclude them from the sketch scan up front.
+    val hot = fact.where(col(key).isNotNull)
+      .agg(graft.functions.MisraGriesAggregator
         .mgSketch(hotCounters, col(key).cast("string")).as("sk"))
       .select(explode(map_keys(col("sk"))).as("_hk"))
     // the ≤k hot keys broadcast as the semi/anti discriminator

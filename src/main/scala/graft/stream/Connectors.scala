@@ -221,6 +221,15 @@ object Connectors {
     * (a retried task first erases its dead predecessor's rows).
     * The table itself is created idempotently by a zero-row Spark
     * append so its column types match Spark's JDBC mapping.
+    *
+    * REQUIRES `spark.speculation=false` (the default): delete-then-
+    * insert is only idempotent when attempts of the same partition run
+    * sequentially. Two CONCURRENT tasks for one (attempt, partition) —
+    * a speculative duplicate or a zombie whose driver gave up on it —
+    * can interleave so both transactions commit (B's DELETE commits
+    * before A's INSERT does), doubling that partition's rows under the
+    * same tag. Retries driven by ordinary task failure are sequential
+    * and remain safe.
     */
   private[graft] def stageBatch(batch: DataFrame, url: String, stage: String,
                          queryName: String, batchId: Long, attempt: String,

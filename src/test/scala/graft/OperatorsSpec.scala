@@ -157,6 +157,41 @@ class OperatorsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin salt is recomputation-stable and spreads a hot key") {
+    // payload-varied hot rows: salt = hash(row content), so the hot key
+    // spreads over many salts, and two independent evaluations of the
+    // same plan (as a task retry would re-run it) agree bit-for-bit
+    val fact = (1 to 200).map(i => ("hot", i)).toDF("k", "v")
+    val salted = fact.withColumn("_salt",
+      graft.operators.Skew.stableSalt(fact, 8))
+    val run1 = salted.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    val run2 = salted.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(run1 === run2)
+    assert(run1.map(_._3).distinct.length > 1) // hot key really spreads
+  }
+
+  test("hotColdJoin tolerates null fact keys (dropped, like the plain join)") {
+    val fact = (Seq.fill(50)(Some("hot")) ++ Seq(None, None) ++
+      Seq(Some("a"))).zipWithIndex.map { case (k, i) => (i.toLong, k.orNull) }
+      .toDF("row_id", "k")
+    val dim = Seq(("hot", 1), ("a", 2)).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+      .select("row_id", "attr").as[(Long, Int)].collect().sorted.toSeq
+    val split = graft.operators.Skew.hotColdJoin(fact, dim, "k", hotCounters = 4)
+      .select("row_id", "attr").as[(Long, Int)].collect().sorted.toSeq
+    assert(split === plain)
+  }
+
+  test("winsorize passes null-group-key rows through unclipped") {
+    val df = Seq((Some("g"), 1.0), (Some("g"), 2.0), (Some("g"), 100.0),
+      (None, 999.0)).map { case (k, v) => (k.orNull, v) }.toDF("k", "v")
+    val out = graft.analytics.Anomaly.winsorize(df, "k", "v", 0.25, 0.75)
+    assert(out.count() === 4) // clip, not drop — null key survives
+    val nullRow = out.where(col("k").isNull).collect().head
+    assert(nullRow.getAs[Double]("v_winsor") === 999.0)
+    assert(nullRow.getAs[Boolean]("was_clipped") === false)
+  }
+
   test("paginateWithMeta carries total_count and has_more") {
     val df = (1 to 45).map(i => (i, s"v$i")).toDF("k", "v")
     val p2 = QueryService.paginateWithMeta(df, Seq("k"), 20, 20).collect()
