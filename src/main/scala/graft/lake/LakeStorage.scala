@@ -88,18 +88,24 @@ object LakeStorage {
       .saveAsTable(table)
 
   /** Compact a table or partition directory's small files: rewrite to
-    * `targetFiles` parquet files via a round-robin repartition, then
-    * atomically-ish swap (write temp, delete, rename — the same
-    * pattern as the upsert sink; a transactional table format would
-    * close the swap window). Small-file proliferation is the classic
-    * lake pathology — streaming sinks and dynamic partition writes
-    * leave thousands of KB-sized files whose per-file open/footer cost
-    * dominates scans and whose listing cost dominates planning.
-    * Returns the row count (for the caller's invariant check; the
-    * rewrite itself never changes data).
+    * `targetFiles` parquet files via a round-robin repartition.
+    * Small-file proliferation is the classic lake pathology — streaming
+    * sinks and dynamic partition writes leave thousands of KB-sized
+    * files whose per-file open/footer cost dominates scans and whose
+    * listing cost dominates planning. Returns the row count (for the
+    * caller's invariant check; the rewrite itself never changes data).
+    *
+    * When `path` is a [[VersionedTable]] root the compaction routes
+    * through [[VersionedTable.compact]] — the rewrite publishes as a
+    * new immutable version and there is NO reader window at all. For a
+    * plain parquet directory it falls back to the rename-pair swap
+    * below, whose transient PATH_NOT_FOUND window [[readRetrying]]
+    * absorbs; new tables should be versioned.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
     require(targetFiles > 0, s"target file count must be positive, got $targetFiles")
+    if (VersionedTable.isVersioned(spark, path))
+      return VersionedTable.compact(spark, path, targetFiles)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     val df = spark.read.parquet(path).repartition(targetFiles)

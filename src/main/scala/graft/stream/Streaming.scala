@@ -245,9 +245,9 @@ object Streaming {
     *
     * Every stage is an equi-join or aggregation on hashed keys; the
     * 1-row horizon aggregate rides a broadcast join, nothing collects
-    * to the driver. Survivors are `localCheckpoint`ed before the store
-    * is swapped so the returned frame does not depend on the
-    * just-replaced files.
+    * to the driver. Survivors are `localCheckpoint`ed before the new
+    * store version publishes so the returned frame does not depend on
+    * store files that may age out under it.
     */
   def nearDedupBatchStep(batch: DataFrame, idCol: String, textCol: String,
                          tsCol: String, storePath: String,
@@ -255,11 +255,9 @@ object Streaming {
                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(storePath)
     val store =
-      if (fs.exists(target)) spark.read.parquet(storePath)
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("band", IntegerType), StructField("key", LongType),
           StructField("_ts", TimestampType))))
@@ -290,10 +288,10 @@ object Streaming {
     val survBands = bandsDf
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select("band", "key", "_ts")
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
-    liveStore.unionByName(survBands).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    // manifest-versioned publish: the new store version becomes visible
+    // atomically via marker creation; a crash mid-write leaves the old
+    // version current (orphan dir vacuumed later) — no swap window
+    graft.lake.VersionedTable.publish(liveStore.unionByName(survBands), storePath)
     survivors
   }
 
@@ -376,11 +374,9 @@ object Streaming {
                              retention: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(storePath)
     val store =
-      if (fs.exists(target)) spark.read.parquet(storePath)
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("bucket", LongType),
@@ -420,10 +416,8 @@ object Streaming {
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
         col("_ts"))
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
-    liveStore.unionByName(survStore).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    // same manifest-versioned publish as nearDedupBatchStep — no window
+    graft.lake.VersionedTable.publish(liveStore.unionByName(survStore), storePath)
     survivors
   }
 
@@ -445,22 +439,15 @@ object Streaming {
     }
 
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
-    * parquet target by key — re-delivered batches converge to the same
-    * state. For real deployments the write would target a transactional
-    * table format; here it is the anti-join+union+overwrite emulation
-    * (write temp, swap on success would make it atomic — SURVEY §7).
+    * manifest-versioned parquet table by key — re-delivered batches
+    * converge to the same state. Persistence is
+    * [[graft.lake.VersionedTable.upsertBatch]]: each batch publishes a
+    * new immutable version committed by marker creation, so concurrent
+    * readers (`VersionedTable.readCurrent(spark, path)`) always resolve
+    * a complete version — the delete-then-rename swap window of the old
+    * implementation is gone structurally, not retried around.
     */
   def upsertBatchToParquet(spark: SparkSession, batch: DataFrame, keys: Seq[String],
-                           path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val merged =
-      if (fs.exists(target)) Joins.upsert(spark.read.parquet(path), batch, keys)
-      else batch
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
-  }
+                           path: String): Unit =
+    graft.lake.VersionedTable.upsertBatch(spark, batch, keys, path)
 }

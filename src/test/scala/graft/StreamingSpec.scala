@@ -130,7 +130,8 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
     // state is bounded: only bands of docs within the horizon remain
-    val storeTs = spark.read.parquet(dir + "/store")
+    // (the store is a VersionedTable root — resolve the current version)
+    val storeTs = graft.lake.VersionedTable.readCurrent(spark, dir + "/store")
       .select("_ts").distinct().as[Timestamp].collect()
     assert(storeTs.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
     q.stop()
@@ -192,7 +193,7 @@ class StreamingSpec extends SparkSpec {
     val kept2 = spark.read.parquet(dir + "/surv")
       .select("vid").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
-    val storeTs = spark.read.parquet(dir + "/store")
+    val storeTs = graft.lake.VersionedTable.readCurrent(spark, dir + "/store")
       .select("_ts").distinct().as[Timestamp].collect()
     assert(storeTs.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
     q.stop()
@@ -245,7 +246,8 @@ class StreamingSpec extends SparkSpec {
     Streaming.upsertBatchToParquet(spark, b1, Seq("event_id"), path)
     Streaming.upsertBatchToParquet(spark, b2, Seq("event_id"), path)
     Streaming.upsertBatchToParquet(spark, b2, Seq("event_id"), path) // redelivery
-    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    val out = graft.lake.VersionedTable.readCurrent(spark, path)
+      .as[(Long, String)].collect().toMap
     assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
@@ -298,7 +300,7 @@ class StreamingSpec extends SparkSpec {
                   ev(2, "2024-01-01 10:05:00", "error", 2.0))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(path)
+    val out = graft.lake.VersionedTable.readCurrent(spark, path)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(out === Map(1L -> 99.0, 2L -> 2.0))
   }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeStorage, VersionedTable}
+
+/** Manifest-pointer publish: the concurrent-reader contract (old or new
+  * data, never an error, NO retry anywhere), version retention, orphan
+  * vacuum, and the routing of compact/upsert through the manifest.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-versioned-table-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vt_$tag").toString + "/t"
+
+  test("publish/readCurrent round-trips and newest version wins") {
+    val root = tmpRoot("rt")
+    VersionedTable.publish(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    VersionedTable.publish(Seq((1, "A"), (3, "c")).toDF("k", "v"), root)
+    val out = VersionedTable.readCurrent(spark, root)
+      .as[(Int, String)].collect().toMap
+    assert(out === Map(1 -> "A", 3 -> "c"))
+    assert(VersionedTable.listVersions(spark, root).length === 2)
+  }
+
+  test("readCurrent on an unpublished root fails like an absent dataset") {
+    intercept[IllegalStateException] {
+      VersionedTable.readCurrent(spark, tmpRoot("absent"))
+    }
+  }
+
+  test("vacuum keeps the newest keep versions and removes aged orphans") {
+    val root = tmpRoot("vac")
+    // keepVersions=2 trims as we go: after 4 publishes only 2 remain
+    (1 to 4).foreach { i =>
+      VersionedTable.publish(Seq(i).toDF("n"), root, keepVersions = 2)
+    }
+    val versions = VersionedTable.listVersions(spark, root)
+    assert(versions.length === 2)
+    assert(VersionedTable.readCurrent(spark, root).as[Int].collect().toSeq === Seq(4))
+    // an orphan older than the oldest retained version (crashed publish:
+    // data dir, no marker) is vacuumed; the live versions are untouched
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "v-0000000000001-deadbeef")
+    fs.mkdirs(orphan)
+    VersionedTable.vacuum(spark, root, keep = 2)
+    assert(!fs.exists(orphan))
+    assert(VersionedTable.listVersions(spark, root) === versions)
+    // a NEWER marker-less dir (a publish that could still be mid-commit)
+    // must survive vacuum — only provably-dead orphans are removed
+    val inflight = new org.apache.hadoop.fs.Path(root, "v-9999999999999-cafebabe")
+    fs.mkdirs(inflight)
+    VersionedTable.vacuum(spark, root, keep = 2)
+    assert(fs.exists(inflight))
+  }
+
+  test("concurrent reader across publishes: old or new data, never an error, no retry") {
+    val root = tmpRoot("conc")
+    VersionedTable.publish(spark.range(100).toDF("id"), root, keepVersions = 4)
+    val validCounts = (0 to 6).map(i => 100L + i * 100L).toSet
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    @volatile var publishing = true
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          while (publishing) {
+            // plain resolve+read — NO readRetrying, no catch: any
+            // transient window would surface as a test failure
+            seen.add(VersionedTable.readCurrent(spark, root).count())
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to 6).foreach { i =>
+      VersionedTable.publish(spark.range(100L + i * 100L).toDF("id"), root,
+        keepVersions = 4)
+    }
+    publishing = false
+    readers.foreach(_.join(30000))
+    assert(errors.isEmpty,
+      s"concurrent reader hit: ${Option(errors.peek()).map(_.toString)}")
+    assert(!seen.isEmpty)
+    import scala.jdk.CollectionConverters._
+    val invalid = seen.asScala.map(_.longValue()).filterNot(validCounts)
+    assert(invalid.isEmpty, s"reader saw partial data: $invalid")
+  }
+
+  test("LakeStorage.compact routes a versioned root through the manifest (no swap window)") {
+    val root = tmpRoot("cmp")
+    // fragmented initial version: many small files
+    VersionedTable.publish(spark.range(1000).toDF("id").repartition(16), root)
+    val before = VersionedTable.currentVersion(spark, root).get
+    val n = LakeStorage.compact(spark, root, targetFiles = 2)
+    assert(n === 1000L)
+    val after = VersionedTable.currentVersion(spark, root).get
+    assert(after !== before) // compaction published a NEW version
+    val files = VersionedTable.readCurrent(spark, root).inputFiles
+    assert(files.length === 2)
+    assert(VersionedTable.readCurrent(spark, root).count() === 1000L)
+  }
+
+  test("upsertBatch folds batches by key and converges under redelivery") {
+    val root = tmpRoot("ups")
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b2 = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    VersionedTable.upsertBatch(spark, b1, Seq("k"), root)
+    VersionedTable.upsertBatch(spark, b2, Seq("k"), root)
+    VersionedTable.upsertBatch(spark, b2, Seq("k"), root) // redelivery
+    val out = VersionedTable.readCurrent(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("accumulateDaily persisted through the manifest: stale day replaced on re-run") {
+    // the q_agg_daily_multiday shape, but with each day's run PERSISTED
+    // via the versioned upsert instead of folded in memory
+    val root = tmpRoot("daily")
+    def day(dateId: String, n: Long) = Seq((dateId, n)).toDF("date_id", "total")
+    VersionedTable.upsertBatch(spark, day("2024-06-01", 10L), Seq("date_id"), root)
+    VersionedTable.upsertBatch(spark, day("2024-06-02", 5L), Seq("date_id"), root) // stale
+    VersionedTable.upsertBatch(spark, day("2024-06-03", 30L), Seq("date_id"), root)
+    VersionedTable.upsertBatch(spark, day("2024-06-02", 20L), Seq("date_id"), root) // corrected
+    val out = VersionedTable.readCurrent(spark, root)
+      .orderBy("date_id").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("2024-06-01", 10L), ("2024-06-02", 20L),
+      ("2024-06-03", 30L)))
+  }
+}
