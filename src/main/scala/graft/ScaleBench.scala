@@ -142,9 +142,38 @@ object ScaleBench {
         }
       }
     }
+    // Adversarial chain topology for connected components: diameter = n,
+    // the worst case for min-label propagation (O(n) rounds). The
+    // star-contraction form must stay O(log n) rounds, so its time may
+    // grow with rounds ≈ log(n) on top of per-round linear work — the
+    // growth row proves the curve stays near-linear, not quadratic.
+    val chainSizes = Seq(("S", 1000L), ("M", 10000L), ("L", 100000L))
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    for ((name, n) <- chainSizes) {
+      val chain = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.textops.Dedup.connectedComponents(chain, "a", "b", maxIter = 40)
+            .count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name/q_chain_cc failed: ${e.getMessage}")
+          None
+        }
+      }
+      if (times.nonEmpty) {
+        results((name, "q_chain_cc")) = times.min
+        println(f"""{"size":"$name","query":"q_chain_cc","sec":${times.min}%.3f}""")
+      } else {
+        println(s"""{"size":"$name","query":"q_chain_cc","sec":null,"failed":true}""")
+      }
+    }
+
     // growth summary: seconds ratio per 10× data step
     println("query,S_sec,M_sec,L_sec,M_over_S,L_over_M")
-    for (q <- heavy) {
+    for (q <- heavy :+ "q_chain_cc") {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
       def ratio(a: Option[Double], b: Option[Double]) = (a, b) match {

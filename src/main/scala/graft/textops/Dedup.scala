@@ -381,12 +381,102 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation — the Pregel/GraphX pattern expressed in
-    * DataFrames, here used to turn pairwise near-duplicate edges into
-    * transitive dedup CLUSTERS (doc A ~ B and B ~ C puts A and C in one
-    * cluster even when A ≁ C — the survivor rule needs the closure,
-    * not the pairs).
+  /** Connected components over an undirected edge list by alternating
+    * large-star/small-star contraction (the MapReduce-CC construction
+    * of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014), here used to turn pairwise near-duplicate
+    * edges into transitive dedup CLUSTERS (doc A ~ B and B ~ C puts A
+    * and C in one cluster even when A ≁ C — the survivor rule needs
+    * the closure, not the pairs).
+    *
+    * Per round, two relational steps over the shrinking edge set:
+    *
+    *  - LARGE-STAR: every node u connects its strictly-larger
+    *    neighbours to m = min(Γ(u) ∪ {u}) — one groupBy(min) + one
+    *    equi-join;
+    *  - SMALL-STAR: every node u re-points itself and its
+    *    smaller-or-equal neighbours at their minimum — same shape on
+    *    the larger-endpoint grouping.
+    *
+    * Both steps preserve connectivity, and the alternation converges
+    * to per-component STARS rooted at the component minimum in
+    * O(log n) rounds — structurally independent of component DIAMETER,
+    * which is what makes it the 100 TB path: a chain-shaped near-dup
+    * graph (every doc similar to the next) forces the min-label
+    * propagation variant ([[connectedComponentsPropagate]], kept as
+    * the equivalence reference) into O(n) rounds, while this converges
+    * in a dozen. Equivalence of the two forms is spec-pinned
+    * (TextOpsSpec), as is the round-count bound.
+    *
+    * Convergence is detected structurally — a round's output is final
+    * iff it is a union of stars, i.e. no child endpoint also appears
+    * as a parent (one semi-join count on the contracted set, analogous
+    * to the propagation form's observe counter). A non-converged exit
+    * still throws rather than returning partial clusters. Works for
+    * any ordered node type (string ids included); self-loop-only nodes
+    * label themselves via the final node-relation join.
+    *
+    * Returns (node, label) where label = min node id in the component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint()
+    // canonical (hi > lo) edge set; self-loops carry no connectivity
+    var e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the symmetric neighbourhood
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(min("v").as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR over the canonical larger-endpoint grouping: each
+      // row (u=hi, v=lo, m=min of u's smaller nbrs) re-points BOTH u
+      // and v at m (v = m collapses to a dropped self-loop)
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smins, "hi")
+        .select(explode(array(col("hi"), col("lo"))).as("v"), col("m"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      // stars ⟺ fixpoint: no lo (parent) still appears as a hi (child)
+      converged = next
+        .join(next.select(col("lo").as("hi")).distinct(), Seq("hi"), "left_semi")
+        .isEmpty
+      e = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(pathological topology) — raise maxIter")
+    nodes
+      .join(e.select(col("hi").as("node"), col("lo").as("_lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_lbl"), col("node")).as("label"))
+  }
+
+  /** Connected components by iterative min-label propagation — the
+    * Pregel/GraphX pattern expressed in DataFrames. Kept as the
+    * equivalence reference for [[connectedComponents]]: simpler per
+    * round (one join + one aggregation vs two of each), but needs
+    * O(component diameter) rounds, which a chain-shaped dedup graph
+    * degrades to O(n) — use the star-contraction form for anything
+    * whose topology is not known to be shallow.
     *
     * Each iteration: neighbours' labels union own labels → min per
     * node — one hash join + one hash aggregation, both keyed on node
@@ -406,8 +496,9 @@ object Dedup {
     *
     * Returns (node, label) where label = min node id in the component.
     */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+  private[graft] def connectedComponentsPropagate(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
     // Materialize the (possibly expensive) edge derivation ONCE — the
     // loop joins against `und` every iteration, and without the
     // checkpoint each round would recompute the whole upstream plan
@@ -450,7 +541,7 @@ object Dedup {
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           throw new IllegalStateException(
-            "connectedComponents: observe metric never arrived after " +
+            "connectedComponentsPropagate: observe metric never arrived after " +
               "checkpoint materialization — this Spark no longer runs " +
               "localCheckpoint under a tracked execution; count changed " +
               "rows with an explicit action instead")
@@ -467,8 +558,9 @@ object Dedup {
     // is conservative: a graph whose diameter equals maxIter exactly
     // still needs one confirming iteration; raise maxIter.
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(component diameter too large) — raise maxIter")
+      s"connectedComponentsPropagate did not converge within $maxIter " +
+        "iterations (component diameter too large) — raise maxIter or use " +
+        "the star-contraction connectedComponents")
     labels
   }
 

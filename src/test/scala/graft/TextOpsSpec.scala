@@ -181,6 +181,40 @@ class TextOpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
   }
 
+  test("star-contraction CC ≡ min-label propagation on a mixed random graph") {
+    // several components of assorted shapes: a chain, a clique, a star,
+    // isolated pairs, plus a hash-derived pseudo-random tangle
+    val rnd = (0 until 60).map { i =>
+      val a = (i * 2654435761L) % 40
+      val b = (i * 40503L + 7) % 40
+      (100L + a, 100L + b)
+    }
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (10L, 11L), (10L, 12L), (11L, 12L),                    // clique
+      (20L, 21L), (20L, 22L), (20L, 23L),                    // star
+      (30L, 31L)) ++ rnd).toDF("a", "b")
+    val star = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponentsPropagate(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
+  test("star-contraction CC converges in O(log n) rounds on a chain (propagation needs O(n))") {
+    // a 300-node chain: diameter 299. The propagation form cannot finish
+    // in 12 rounds; star contraction converges comfortably within them —
+    // the structural guarantee that makes chain-shaped near-dup graphs
+    // safe at scale.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsPropagate(chain, "a", "b", maxIter = 12)
+    }
+    val cc = Dedup.connectedComponents(chain, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 300)
+    assert(cc.forall(_._2 === 0L)) // one component, min label 0
+  }
+
   test("dropNearDuplicates yields the same survivors with either pair generator") {
     val docs = Tables.documents(spark, sfDir)
     def ids(df: org.apache.spark.sql.DataFrame) =
