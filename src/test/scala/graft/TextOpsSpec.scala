@@ -181,6 +181,82 @@ class TextOpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
   }
 
+  // deterministic adversarial corpus: a 12-token boilerplate sentence
+  // opens EVERY document; the remaining tokens are Zipf-distributed
+  // (log-uniform rank — heavy head, long tail); ~5% of docs are
+  // near-dup twins of their predecessor. The regime the
+  // jaccardPairsAuto cost model calls "clustered duplication".
+  private def zipfBoilerplateDocs(n: Int) = {
+    val boiler = "standard corporate disclosure header text appearing " +
+      "verbatim at the top of every document"
+    spark.range(n.toLong)
+      .withColumn("is_twin",
+        col("id") > 0 && pmod(xxhash64(col("id"), lit(7)), lit(100)) < 5)
+      .withColumn("base",
+        when(col("is_twin"), col("id") - 1).otherwise(col("id")))
+      .withColumn("zipf", expr(
+        s"""transform(sequence(0, 39), p ->
+           |  CASE WHEN is_twin AND pmod(xxhash64(id, p, 13), 100) < 10
+           |    THEN concat('z', CAST(pow($n.0, pmod(xxhash64(id, p, 17), 1000) / 1000.0) AS INT))
+           |    ELSE concat('z', CAST(pow($n.0, pmod(xxhash64(base, p), 1000) / 1000.0) AS INT)) END)"""
+        .stripMargin))
+      .select(col("id").as("doc_id"),
+        concat(lit(boiler), lit(" "), array_join(col("zipf"), " ")).as("text"))
+  }
+
+  test("adversarial skew: LSH band buckets stay bounded under universal boilerplate") {
+    // one shingle set shared by every doc must NOT collapse LSH into
+    // one giant bucket: a band key needs r=4 consecutive minhashes to
+    // agree, and ~10 shared shingles among ~45 move that probability to
+    // ~(10/45)^4 — buckets stay pair-sized, the property that keeps the
+    // candidate join subquadratic at 100 TB even on template-heavy crawls
+    val docs = zipfBoilerplateDocs(300)
+    val buckets = Dedup.bandSignatures(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+      .groupBy("band", "key").count()
+    val maxBucket = buckets.agg(max("count")).as[Long].collect().head
+    assert(maxBucket <= 10,
+      s"boilerplate corpus produced an LSH bucket of $maxBucket docs")
+    // and the sketch still finds the true twins (exact-verified pairs
+    // are a subset of jaccardPairs by construction; recall must hold)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.8).toInt,
+      s"LSH recall collapsed under boilerplate: ${lsh.size}/${exact.size}")
+  }
+
+  test("adversarial skew: jaccardPairsAuto picks the survivable exact variant at both poles") {
+    // Universal boilerplate is DIFFUSE sharing for the exact tier:
+    // every pair shares the same ~10 shingles, so distinct candidates
+    // ≈ all pairs and a prefix candidate carries two doc-sized arrays
+    // through the verify joins — the blow-up regime for the prefix
+    // variant. The sampled chooser must refuse it and take the full
+    // join's skinny count rows.
+    val zipf = zipfBoilerplateDocs(300)
+    assert(!Dedup.preferPrefixFilter(zipf, "doc_id", "text", 3, 0.5,
+      sampleFraction = 0.5))
+    // CLUSTERED duplication (template corpus: whole documents are
+    // near-variants, duplicate pairs share ~all their shingles) is the
+    // opposite pole: candidates dedup far below Σ bucket² and the
+    // chooser must flip to the prefix filter — the committed
+    // CrossoverBench measurement at 12k docs, asserted here at spec
+    // scale on the same generator.
+    val dense = SyntheticCorpus.templateCorpus(spark,
+      nTemplates = 40, variants = 8, docLen = 60)
+    assert(Dedup.preferPrefixFilter(dense, "doc_id", "text", 3, 0.5,
+      sampleFraction = 0.5))
+    // exactness under the adversarial regime: both variants agree
+    val full = Dedup.jaccardPairs(zipf, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(zipf, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full === pref)
+  }
+
   test("star-contraction CC ≡ min-label propagation on a mixed random graph") {
     // several components of assorted shapes: a chain, a clique, a star,
     // isolated pairs, plus a hash-derived pseudo-random tangle
