@@ -47,13 +47,17 @@ object Bench {
     // durable record of every per-query timing.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
-    // A filtered run must not clobber the durable full-map record.
+    // Single-run timings land in BENCH_LAST_RUN.json — NOT in
+    // BENCH_QUERIES.json, which holds the protocol-governed quiet
+    // min-of-N map (SCALING.md "Benchmark protocol") and must not be
+    // clobbered by every load-noisy driver run. A filtered run writes
+    // nothing durable at all.
     if (args.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST_RUN.json"),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // `slowest` (not `queries`): this is a subset — summing it would NOT
-    // reproduce the total. Full map: BENCH_QUERIES.json + the part lines.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    // reproduce the total. Full map: BENCH_LAST_RUN.json + the part lines.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},"queries_file":"BENCH_LAST_RUN.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,37 @@ object StreamQueries extends QueryPack {
       Monitoring.qualityTrend(Tables.events(s, dir), "ts", "value",
         lowThreshold = 50.0)),
 
+    // The incremental semantic-dedup BATCH STEP, hash-checked: two
+    // consecutive micro-batches (even vec_ids then odd) against a fresh
+    // versioned state store — batch 2's survivors must exclude both
+    // vectors near a batch-1 SURVIVOR (cross-batch state, the part a
+    // batch-mode oracle can't see without replaying the fold) and
+    // vectors near a smaller-id batch-mate. Centroids are the first 4
+    // seed vectors (the q_t_semantic_dedup convention), retention long
+    // enough that nothing expires. Deterministic end-to-end, so the
+    // MemoryStream spec's claim gets a DuckDB hash check too.
+    "q_s_semdedup_step" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.orderBy("vec_id").limit(4)
+        .select(col("vec_id").cast("long").as("b"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val withTs = emb.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_semstep").toString + "/store"
+      // batch 1 (even ids) materializes eagerly — survivors checkpoint,
+      // state publishes to the store
+      Streaming.semanticDedupBatchStep(
+        withTs.where(col("vec_id") % 2 === 0), "vec_id", "embedding", "ts",
+        cent, "b", "cv", threshold = 0.35, store, retention = "10 days")
+      // batch 2 (odd ids) dedups against batch 1's surviving state
+      Streaming.semanticDedupBatchStep(
+        withTs.where(col("vec_id") % 2 === 1), "vec_id", "embedding", "ts",
+        cent, "b", "cv", threshold = 0.35, store, retention = "10 days")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -219,6 +250,40 @@ object StreamQueries extends QueryPack {
         |  MIN(value) AS min_metric, MAX(value) AS max_metric,
         |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // Mirrors the two-batch fold: bucket assignment is the
+    // q_t_semantic_dedup argmax convention; batch-1 survivors (even
+    // ids minus smaller-even bucket-mates at cos >= t) become the
+    // store; batch 2 (odd ids) drops against store survivors and
+    // smaller odd batch-mates.
+    "q_s_semdedup_step" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a),
+        |aLosers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+        |    AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |aSurv AS (SELECT vec_id, bucket, v FROM asg
+        |  WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM aLosers)),
+        |bAll AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 2 = 1),
+        |bVsStore AS (SELECT DISTINCT b.vec_id FROM bAll b JOIN aSurv s2
+        |  ON b.bucket = s2.bucket
+        |  WHERE ROUND(list_cosine_similarity(b.v, s2.v), 6) >= 0.35),
+        |bVsBatch AS (SELECT DISTINCT b2.vec_id FROM bAll b1 JOIN bAll b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE ROUND(list_cosine_similarity(b1.v, b2.v), 6) >= 0.35)
+        |SELECT vec_id FROM bAll
+        |WHERE vec_id NOT IN (SELECT vec_id FROM bVsStore)
+        |  AND vec_id NOT IN (SELECT vec_id FROM bVsBatch)
+        |ORDER BY vec_id""".stripMargin,
 
     // The decode stub counts bytes with (b & 0xFF) % 8 == 0 per doc and
     // normalizes by byte count in FLOAT32 — mirrored exactly: byte % 8

@@ -253,6 +253,26 @@ object Streaming {
                          tsCol: String, storePath: String,
                          retention: String = "1 hour", shingleN: Int = 3,
                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val (survivors, newStore) = nearDedupBatchCompute(batch, idCol, textCol,
+      tsCol, storePath, retention, shingleN, numHashes, bands)
+    // manifest-versioned publish: the new store version becomes visible
+    // atomically via marker creation; a crash mid-write leaves the old
+    // version current (orphan dir vacuumed later) — no swap window
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    survivors
+  }
+
+  /** The decision half of [[nearDedupBatchStep]]: survivors (eagerly
+    * materialized) plus the LAZY next store content, with the state
+    * publish left to the caller — the seam that lets [[nearDedupWriter]]
+    * commit the sink BEFORE the state, which is what makes the pair
+    * crash-consistent (see the writer's scaladoc).
+    */
+  private[graft] def nearDedupBatchCompute(batch: DataFrame, idCol: String,
+                                    textCol: String, tsCol: String,
+                                    storePath: String, retention: String,
+                                    shingleN: Int, numHashes: Int,
+                                    bands: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
     val store =
@@ -288,21 +308,28 @@ object Streaming {
     val survBands = bandsDf
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select("band", "key", "_ts")
-    // manifest-versioned publish: the new store version becomes visible
-    // atomically via marker creation; a crash mid-write leaves the old
-    // version current (orphan dir vacuumed later) — no swap window
-    graft.lake.VersionedTable.publish(liveStore.unionByName(survBands), storePath)
-    survivors
+    (survivors, liveStore.unionByName(survBands))
   }
 
-  /** `foreachBatch` wrapper over [[nearDedupBatchStep]]: admitted
-    * (near-dup-free) documents append to `survivorsPath`. Replay-safe
-    * in the useful direction: a re-delivered batch's documents collide
-    * with their OWN bands already in the store and are dropped, so the
-    * sink never double-appends. The inverse failure (store swapped,
-    * sink append crashed before completing) loses that batch's
-    * survivors from the sink — a transactional table format would close
-    * that window; with plain parquet, re-ingest the gap at rest.
+  /** `foreachBatch` streaming near-dedup, crash-consistent end to end:
+    * per batch, survivors are UPSERTED by key into a
+    * [[graft.lake.VersionedTable]] at `survivorsPath` FIRST, and the
+    * band state publishes to `storePath` only after the sink commit.
+    * Every crash point now converges under Spark's batch re-delivery:
+    *
+    *  - crash before the sink commit → redelivery recomputes the same
+    *    survivors (state unchanged) and upserts the same keys;
+    *  - crash between sink and state publish → redelivery recomputes
+    *    the same survivors (state still unchanged), the upsert
+    *    converges (same keys), and the state publish completes;
+    *  - crash after the state publish → redelivery finds every batch
+    *    document colliding with its OWN bands, survivors are empty,
+    *    both writes are no-ops.
+    *
+    * The old append-sink ordering lost a batch's survivors in the
+    * middle case (documented as the "re-ingest the gap at rest" trade);
+    * the keyed versioned upsert closes that window structurally. Read
+    * the sink with `VersionedTable.readCurrent(spark, survivorsPath)`.
     */
   def nearDedupWriter(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, storePath: String, survivorsPath: String,
@@ -310,8 +337,12 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        nearDedupBatchStep(batch, idCol, textCol, tsCol, storePath, retention)
-          .write.mode("append").parquet(survivorsPath)
+        val (survivors, newStore) = nearDedupBatchCompute(batch, idCol,
+          textCol, tsCol, storePath, retention, 3, 64, 16)
+        graft.lake.VersionedTable.upsertBatch(batch.sparkSession, survivors,
+          Seq(idCol), survivorsPath)
+        graft.lake.VersionedTable.publish(newStore, storePath)
+        ()
     }
 
   /** Stream-stream interval join — the genuinely-streaming join the
@@ -372,6 +403,25 @@ object Streaming {
                              bucketCol: String, centroidVecCol: String,
                              threshold: Double, storePath: String,
                              retention: String = "1 hour"): DataFrame = {
+    val (survivors, newStore) = semanticDedupBatchCompute(batch, idCol,
+      vecCol, tsCol, centroids, bucketCol, centroidVecCol, threshold,
+      storePath, retention)
+    // same manifest-versioned publish as nearDedupBatchStep — no window
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    survivors
+  }
+
+  /** Decision half of [[semanticDedupBatchStep]] — survivors plus the
+    * lazy next store, publish deferred to the caller (the
+    * [[semanticDedupWriter]] crash-consistency seam).
+    */
+  private[graft] def semanticDedupBatchCompute(batch: DataFrame, idCol: String,
+                                        vecCol: String, tsCol: String,
+                                        centroids: DataFrame, bucketCol: String,
+                                        centroidVecCol: String,
+                                        threshold: Double, storePath: String,
+                                        retention: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
     val store =
@@ -416,14 +466,13 @@ object Streaming {
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
         col("_ts"))
-    // same manifest-versioned publish as nearDedupBatchStep — no window
-    graft.lake.VersionedTable.publish(liveStore.unionByName(survStore), storePath)
-    survivors
+    (survivors, liveStore.unionByName(survStore))
   }
 
-  /** `foreachBatch` wrapper over [[semanticDedupBatchStep]] — same
-    * replay trade as [[nearDedupWriter]]: a re-delivered batch collides
-    * with its own stored vectors and never double-appends.
+  /** `foreachBatch` wrapper over the semantic batch step — same
+    * crash-consistent sink-before-state ordering as [[nearDedupWriter]]
+    * (see its scaladoc for the three-case convergence argument). Read
+    * the sink with `VersionedTable.readCurrent(spark, survivorsPath)`.
     */
   def semanticDedupWriter(rows: DataFrame, idCol: String, vecCol: String,
                           tsCol: String, centroids: DataFrame,
@@ -433,9 +482,13 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        semanticDedupBatchStep(batch, idCol, vecCol, tsCol, centroids,
-          bucketCol, centroidVecCol, threshold, storePath, retention)
-          .write.mode("append").parquet(survivorsPath)
+        val (survivors, newStore) = semanticDedupBatchCompute(batch, idCol,
+          vecCol, tsCol, centroids, bucketCol, centroidVecCol, threshold,
+          storePath, retention)
+        graft.lake.VersionedTable.upsertBatch(batch.sparkSession, survivors,
+          Seq(idCol), survivorsPath)
+        graft.lake.VersionedTable.publish(newStore, storePath)
+        ()
     }
 
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a

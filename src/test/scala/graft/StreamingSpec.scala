@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
       (4L, Timestamp.valueOf("2024-01-01 10:06:00"),
         "fresh unrelated content mentioning rivers mountains valleys forests deserts plains"))
     q.processAllAvailable()
-    val kept = spark.read.parquet(dir + "/survivors")
+    val kept = graft.lake.VersionedTable.readCurrent(spark, dir + "/survivors")
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 2L, 4L))
     // batch 3 arrives beyond the retention horizon: doc 1's bands are
@@ -126,7 +126,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (5L, Timestamp.valueOf("2024-01-01 12:30:00"), base.replace("dog", "hen")))
     q.processAllAvailable()
-    val kept2 = spark.read.parquet(dir + "/survivors")
+    val kept2 = graft.lake.VersionedTable.readCurrent(spark, dir + "/survivors")
       .select("doc_id").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
     // state is bounded: only bands of docs within the horizon remain
@@ -135,6 +135,45 @@ class StreamingSpec extends SparkSpec {
       .select("_ts").distinct().as[Timestamp].collect()
     assert(storeTs.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
     q.stop()
+  }
+
+  test("near-dedup writer converges when a crash lands between sink commit and state publish") {
+    // The middle crash case of nearDedupWriter's three-way argument:
+    // batch 1 commits its survivors to the sink but DIES before the
+    // state publish; Spark re-delivers the batch; the retry must
+    // converge — same survivor rows, no duplicates, state published.
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val store = dir + "/store"
+    val sink = dir + "/survivors"
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    val batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), base.replace("dog", "cat")), // near-dup of 1 → dropped
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"),
+        "completely different words about stars planets moons comets asteroids orbits"))
+      .toDF("doc_id", "ts", "text")
+    // attempt 1: sink commit succeeds, state publish never happens
+    val (surv1, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
+      "ts", store, "1 hour", 3, 64, 16)
+    graft.lake.VersionedTable.upsertBatch(spark, surv1, Seq("doc_id"), sink)
+    assert(!graft.lake.VersionedTable.isVersioned(spark, store)) // "crashed"
+    // attempt 2 (re-delivery): the full writer step runs to completion
+    val (surv2, store2) = Streaming.nearDedupBatchCompute(batch, "doc_id",
+      "text", "ts", store, "1 hour", 3, 64, 16)
+    graft.lake.VersionedTable.upsertBatch(spark, surv2, Seq("doc_id"), sink)
+    graft.lake.VersionedTable.publish(store2, store)
+    val out = graft.lake.VersionedTable.readCurrent(spark, sink)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L)) // converged: no loss, no duplicates
+    // attempt 3 (re-delivery AFTER state publish): everything collides
+    // with its own bands — survivors empty, sink unchanged
+    val (surv3, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
+      "ts", store, "1 hour", 3, 64, 16)
+    assert(surv3.isEmpty)
+    graft.lake.VersionedTable.upsertBatch(spark, surv3, Seq("doc_id"), sink)
+    val out3 = graft.lake.VersionedTable.readCurrent(spark, sink)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out3.toSeq === Seq(1L, 3L))
   }
 
   test("stream-stream interval join attributes within the lookback, drops beyond it") {
@@ -182,7 +221,7 @@ class StreamingSpec extends SparkSpec {
       (3L, Timestamp.valueOf("2024-01-01 10:05:00"), Seq(0.99, 0.05)),
       (4L, Timestamp.valueOf("2024-01-01 10:06:00"), Seq(0.5, 0.5)))
     q.processAllAvailable()
-    val kept = spark.read.parquet(dir + "/surv")
+    val kept = graft.lake.VersionedTable.readCurrent(spark, dir + "/surv")
       .select("vid").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 2L, 4L))
     // beyond the retention horizon the stored vectors expire first:
@@ -190,7 +229,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (5L, Timestamp.valueOf("2024-01-01 12:30:00"), Seq(0.999, 0.01)))
     q.processAllAvailable()
-    val kept2 = spark.read.parquet(dir + "/surv")
+    val kept2 = graft.lake.VersionedTable.readCurrent(spark, dir + "/surv")
       .select("vid").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
     val storeTs = graft.lake.VersionedTable.readCurrent(spark, dir + "/store")
