@@ -90,9 +90,19 @@ object VersionedTable {
         s"no published version at $root")
     }
 
-  /** Millisecond timestamp embedded in a version name. */
-  private def versionTs(v: String): Long =
-    v.stripPrefix(VersionPrefix).takeWhile(_ != '-').toLong
+  /** Millisecond timestamp embedded in a version name; None for names
+    * this writer could not have produced (vacuum must skip those, not
+    * crash on a stray user-made `v-` directory).
+    */
+  private def versionTsOpt(v: String): Option[Long] = {
+    val digits = v.stripPrefix(VersionPrefix).takeWhile(_ != '-')
+    if (digits.nonEmpty && digits.forall(_.isDigit) && digits.length <= 18)
+      Some(digits.toLong)
+    else None
+  }
+
+  private def versionTs(v: String): Long = versionTsOpt(v).getOrElse(
+    throw new IllegalArgumentException(s"not a version name: $v"))
 
   /** Write `df` as a new immutable version and publish it by marker
     * creation; then vacuum to `keepVersions`. Returns the version name.
@@ -146,7 +156,8 @@ object VersionedTable {
         val marked = versions.toSet
         fs.listStatus(rootP).toSeq.map(_.getPath.getName)
           .filter(n => n.startsWith(VersionPrefix) && !marked.contains(n))
-          .filter(n => oldestKept.exists(versionTs(n) < _))
+          .filter(n => versionTsOpt(n)
+            .exists(ts => oldestKept.exists(ts < _)))
       }
     orphans.foreach(n => fs.delete(new Path(rootP, n), true))
     doomed ++ orphans

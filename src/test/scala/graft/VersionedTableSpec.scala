@@ -63,6 +63,13 @@ class VersionedTableSpec extends AnyFunSuite {
     fs.mkdirs(inflight)
     VersionedTable.vacuum(spark, root, keep = 2)
     assert(fs.exists(inflight))
+    // a stray `v-` dir this writer could not have produced (no embedded
+    // timestamp) must be SKIPPED, not crash vacuum or be deleted
+    val stray = new org.apache.hadoop.fs.Path(root, "v-user-made-dir")
+    fs.mkdirs(stray)
+    VersionedTable.vacuum(spark, root, keep = 2)
+    assert(fs.exists(stray))
+    assert(VersionedTable.listVersions(spark, root) === versions)
   }
 
   test("concurrent reader across publishes: old or new data, never an error, no retry") {
