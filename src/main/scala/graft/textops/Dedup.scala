@@ -411,10 +411,17 @@ object Dedup {
     * the round-count bound. Size `maxIter` ≈ log₂(nodes) + slack for
     * graphs that could be a single deep component.
     *
-    * Convergence is detected structurally — a round's output is final
-    * iff it is a union of stars, i.e. no child endpoint also appears
-    * as a parent (one semi-join count on the contracted set, analogous
-    * to the propagation form's observe counter). A non-converged exit
+    * Convergence is detected structurally and for FREE: `e` is a union
+    * of stars iff no node has both a smaller and a larger neighbour
+    * (⟺ no parent is also a child), and the large-star aggregation
+    * already groups the symmetric neighbourhood per node — carrying
+    * `max(v)` next to the `min(v)` it needs anyway yields the
+    * violation counter as an `observe` metric collected by the round's
+    * own checkpoint materialization (the propagation form's counter
+    * pattern). No per-round convergence job, no extra shuffle; the
+    * price is that star-ness of round k's output is seen while
+    * computing round k+1 — one redundant (idempotent: stars are the
+    * round operator's fixpoint) round of work. A non-converged exit
     * still throws rather than returning partial clusters. Works for
     * any ordered node type (string ids included); self-loop-only nodes
     * label themselves via the final node-relation join.
@@ -438,16 +445,22 @@ object Dedup {
     var converged = e.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      // LARGE-STAR over the symmetric neighbourhood
+      // LARGE-STAR over the symmetric neighbourhood; the same grouping
+      // carries the star-violation counter (scaladoc above)
       val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val obs = org.apache.spark.sql.Observation()
       val mins = nbrs.groupBy("u")
-        .agg(min("v").as("_mn"))
+        .agg(min("v").as("_mn"), max("v").as("_mx"))
+        .observe(obs, sum(when(col("_mn") < col("u") && col("_mx") > col("u"),
+          1L)).as("nonstar"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      // no distinct here: duplicate (hi, lo) rows are absorbed by the
+      // small-star min and the post-explode distinct — one less
+      // edge-set-sized shuffle per round
       val large = nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // SMALL-STAR over the canonical larger-endpoint grouping: each
       // row (u=hi, v=lo, m=min of u's smaller nbrs) re-points BOTH u
       // and v at m (v = m collapses to a dropped self-loop)
@@ -457,11 +470,10 @@ object Dedup {
         .where(col("v") =!= col("m"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
-        .localCheckpoint()
-      // stars ⟺ fixpoint: no lo (parent) still appears as a hi (child)
-      converged = next
-        .join(next.select(col("lo").as("hi")).distinct(), Seq("hi"), "left_semi")
-        .isEmpty
+        .localCheckpoint() // materializes AND collects the observe metric
+      // null sum ⟺ no violating node ⟺ e was stars; next == e then
+      converged = awaitObserved(obs, "nonstar",
+        "connectedComponents").fold(true)(_ == 0L)
       e = next
       i += 1
     }
@@ -471,6 +483,35 @@ object Dedup {
     nodes
       .join(e.select(col("hi").as("node"), col("lo").as("_lbl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("_lbl"), col("node")).as("label"))
+  }
+
+  /** Collect an [[org.apache.spark.sql.Observation]] metric after the
+    * observed plan has materialized (via `localCheckpoint`). The
+    * checkpoint has already run the plan, so the metric should be
+    * present NOW — but `obs.get` blocks indefinitely, and its delivery
+    * relies on `localCheckpoint` materializing under a tracked SQL
+    * execution, which is undocumented behavior; if a future Spark
+    * changes it, an unbounded wait would hang the driver forever.
+    * Bound the wait and fail loudly instead (`getOrEmpty` is
+    * private[sql]). Returns None when the metric is SQL NULL (a `sum`
+    * that observed no matching row).
+    */
+  private def awaitObserved(obs: org.apache.spark.sql.Observation,
+                            name: String, caller: String): Option[Long] = {
+    val metrics = try {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get),
+        scala.concurrent.duration.Duration(60, "s"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"$caller: observe metric never arrived after checkpoint " +
+            "materialization — this Spark no longer runs localCheckpoint " +
+            "under a tracked execution; count the observed rows with an " +
+            "explicit action instead")
+    }
+    metrics.get(name).flatMap(Option(_)).map(_.asInstanceOf[Long])
   }
 
   /** Connected components by iterative min-label propagation — the
@@ -531,28 +572,9 @@ object Dedup {
           .as("changed"))
         .select("node", "label")
         .localCheckpoint() // materializes AND collects the observe metric
-      // The checkpoint has already materialized, so the metric should be
-      // present NOW. `obs.get` blocks indefinitely, though, and its
-      // delivery relies on localCheckpoint materializing under a tracked
-      // SQL execution — undocumented behavior; if a future Spark changes
-      // it, an unbounded wait would hang the driver forever. Bound it and
-      // fail loudly instead. (`getOrEmpty` is private[sql].)
-      val metrics = try {
-        import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Await.result(
-          scala.concurrent.Future(obs.get), scala.concurrent.duration.Duration(60, "s"))
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          throw new IllegalStateException(
-            "connectedComponentsPropagate: observe metric never arrived after " +
-              "checkpoint materialization — this Spark no longer runs " +
-              "localCheckpoint under a tracked execution; count changed " +
-              "rows with an explicit action instead")
-      }
       // Null sum ⟺ zero rows observed (empty graph) ⟺ converged.
-      val changed = metrics.get("changed").flatMap(Option(_))
-        .fold(0L)(_.asInstanceOf[Long])
-      converged = changed == 0L
+      converged = awaitObserved(obs, "changed",
+        "connectedComponentsPropagate").getOrElse(0L) == 0L
       labels = updated
       i += 1
     }
