@@ -430,13 +430,17 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionByName(edges.select(col(dstCol).as("node")))
-      .distinct()
-      .localCheckpoint()
-    // canonical (hi > lo) edge set; self-loops carry no connectivity
-    var e = edges
+    // Materialize the (possibly expensive) edge derivation exactly
+    // ONCE — `nodes` and `e` both consume it, and a Jaccard/LSH pair
+    // generation feeding this must not run twice.
+    val ends = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
+    val nodes = ends.select(col("a").as("node"))
+      .unionByName(ends.select(col("b").as("node")))
+      .distinct()
+    // canonical (hi > lo) edge set; self-loops carry no connectivity
+    var e = ends
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
