@@ -281,9 +281,13 @@ object Streaming {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("band", IntegerType), StructField("key", LongType),
           StructField("_ts", TimestampType))))
+    // batch-sized; computed ONCE — four consumers below (store probe,
+    // both sides of the in-batch self-join, survivor band extraction)
+    // would otherwise each recompute the minhash banding
     val bandsDf = graft.textops.Dedup.bandSignatures(
       batch.select(col(idCol), col(textCol)), idCol, textCol,
       shingleN, numHashes, bands)
+      .localCheckpoint()
     // Expire state BEFORE the collision decision, against the batch's
     // own max event time: content older than the retention horizon must
     // not suppress admission (the exact-path analogue finalizes state at
@@ -437,9 +441,13 @@ object Streaming {
         batch.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, bucketCol, centroidVecCol)
       .select(col(idCol), col("bucket"))
+    // batch-sized; computed ONCE — four consumers below (store probe,
+    // both sides of the in-batch self-join, survivor store extraction)
+    // would otherwise each recompute the centroid bucket assignment
     val vecs = batch
       .select(col(idCol), transform(col(vecCol), v => v.cast("double")).as("_v"))
       .join(assigned, idCol)
+      .localCheckpoint()
     val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
     val liveStore = store.crossJoin(broadcast(batchMax))
       .filter(col("_mx").isNull ||
