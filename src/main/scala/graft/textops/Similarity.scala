@@ -557,13 +557,17 @@ object Similarity {
     */
   def principalComponents(df: DataFrame, vecCol: String,
                           k: Int): (Array[Double], Array[(Double, Array[Double])]) = {
-    val stats = df.agg(
-      count(lit(1)).as("n"),
-      array((0 until dimOf(df, vecCol)).map(i =>
-        avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("mu"))
-      .collect()(0)
-    val n = stats.getLong(0).toDouble
-    val mu = stats.getSeq[Double](1).toArray
+    // ONE d-group job yields n, d, AND the mean vector — no separate
+    // first-vector probe for the dimension (same planning shape as
+    // gramMatrix's d²-group aggregate)
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("mu"))
+      .orderBy("pos")
+      .collect()
+    require(stats.nonEmpty, "principalComponents needs a non-empty corpus")
+    val n = stats(0).getLong(1).toDouble
+    val mu = stats.map(_.getDouble(2))
     val d = mu.length
     require(k >= 1 && k <= d, s"k must be in 1..$d, got $k")
     val g = Array.ofDim[Double](d, d)
@@ -574,9 +578,6 @@ object Similarity {
     val (vals, vecs) = jacobiEigen(cov)
     (mu, vals.zip(vecs).take(k))
   }
-
-  private def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Project (and optionally whiten) every vector onto the top-k
     * principal axes: proj_c = Σ_d (v_d − μ_d)·e_cd, divided by √λ_c
