@@ -22,16 +22,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * convert to a microsecond TimestampType with *integer* division —
-    * `ts div 1000` — because a double round-trip would lose precision
-    * (ns-since-epoch ≈ 1.7e18 > 2^53).
+  /** `events.parquet` has shipped with two `ts` encodings across
+    * driver-generated data generations, so dispatch on the RESOLVED
+    * type instead of assuming one:
+    *  - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it —
+    *    read nanos as long (legacy conf) and convert with *integer*
+    *    division (`ts div 1000`; a double round-trip would lose
+    *    precision, ns-since-epoch ≈ 1.7e18 > 2^53);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast
+    *    to session-TZ TimestampType. Engine sessions run UTC (Bench/
+    *    Verify/specs all set it), so the cast preserves instants and
+    *    downstream date/window functions behave identically.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-TZ timestamp
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
