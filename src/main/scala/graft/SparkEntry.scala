@@ -19,6 +19,7 @@ object SparkEntry {
     graft.textops.TextQueries,
     graft.warehouse.WarehouseQueries,
     graft.stream.StreamQueries,
+    graft.lake.LakeQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

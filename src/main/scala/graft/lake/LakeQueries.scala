@@ -1,0 +1,84 @@
+package graft.lake
+
+import graft.core.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-checkable queries for the versioned-lake layout layer:
+  * Z-order clustering + manifest file-stats skipping. Both queries
+  * rebuild a clustered versioned copy of `orders` in a scratch root and
+  * answer FROM the rebuilt table, so a hash-match against DuckDB over
+  * the RAW table proves the whole layout loop — cluster → publish →
+  * stats → prune → read — loses nothing and invents nothing.
+  *
+  * Scratch roots are deterministic per input dir (publish+vacuum keeps
+  * them at `keepVersions` versions across repeated bench runs, so they
+  * never accumulate), and live under java.io.tmpdir — the queries never
+  * write inside the test-data directory.
+  */
+object LakeQueries extends QueryPack {
+
+  private val dec = DecimalType(18, 2)
+
+  private def scratch(tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_lakeq/$tag$safe/t"
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Data-skipping scan: orders Z-ordered on (o_custkey, o_totalprice)
+    // with per-file stats, then a 2-D range read that prunes files on
+    // BOTH dimensions before re-applying the exact predicate. The
+    // oracle filters the raw table directly — identical results prove
+    // pruning is sound (skipping never drops a matching row).
+    "q_l_skip_scan" -> ((s, dir) => {
+      val root = scratch("skip", dir)
+      Clustering.publishClustered(Tables.orders(s, dir), root,
+        Seq("o_custkey", "o_totalprice"), numFiles = 16, bits = 8)
+      VersionedTable.readCurrentWhere(s, root, Seq(
+          VersionedTable.ColRange("o_custkey", Some(100L), Some(2000L)),
+          VersionedTable.ColRange("o_totalprice", Some(50000.0), Some(200000.0))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Clustering round trip: the full read-back of the Z-ordered
+    // versioned copy aggregates identically to the raw table — the
+    // layout op (two equi-depth ntiles, Morton interleave, range
+    // repartition, helper-column drop) is row-lossless and exact.
+    "q_l_cluster_roundtrip" -> ((s, dir) => {
+      val root = scratch("rt", dir)
+      Clustering.publishClustered(Tables.orders(s, dir), root,
+        Seq("o_custkey", "o_totalprice"), numFiles = 8, bits = 8)
+      VersionedTable.readCurrent(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_l_skip_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 2000
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_l_cluster_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

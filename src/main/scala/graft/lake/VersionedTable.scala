@@ -1,7 +1,8 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Manifest-pointer publish for plain-parquet datasets — the engine's
   * substitute for a transactional table format's snapshot swap, closing
@@ -108,8 +109,17 @@ object VersionedTable {
     * creation; then vacuum to `keepVersions`. Returns the version name.
     * The data write completes (all files + parquet `_SUCCESS`) before
     * the marker exists, so no reader can resolve a partial version.
+    *
+    * `statsColumns` nonEmpty additionally writes a per-file min/max
+    * stats relation ([[StatsDir]]) into the version directory BEFORE
+    * the marker — stats are atomic with the publish (a resolved version
+    * either has complete stats or, if published without, none), and
+    * the `_`-prefixed subdirectory is invisible to data reads (Hadoop's
+    * hidden-path filter). Stat columns must be atomic orderable types;
+    * the extra cost is one column-pruned scan of the fresh version.
     */
-  def publish(df: DataFrame, root: String, keepVersions: Int = 3): String = {
+  def publish(df: DataFrame, root: String, keepVersions: Int = 3,
+              statsColumns: Seq[String] = Nil): String = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 so in-flight readers of the previous " +
         s"version survive a publish, got $keepVersions")
@@ -123,11 +133,131 @@ object VersionedTable {
       currentVersion(spark, root).map(versionTs(_) + 1).getOrElse(0L))
     val token = java.util.UUID.randomUUID().toString.take(8)
     val version = f"$VersionPrefix$ts%013d-$token"
-    df.write.mode("errorifexists").parquet(new Path(rootP, version).toString)
+    val versionPath = new Path(rootP, version).toString
+    df.write.mode("errorifexists").parquet(versionPath)
+    if (statsColumns.nonEmpty) writeFileStats(spark, versionPath, statsColumns)
     val marker = new Path(rootP, s"$MarkerPrefix$version")
     fs.create(marker, false).close() // atomic visibility = the commit
     vacuum(spark, root, keepVersions)
     version
+  }
+
+  // ---------------------------------------------------------------------
+  // File-level data skipping — the manifest's answer to a table format's
+  // stats-based file pruning. Stats live INSIDE the immutable version
+  // directory, so they can never describe files of a different version.
+  // ---------------------------------------------------------------------
+
+  private val StatsDir = "_filestats"
+
+  /** A conjunct range predicate on one column: `lower <= column <=
+    * upper` with either bound optional (None = unbounded). Equality is
+    * the degenerate range (lower == upper). Range predicates are
+    * null-rejecting, which is what makes min/max skipping sound: a file
+    * whose stats are null for the column (all-null or empty) can hold
+    * no matching row.
+    */
+  final case class ColRange(column: String,
+                            lower: Option[Any] = None,
+                            upper: Option[Any] = None) {
+    require(lower.isDefined || upper.isDefined,
+      s"unbounded range on $column would skip nothing")
+    /** The exact row-level predicate — ALWAYS re-applied after pruning,
+      * so skipping is purely a scan optimization, never a semantics
+      * change. */
+    def rowPredicate: Column = {
+      val lo = lower.map(v => col(column) >= lit(v))
+      val hi = upper.map(v => col(column) <= lit(v))
+      (lo.toSeq ++ hi.toSeq).reduce(_ && _)
+    }
+    /** File-overlap test over the stats relation. Kept iff the file's
+      * [min,max] can intersect the range; null stats (all-null column,
+      * or a file with no rows) → overlap unknown → `coalesce` to false
+      * = skip, sound because [[rowPredicate]] is null-rejecting. */
+    private[lake] def fileOverlap: Column = {
+      val lo = lower.map(v => col(s"max_$column") >= lit(v))
+      val hi = upper.map(v => col(s"min_$column") <= lit(v))
+      coalesce((lo.toSeq ++ hi.toSeq).reduce(_ && _), lit(false))
+    }
+  }
+
+  /** Per-file stats of a freshly written version directory: row count
+    * plus min/max/null-count per stat column, one output row per data
+    * file. Computed with a column-pruned scan grouped by the
+    * `_metadata.file_path` hidden column — at most `statsColumns` wide,
+    * never a full-row read.
+    */
+  private def writeFileStats(spark: SparkSession, versionPath: String,
+                             statsColumns: Seq[String]): Unit = {
+    val written = spark.read.parquet(versionPath)
+    val missing = statsColumns.filterNot(written.columns.contains)
+    require(missing.isEmpty, s"stats columns absent from data: $missing")
+    val aggs = count(lit(1)).as("rows") +:
+      statsColumns.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+      }
+    written
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .parquet(new Path(versionPath, StatsDir).toString)
+  }
+
+  /** The stats relation of the current version, if that version was
+    * published with `statsColumns`. */
+  def currentStats(spark: SparkSession, root: String): Option[DataFrame] =
+    currentVersion(spark, root).flatMap { v =>
+      val p = new Path(new Path(root, v), StatsDir)
+      if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString))
+      else None
+    }
+
+  /** Driver-side file pruning for `ranges` against the current
+    * version's stats: Some((kept, total)) when every range column has
+    * stats, None when stats are absent or a column is uncovered (caller
+    * must fall back to a full scan). The stats relation is
+    * O(files) rows and the result is a file LIST — this is
+    * planning-time work of the same class as partition-pruning's
+    * directory listing, not a data collect.
+    */
+  def pruneFiles(spark: SparkSession, root: String,
+                 ranges: Seq[ColRange]): Option[(Seq[String], Long)] =
+    currentStats(spark, root).flatMap { stats =>
+      val covered = ranges.forall(r => stats.columns.contains(s"min_${r.column}"))
+      if (!covered) None
+      else {
+        val total = stats.count()
+        val kept = stats
+          .where(ranges.map(_.fileOverlap).reduce(_ && _))
+          .select("file_path")
+          .collect().map(_.getString(0)).toSeq
+        Some((kept, total))
+      }
+    }
+
+  /** Read the current version restricted to `ranges`, skipping whole
+    * files whose min/max stats prove they hold no matching row. The
+    * exact row predicate is re-applied on the surviving files, so the
+    * result is IDENTICAL to `readCurrent(...).where(pred)` — files are
+    * only ever skipped, never trusted to pre-filter rows. Falls back to
+    * the full scan (with the same predicate) when stats are missing.
+    * All-files-skipped folds to an empty relation without touching a
+    * single data file (`PruneFilters` on the `lit(false)` conjunct).
+    */
+  def readCurrentWhere(spark: SparkSession, root: String,
+                       ranges: Seq[ColRange]): DataFrame = {
+    require(ranges.nonEmpty, "readCurrentWhere needs at least one range")
+    val pred = ranges.map(_.rowPredicate).reduce(_ && _)
+    pruneFiles(spark, root, ranges) match {
+      case Some((kept, _)) if kept.isEmpty =>
+        readCurrent(spark, root).where(pred && lit(false))
+      case Some((kept, _)) =>
+        spark.read.parquet(kept: _*).where(pred)
+      case None =>
+        readCurrent(spark, root).where(pred)
+    }
   }
 
   /** Drop all but the newest `keep` published versions (marker first,

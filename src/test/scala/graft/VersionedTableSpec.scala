@@ -145,4 +145,97 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(out === Seq(("2024-06-01", 10L), ("2024-06-02", 20L),
       ("2024-06-03", 30L)))
   }
+
+  // -------------------------------------------------------------------
+  // File-level data skipping + Z-order clustering
+  // -------------------------------------------------------------------
+
+  import graft.lake.Clustering
+  import VersionedTable.ColRange
+
+  test("publish with stats prunes files; pruned read is identical to the full filter") {
+    val root = tmpRoot("skip")
+    val df = spark.range(400).toDF("k")
+      .withColumn("v", (col("k") % 7).cast("long"))
+    VersionedTable.publish(df.repartitionByRange(4, col("k")), root,
+      statsColumns = Seq("k"))
+    val stats = VersionedTable.currentStats(spark, root).get
+    assert(stats.count() === 4)
+    assert(stats.columns.toSet === Set("file_path", "rows",
+      "min_k", "max_k", "nulls_k"))
+    val ranges = Seq(ColRange("k", Some(10L), Some(40L)))
+    val Some((kept, total)) = VersionedTable.pruneFiles(spark, root, ranges)
+    assert(total === 4L)
+    assert(kept.length < 4, "a narrow range must skip files")
+    val pruned = VersionedTable.readCurrentWhere(spark, root, ranges)
+    // the pruned plan reads ONLY the surviving files…
+    assert(pruned.inputFiles.length === kept.length)
+    // …and returns exactly the rows of the unpruned filter
+    val full = VersionedTable.readCurrent(spark, root)
+      .where(col("k") >= 10 && col("k") <= 40)
+    assert(pruned.collect().toSet === full.collect().toSet)
+  }
+
+  test("skipping edge cases: all files skipped, missing stats, uncovered column, null stats") {
+    val root = tmpRoot("skipedge")
+    // two range files; v is null below 120, so the low file (range
+    // boundary lands near the median, well under 120) is ALL-null in v
+    // and its v stats are null
+    val df = spark.range(200).toDF("k")
+      .withColumn("v", when(col("k") >= 120, col("k")).otherwise(lit(null).cast("long")))
+    VersionedTable.publish(df.repartitionByRange(2, col("k")), root,
+      statsColumns = Seq("k", "v"))
+    // null v-stats: a range on v can never match the all-null file → skipped
+    val Some((keptV, totalV)) =
+      VersionedTable.pruneFiles(spark, root, Seq(ColRange("v", Some(150L), None)))
+    assert(totalV === 2L && keptV.length === 1)
+    assert(VersionedTable.readCurrentWhere(spark, root,
+      Seq(ColRange("v", Some(150L), None))).count() === 50L) // v 150..199
+    // all files skipped → empty result, schema intact, zero files read
+    val none = VersionedTable.readCurrentWhere(spark, root,
+      Seq(ColRange("k", Some(10000L), None)))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("k", "v"))
+    // version without stats → graceful full-scan fallback
+    val plainRoot = tmpRoot("nostats")
+    VersionedTable.publish(df, plainRoot)
+    assert(VersionedTable.currentStats(spark, plainRoot).isEmpty)
+    assert(VersionedTable.readCurrentWhere(spark, plainRoot,
+      Seq(ColRange("v", Some(150L), None))).count() === 50L)
+    // range on a column with no stats → fall back, never mis-prune
+    assert(VersionedTable.pruneFiles(spark, root,
+      Seq(ColRange("k", Some(0L), None), ColRange("x_unstated", Some(1L), None)))
+      .isEmpty)
+  }
+
+  test("z-order clustering prunes on every clustered column; a linear sort only on its own") {
+    // 64x64 grid — the canonical multi-dimensional-locality fixture
+    val grid = spark.range(64L * 64L)
+      .select(expr("id DIV 64").as("x"), (col("id") % 64).as("y"))
+    val zroot = tmpRoot("zord")
+    val lroot = tmpRoot("linear")
+    Clustering.publishClustered(grid, zroot, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    VersionedTable.publish(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      lroot, statsColumns = Seq("x", "y"))
+    def kept(root: String, c: String): Int =
+      VersionedTable.pruneFiles(spark, root,
+        Seq(ColRange(c, Some(0L), Some(7L)))).get._1.length
+    // Morton tiles: an eighth-range on EITHER column keeps at most half
+    // the files (ideal alignment keeps 4 of 16)
+    assert(kept(zroot, "x") <= 8, s"z-order x pruning kept ${kept(zroot, "x")}")
+    assert(kept(zroot, "y") <= 8, s"z-order y pruning kept ${kept(zroot, "y")}")
+    // the linear layout is perfect on its sort column…
+    assert(kept(lroot, "x") <= 4)
+    // …and near-useless on the other (every file spans almost all of y)
+    assert(kept(lroot, "y") >= 12)
+    // layout never changes results: 2-D pruned read == exact grid count
+    val out = VersionedTable.readCurrentWhere(spark, zroot, Seq(
+      ColRange("x", Some(0L), Some(7L)), ColRange("y", Some(0L), Some(7L))))
+    assert(out.count() === 64L)
+    // schema is unchanged by clustering (helper columns dropped)
+    assert(VersionedTable.readCurrent(spark, zroot).columns.toSeq ===
+      Seq("x", "y"))
+  }
 }
