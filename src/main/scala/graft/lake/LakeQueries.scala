@@ -46,6 +46,25 @@ object LakeQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // Bloom file-index point lookup: customer hash-clustered on
+    // c_custkey (so every file spans nearly the whole c_name range and
+    // min/max stats prune NOTHING — the adversarial layout for range
+    // skipping), with a per-file Bloom on c_name. The ColEquals probe
+    // prunes to the file(s) that might hold the key; the oracle is the
+    // raw-table point filter — identical results prove the Bloom path
+    // never loses the matching row.
+    "q_l_bloom_lookup" -> ((s, dir) => {
+      val root = scratch("bloom", dir)
+      VersionedTable.publish(
+        Tables.customer(s, dir).repartition(8, col("c_custkey")),
+        root, statsColumns = Seq("c_custkey"), bloomColumns = Seq("c_name"),
+        bloomExpectedItems = 20000L, bloomFpp = 0.001)
+      VersionedTable.readCurrentWhere(s, root,
+          Seq(VersionedTable.ColEquals("c_name", "Customer#000000042")))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // Clustering round trip: the full read-back of the Z-ordered
     // versioned copy aggregates identically to the raw table — the
     // layout op (two equi-depth ntiles, Morton interleave, range
@@ -73,6 +92,11 @@ object LakeQueries extends QueryPack {
         |WHERE o_custkey BETWEEN 100 AND 2000
         |  AND o_totalprice BETWEEN 50000 AND 200000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_l_bloom_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer WHERE c_name = 'Customer#000000042'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_l_cluster_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -91,6 +91,18 @@ object VersionedTable {
         s"no published version at $root")
     }
 
+  /** Time travel: read a specific PUBLISHED version (a name from
+    * [[listVersions]]). Versions are immutable, so the read is
+    * reproducible for as long as retention keeps the version alive —
+    * pair with `keepVersions` sized to the audit horizon. Composes with
+    * [[LakeStorage.snapshotDiff]] for version-over-version diffs.
+    */
+  def readVersion(spark: SparkSession, root: String, version: String): DataFrame = {
+    require(listVersions(spark, root).contains(version),
+      s"$version is not a published version of $root (vacuumed, mid-publish, or never existed)")
+    spark.read.parquet(new Path(root, version).toString)
+  }
+
   /** Millisecond timestamp embedded in a version name; None for names
     * this writer could not have produced (vacuum must skip those, not
     * crash on a stray user-made `v-` directory).
@@ -117,9 +129,17 @@ object VersionedTable {
     * the `_`-prefixed subdirectory is invisible to data reads (Hadoop's
     * hidden-path filter). Stat columns must be atomic orderable types;
     * the extra cost is one column-pruned scan of the fresh version.
+    * `bloomColumns` (string columns only) adds a per-file Bloom filter
+    * each, sized by `bloomExpectedItems`/`bloomFpp` (size to per-FILE
+    * rows — see [[graft.functions.BloomAggregator]]), for
+    * [[ColEquals]] point-lookup pruning where min/max ranges are too
+    * wide to cut anything.
     */
   def publish(df: DataFrame, root: String, keepVersions: Int = 3,
-              statsColumns: Seq[String] = Nil): String = {
+              statsColumns: Seq[String] = Nil,
+              bloomColumns: Seq[String] = Nil,
+              bloomExpectedItems: Long = 100000L,
+              bloomFpp: Double = 0.01): String = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 so in-flight readers of the previous " +
         s"version survive a publish, got $keepVersions")
@@ -135,7 +155,9 @@ object VersionedTable {
     val version = f"$VersionPrefix$ts%013d-$token"
     val versionPath = new Path(rootP, version).toString
     df.write.mode("errorifexists").parquet(versionPath)
-    if (statsColumns.nonEmpty) writeFileStats(spark, versionPath, statsColumns)
+    if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+      writeFileStats(spark, versionPath, statsColumns, bloomColumns,
+        bloomExpectedItems, bloomFpp)
     val marker = new Path(rootP, s"$MarkerPrefix$version")
     fs.create(marker, false).close() // atomic visibility = the commit
     vacuum(spark, root, keepVersions)
@@ -150,34 +172,72 @@ object VersionedTable {
 
   private val StatsDir = "_filestats"
 
-  /** A conjunct range predicate on one column: `lower <= column <=
-    * upper` with either bound optional (None = unbounded). Equality is
-    * the degenerate range (lower == upper). Range predicates are
-    * null-rejecting, which is what makes min/max skipping sound: a file
-    * whose stats are null for the column (all-null or empty) can hold
-    * no matching row.
+  /** A conjunct file-skipping predicate: `rowPredicate` is the EXACT
+    * row-level filter (always re-applied after pruning, so skipping is
+    * purely a scan optimization, never a semantics change), `fileKeep`
+    * the stats-relation keep test — None when the current version's
+    * stats cannot evaluate it (caller must fall back to a full scan).
+    * All forms are null-rejecting at row level, which is what makes
+    * pruning on null/absent stats sound.
+    */
+  sealed trait SkipPred {
+    def column: String
+    def rowPredicate: Column
+    private[lake] def fileKeep(statsCols: Seq[String]): Option[Column]
+  }
+
+  /** `lower <= column <= upper` with either bound optional (None =
+    * unbounded). Equality on an orderable non-string column is the
+    * degenerate range (lower == upper); string equality should prefer
+    * [[ColEquals]], which adds Bloom pruning. A file whose min/max
+    * stats are null for the column (all-null or empty) can hold no
+    * matching row — `coalesce` to false = skip.
     */
   final case class ColRange(column: String,
                             lower: Option[Any] = None,
-                            upper: Option[Any] = None) {
+                            upper: Option[Any] = None) extends SkipPred {
     require(lower.isDefined || upper.isDefined,
       s"unbounded range on $column would skip nothing")
-    /** The exact row-level predicate — ALWAYS re-applied after pruning,
-      * so skipping is purely a scan optimization, never a semantics
-      * change. */
     def rowPredicate: Column = {
       val lo = lower.map(v => col(column) >= lit(v))
       val hi = upper.map(v => col(column) <= lit(v))
       (lo.toSeq ++ hi.toSeq).reduce(_ && _)
     }
-    /** File-overlap test over the stats relation. Kept iff the file's
-      * [min,max] can intersect the range; null stats (all-null column,
-      * or a file with no rows) → overlap unknown → `coalesce` to false
-      * = skip, sound because [[rowPredicate]] is null-rejecting. */
-    private[lake] def fileOverlap: Column = {
-      val lo = lower.map(v => col(s"max_$column") >= lit(v))
-      val hi = upper.map(v => col(s"min_$column") <= lit(v))
-      coalesce((lo.toSeq ++ hi.toSeq).reduce(_ && _), lit(false))
+    private[lake] def fileKeep(statsCols: Seq[String]): Option[Column] =
+      if (!statsCols.contains(s"min_$column")) None
+      else {
+        val lo = lower.map(v => col(s"max_$column") >= lit(v))
+        val hi = upper.map(v => col(s"min_$column") <= lit(v))
+        Some(coalesce((lo.toSeq ++ hi.toSeq).reduce(_ && _), lit(false)))
+      }
+  }
+
+  /** String-equality point predicate. Prunes with whatever the version
+    * carries for the column — min/max range (equality is a degenerate
+    * range; lexicographic bounds are sound for it) AND the per-file
+    * Bloom filter when `bloomColumns` included it at publish. On a
+    * hash-clustered layout min/max bounds are corpus-wide and prune
+    * nothing; the Bloom is what cuts a point lookup to the one-or-few
+    * files that might hold the key (fpp of the rest). The probe runs
+    * IN SPARK over the O(files) stats relation — the one deliberate
+    * UDF outside a data path, same planning-relation class as the
+    * file-list collect.
+    */
+  final case class ColEquals(column: String, value: String) extends SkipPred {
+    require(value != null, s"equality on $column with null never matches — filter nulls explicitly")
+    def rowPredicate: Column = col(column) === lit(value)
+    private[lake] def fileKeep(statsCols: Seq[String]): Option[Column] = {
+      val range =
+        if (statsCols.contains(s"min_$column"))
+          Some(coalesce(col(s"min_$column") <= lit(value) &&
+            col(s"max_$column") >= lit(value), lit(false)))
+        else None
+      val bloom =
+        if (statsCols.contains(s"bloom_$column"))
+          Some(graft.functions.BloomAggregator.mightContainUdf(
+            col(s"bloom_$column"), lit(value)))
+        else None
+      (range.toSeq ++ bloom.toSeq).reduceOption(_ && _)
     }
   }
 
@@ -188,15 +248,27 @@ object VersionedTable {
     * never a full-row read.
     */
   private def writeFileStats(spark: SparkSession, versionPath: String,
-                             statsColumns: Seq[String]): Unit = {
+                             statsColumns: Seq[String],
+                             bloomColumns: Seq[String] = Nil,
+                             bloomExpectedItems: Long = 100000L,
+                             bloomFpp: Double = 0.01): Unit = {
     val written = spark.read.parquet(versionPath)
-    val missing = statsColumns.filterNot(written.columns.contains)
+    val missing = (statsColumns ++ bloomColumns).filterNot(written.columns.contains)
     require(missing.isEmpty, s"stats columns absent from data: $missing")
+    bloomColumns.foreach { c =>
+      require(written.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"bloom columns must be strings (build and probe must hash the " +
+          s"same type), got ${written.schema(c).dataType} for '$c'")
+    }
     val aggs = count(lit(1)).as("rows") +:
-      statsColumns.flatMap { c =>
+      (statsColumns.flatMap { c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
-      }
+      } ++ bloomColumns.map { c =>
+        graft.functions.BloomAggregator
+          .bloomAgg(bloomExpectedItems, bloomFpp, col(c)).as(s"bloom_$c")
+      })
     written
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -214,43 +286,44 @@ object VersionedTable {
       else None
     }
 
-  /** Driver-side file pruning for `ranges` against the current
-    * version's stats: Some((kept, total)) when every range column has
-    * stats, None when stats are absent or a column is uncovered (caller
-    * must fall back to a full scan). The stats relation is
-    * O(files) rows and the result is a file LIST — this is
-    * planning-time work of the same class as partition-pruning's
-    * directory listing, not a data collect.
+  /** Driver-side file pruning for `preds` against the current
+    * version's stats: Some((kept, total)) when the stats can evaluate
+    * every predicate, None when stats are absent or a predicate's
+    * column is uncovered (caller must fall back to a full scan). The
+    * stats relation is O(files) rows and the result is a file LIST —
+    * this is planning-time work of the same class as
+    * partition-pruning's directory listing, not a data collect.
     */
   def pruneFiles(spark: SparkSession, root: String,
-                 ranges: Seq[ColRange]): Option[(Seq[String], Long)] =
+                 preds: Seq[SkipPred]): Option[(Seq[String], Long)] =
     currentStats(spark, root).flatMap { stats =>
-      val covered = ranges.forall(r => stats.columns.contains(s"min_${r.column}"))
-      if (!covered) None
+      val keeps = preds.map(_.fileKeep(stats.columns.toSeq))
+      if (keeps.exists(_.isEmpty)) None
       else {
         val total = stats.count()
         val kept = stats
-          .where(ranges.map(_.fileOverlap).reduce(_ && _))
+          .where(keeps.flatten.reduce(_ && _))
           .select("file_path")
           .collect().map(_.getString(0)).toSeq
         Some((kept, total))
       }
     }
 
-  /** Read the current version restricted to `ranges`, skipping whole
-    * files whose min/max stats prove they hold no matching row. The
-    * exact row predicate is re-applied on the surviving files, so the
-    * result is IDENTICAL to `readCurrent(...).where(pred)` — files are
-    * only ever skipped, never trusted to pre-filter rows. Falls back to
-    * the full scan (with the same predicate) when stats are missing.
+  /** Read the current version restricted to `preds`, skipping whole
+    * files whose stats (min/max ranges, per-file Blooms) prove they
+    * hold no matching row. The exact row predicate is re-applied on
+    * the surviving files, so the result is IDENTICAL to
+    * `readCurrent(...).where(pred)` — files are only ever skipped,
+    * never trusted to pre-filter rows. Falls back to the full scan
+    * (with the same predicate) when stats are missing.
     * All-files-skipped folds to an empty relation without touching a
     * single data file (`PruneFilters` on the `lit(false)` conjunct).
     */
   def readCurrentWhere(spark: SparkSession, root: String,
-                       ranges: Seq[ColRange]): DataFrame = {
-    require(ranges.nonEmpty, "readCurrentWhere needs at least one range")
-    val pred = ranges.map(_.rowPredicate).reduce(_ && _)
-    pruneFiles(spark, root, ranges) match {
+                       preds: Seq[SkipPred]): DataFrame = {
+    require(preds.nonEmpty, "readCurrentWhere needs at least one predicate")
+    val pred = preds.map(_.rowPredicate).reduce(_ && _)
+    pruneFiles(spark, root, preds) match {
       case Some((kept, _)) if kept.isEmpty =>
         readCurrent(spark, root).where(pred && lit(false))
       case Some((kept, _)) =>

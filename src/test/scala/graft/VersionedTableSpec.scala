@@ -208,6 +208,47 @@ class VersionedTableSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("bloom point lookup prunes a hash layout that min/max ranges cannot") {
+    val root = tmpRoot("bloom")
+    val df = spark.range(4000).toDF("id")
+      .withColumn("name", concat(lit("user-"),
+        lpad(col("id").cast("string"), 6, "0")))
+    VersionedTable.publish(df.repartition(8, col("id")), root,
+      statsColumns = Seq("name"), bloomColumns = Seq("name"),
+      bloomExpectedItems = 1000L, bloomFpp = 0.001)
+    // hash layout: every file spans nearly the whole name range, so a
+    // RANGE probe on the point keeps everything…
+    val Some((rangeKept, total)) = VersionedTable.pruneFiles(spark, root,
+      Seq(VersionedTable.ColRange("name",
+        Some("user-001234"), Some("user-001234"))))
+    assert(total === 8L && rangeKept.length === 8)
+    // …while the Bloom-backed equality prunes to the holding file
+    // (bloom probes are deterministic — no flakiness; <=2 allows an fp)
+    val Some((kept, _)) = VersionedTable.pruneFiles(spark, root,
+      Seq(VersionedTable.ColEquals("name", "user-001234")))
+    assert(kept.length <= 2, s"bloom kept ${kept.length} of 8 files")
+    val out = VersionedTable.readCurrentWhere(spark, root,
+      Seq(VersionedTable.ColEquals("name", "user-001234")))
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1234L))
+    // absent key: pruned read finds nothing, exactly like the full filter
+    assert(VersionedTable.readCurrentWhere(spark, root,
+      Seq(VersionedTable.ColEquals("name", "user-999999"))).count() === 0L)
+    // equality on an uncovered column → fall back, never mis-prune
+    assert(VersionedTable.pruneFiles(spark, root,
+      Seq(VersionedTable.ColEquals("id_str", "x"))).isEmpty)
+  }
+
+  test("readVersion time-travels to any retained published version") {
+    val root = tmpRoot("tt")
+    val v1 = VersionedTable.publish(Seq((1, "a")).toDF("k", "v"), root)
+    val v2 = VersionedTable.publish(Seq((1, "A"), (2, "b")).toDF("k", "v"), root)
+    assert(VersionedTable.readVersion(spark, root, v1).count() === 1L)
+    assert(VersionedTable.readVersion(spark, root, v2).count() === 2L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, "v-0000000000042-deadbeef")
+    }
+  }
+
   test("z-order clustering prunes on every clustered column; a linear sort only on its own") {
     // 64x64 grid — the canonical multi-dimensional-locality fixture
     val grid = spark.range(64L * 64L)
