@@ -49,21 +49,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    // Per-doc distinct shingles come from the MAP-SIDE array form
-    // (array_distinct on doc-sized arrays) — no corpus-wide distinct
-    // shuffle — and each doc's set size rides its exploded rows into
-    // the self-join (+8 bytes/row), so the joined pair carries both
-    // sizes already: no separate size aggregation pass, no size joins.
-    // The join shuffle carries 8-byte shingle hashes and compares longs
-    // (collision odds per the shingleTable scaladoc).
-    val sh = perDocShingles(df, idCol, textCol, n)
-      .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("shingle"))
-    sh.toDF("doc_a", "n_a", "shingle")
-      .join(sh.toDF("doc_b", "n_b", "shingle"), "shingle")
+    // shingleTable emits 64-bit shingle hashes: the self-join shuffle
+    // carries 8-byte keys and compares longs (collision odds per the
+    // shingleTable scaladoc). Set sizes are aggregated once and
+    // broadcast-joined onto the surviving pairs.
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"),
-        min("n_a").as("n_a"), min("n_b").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -349,14 +348,7 @@ object Dedup {
                       family: HashFamily = HashFamily.Xx64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // signature-sized (numHashes longs per doc), computed ONCE — three
-    // consumers (both self-join sides of the band bucket join, the set
-    // sizes in the verify) would otherwise each re-run the
-    // 64-aggregation minhash pass; the corpus-sized shingle table stays
-    // LAZY by design (materializing shingle-shaped relations measured
-    // slower than recompute — CrossoverBench, round 3)
     val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
-      .localCheckpoint()
     val banded = sigSize.select(col(idCol),
       posexplode(bandKeysExpr(r, bands, family)).as(Seq("band", "key")))
     val candidates = banded.toDF("doc_a", "band", "key")
@@ -365,30 +357,24 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     // Exact verification restricted to candidates — the sketch only
-    // prunes, it never decides. Shingle sets reach the (pruned, small)
-    // candidate relation as per-doc arrays joined by id; the intersect
-    // is map-side. Verify counts are hash-family-independent (any
-    // consistent 64-bit family yields the same distinct cardinalities
-    // modulo the documented collision odds), so the portable band
-    // family does not force a portable verify hash.
-    pairsJaccard(candidates, perDocShingles(df, idCol, textCol, shingleN),
-      idCol, threshold)
+    // prunes, it never decides. Set sizes ride along with the
+    // signatures (same aggregation pass — see signaturesWithSize).
+    val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN, family)
+    val sizes = sigSize.select(col(idCol), col("n_sh"))
+    pairsJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
-  /** Exact Jaccard for a given candidate-pair set: two id-keyed joins
-    * of the one-row-per-doc shingle-array relation onto the candidates,
-    * then a per-row `array_intersect` — the corpus-sized exploded
-    * shingle table is never built or re-shuffled for verification
-    * (the [[jaccardPairsPrefix]] verify pattern).
-    */
-  private def pairsJaccard(candidates: DataFrame, perDoc: DataFrame,
+  /** Exact Jaccard for a given candidate-pair set. */
+  private def pairsJaccard(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
                            idCol: String, threshold: Double): DataFrame = {
-    candidates
-      .join(perDoc.select(col(idCol).as("doc_a"), col("sh_arr").as("_sa"),
-        col("n_sh").as("n_a")), "doc_a")
-      .join(perDoc.select(col(idCol).as("doc_b"), col("sh_arr").as("_sb"),
-        col("n_sh").as("n_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))))
+    val inter = candidates
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -656,10 +642,7 @@ object Dedup {
       struct(lit(j).as("chunk_i"),
         expr(s"shiftright(simhash, $off)").bitwiseAND(lit(mask)).as("chunk_v"))
     }
-    // sketch-sized (one 64-bit word per doc), computed ONCE — both
-    // sides of the chunk bucket join would otherwise re-run the
-    // 64-vote aggregation
-    val sk = simhash(df, idCol, textCol, family).localCheckpoint()
+    val sk = simhash(df, idCol, textCol, family)
     val chunks = sk
       .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_i"), col("c.chunk_v"))
