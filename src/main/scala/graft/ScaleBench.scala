@@ -71,7 +71,14 @@ object ScaleBench {
     spark.range(nOrders).select(
       (col("id") + 1).as("o_orderkey"),
       (pmod(xxhash64(col("id"), lit(21)), lit(math.max(nOrders / 10, 1))) + 1)
-        .as("o_custkey"))
+        .as("o_custkey"),
+      // lognormal-ish price + skewed status so the q_l layout/skip
+      // queries exercise the equi-depth ntile on a non-uniform column
+      (pow(lit(10.0), pmod(xxhash64(col("id"), lit(31)), lit(400)) / 100.0 + 2.0))
+        .as("o_totalprice"),
+      element_at(array(lit("O"), lit("O"), lit("F"), lit("F"), lit("P")),
+        (pmod(xxhash64(col("id"), lit(37)), lit(5)) + 1).cast("int"))
+        .as("o_orderstatus"))
 
   def lineitem(spark: SparkSession, nOrders: Long): DataFrame =
     spark.range(nOrders * 4).select(
@@ -94,7 +101,12 @@ object ScaleBench {
     // round-9 additions: the gram's d²-per-row explode, the two
     // sketch+verify passes, and the second iterative graph operator
     "q_t_gram", "q_t_heavy_tokens", "q_t_heavy_tokens_grouped",
-    "q_g2_label_prop")
+    "q_g2_label_prop",
+    // round-10: Z-order clustered publish + stats + 2-D pruned read —
+    // write-side layout work, expected ~linear in rows (two ntile
+    // passes + the clustered write dominate; the pruned read shrinks
+    // with selectivity)
+    "q_l_skip_scan")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,7 +122,14 @@ object ScaleBench {
     val results = scala.collection.mutable.Map.empty[(String, String), Double]
     for ((name, nDoc, nEmb, nOrd) <- wanted) {
       val dir = s"/tmp/graft_scale/$name"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      // regenerate when absent OR when a cached corpus predates a
+      // generator schema change (orders gained price/status columns)
+      val ordersStale = new java.io.File(s"$dir/orders.parquet").exists() && {
+        try !spark.read.parquet(s"$dir/orders.parquet").columns
+          .contains("o_totalprice")
+        catch { case _: Throwable => true }
+      }
+      if (!new java.io.File(s"$dir/documents.parquet").exists() || ordersStale) {
         docs(spark, nDoc).write.mode("overwrite").parquet(s"$dir/documents.parquet")
         embeddings(spark, nEmb).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         orders(spark, nOrd).write.mode("overwrite").parquet(s"$dir/orders.parquet")

@@ -134,6 +134,16 @@ object VersionedTable {
     * rows — see [[graft.functions.BloomAggregator]]), for
     * [[ColEquals]] point-lookup pruning where min/max ranges are too
     * wide to cut anything.
+    *
+    * Stats are part of the table's physical contract, not one write's:
+    * when BOTH stat params are empty, the new version INHERITS the
+    * previous version's stats spec (recomputed over the new data), so
+    * maintenance publishes — [[compact]], [[upsertBatch]], the
+    * streaming sinks — never silently strip a table's file index and
+    * downgrade every later pruned read to a full scan. Pass
+    * `statsColumns` explicitly to change the spec; there is no way to
+    * drop stats from a table that has them except republishing under a
+    * fresh root (deliberate — losing an index should be loud).
     */
   def publish(df: DataFrame, root: String, keepVersions: Int = 3,
               statsColumns: Seq[String] = Nil,
@@ -154,9 +164,13 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val version = f"$VersionPrefix$ts%013d-$token"
     val versionPath = new Path(rootP, version).toString
+    val (statsCols, bloomCols) =
+      if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+        (statsColumns, bloomColumns)
+      else inheritedStatsSpec(spark, root)
     df.write.mode("errorifexists").parquet(versionPath)
-    if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
-      writeFileStats(spark, versionPath, statsColumns, bloomColumns,
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      writeFileStats(spark, versionPath, statsCols, bloomCols,
         bloomExpectedItems, bloomFpp)
     val marker = new Path(rootP, s"$MarkerPrefix$version")
     fs.create(marker, false).close() // atomic visibility = the commit
@@ -240,6 +254,21 @@ object VersionedTable {
       (range.toSeq ++ bloom.toSeq).reduceOption(_ && _)
     }
   }
+
+  /** The previous version's stats spec, recovered from its stats
+    * schema, so maintenance publishes recompute the same index over
+    * the new data. Bloom sizing is not recoverable from serialized
+    * filters; inherited blooms use the publish defaults (sizing only
+    * moves fpp, never correctness).
+    */
+  private def inheritedStatsSpec(spark: SparkSession,
+                                 root: String): (Seq[String], Seq[String]) =
+    currentStats(spark, root) match {
+      case Some(st) =>
+        (st.columns.toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
+          st.columns.toSeq.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+      case None => (Nil, Nil)
+    }
 
   /** Per-file stats of a freshly written version directory: row count
     * plus min/max/null-count per stat column, one output row per data
@@ -370,6 +399,13 @@ object VersionedTable {
     * the current version to `targetFiles` files as a NEW version — no
     * rename of live data, no reader window at all. Returns the row
     * count (invariant-check hook; the rewrite never changes data).
+    *
+    * The hash `repartition` DESTROYS a Z-ordered layout: inherited
+    * stats are recomputed honestly (correctness never degrades), but
+    * every file's min/max widens to near-corpus range and pruning
+    * stops cutting. Compact a clustered table with
+    * [[Clustering.publishClustered]] instead — same no-window publish,
+    * layout preserved.
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int,
               keepVersions: Int = 3): Long = {

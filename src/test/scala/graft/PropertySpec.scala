@@ -186,4 +186,32 @@ class PropertySpec extends SparkSpec {
       if (n >= chunk) assert(got.last._2 === chunk)
     }
   }
+
+  test("file skipping returns exactly the full-scan filter rows for any data and bounds") {
+    import graft.lake.VersionedTable
+    // random multisets WITH nulls and duplicates, random (possibly
+    // empty-result or unbounded) ranges, random file layouts — the
+    // pruned read must equal the unpruned filter every time
+    val rowGen = Gen.listOfN(60, Gen.option(Gen.chooseNum(-50L, 50L)))
+    val boundGen = Gen.option(Gen.chooseNum(-60L, 60L))
+    val caseGen = Gen.zip(rowGen, boundGen, boundGen, Gen.chooseNum(1, 5))
+    samples(caseGen, 12).foreach { case (vs, lo, hi, nFiles) =>
+      if (lo.isDefined || hi.isDefined) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_prop_skip").toString + "/t"
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "k")
+        VersionedTable.publish(df.repartition(nFiles, col("id")), root,
+          statsColumns = Seq("k"))
+        val ranges = Seq(VersionedTable.ColRange("k",
+          lo.map(_.asInstanceOf[Any]), hi.map(_.asInstanceOf[Any])))
+        val got = VersionedTable.readCurrentWhere(spark, root, ranges)
+          .select("id").as[Long].collect().sorted.toSeq
+        val want = VersionedTable.readCurrent(spark, root)
+          .where(ranges.head.rowPredicate)
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(got === want, s"lo=$lo hi=$hi nFiles=$nFiles")
+      }
+    }
+  }
 }

@@ -238,6 +238,25 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq(VersionedTable.ColEquals("id_str", "x"))).isEmpty)
   }
 
+  test("maintenance publishes inherit the stats spec — compaction never strips the file index") {
+    val root = tmpRoot("inherit")
+    val df = spark.range(400).toDF("k").withColumn("s", col("k").cast("string"))
+    VersionedTable.publish(df.repartitionByRange(4, col("k")), root,
+      statsColumns = Seq("k"), bloomColumns = Seq("s"))
+    // compact() and upsertBatch() pass no stats args…
+    LakeStorage.compact(spark, root, targetFiles = 4)
+    VersionedTable.upsertBatch(spark,
+      Seq((1000L, "x")).toDF("k", "s"), Seq("k"), root)
+    // …yet the newest version still carries the full spec and prunes
+    val stats = VersionedTable.currentStats(spark, root).get
+    assert(stats.columns.contains("min_k") && stats.columns.contains("bloom_s"))
+    val Some((kept, total)) = VersionedTable.pruneFiles(spark, root,
+      Seq(VersionedTable.ColRange("k", Some(0L), Some(10L))))
+    assert(kept.length < total, "inherited stats must still prune")
+    assert(VersionedTable.readCurrentWhere(spark, root,
+      Seq(VersionedTable.ColEquals("s", "x"))).count() === 1L)
+  }
+
   test("readVersion time-travels to any retained published version") {
     val root = tmpRoot("tt")
     val v1 = VersionedTable.publish(Seq((1, "a")).toDF("k", "v"), root)
