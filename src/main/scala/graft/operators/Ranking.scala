@@ -49,15 +49,30 @@ object Ranking {
     */
   /** Shared two-phase machinery: partition-locally ranked rows plus the
     * numPartitions-row offsets frame (per-partition count, running
-    * offset, grand total). The offsets frame re-executes the child's
-    * aggregation subplan when materialized for broadcast — identical
-    * exchanges, so Spark's exchange reuse dedupes the heavy stages.
+    * offset, grand total).
+    *
+    * The partitioned relation is MATERIALIZED (localCheckpoint) before
+    * `_pid` is read: both consumers — the ranked rows and the offsets
+    * aggregate — must see the SAME partition assignment, and `_pid` is
+    * only well-defined per execution. Without the lineage cut the
+    * offsets branch re-executes the range exchange for its broadcast;
+    * exchange reuse usually dedupes the two, but it is an OPTIMIZATION,
+    * not a guarantee — inside a larger write plan (chained ntiles under
+    * a clustered publish) the exchanges compile differently, the range
+    * sampler runs twice, boundaries diverge, and the `_pid` equi-join
+    * silently drops or duplicates rows (caught by the q_l
+    * cluster-roundtrip oracle at sf0.1: 150k rows in, ~39k out,
+    * different every run). The checkpoint costs one storage pass of the
+    * already-shuffled relation — the price of making a
+    * physical-execution artifact (`spark_partition_id`) safe to join
+    * on, same reasoning as the CC per-round checkpoint.
     */
   private def localRankAndOffsets(df: DataFrame,
                                   orderExprs: Seq[Column]): (DataFrame, DataFrame) = {
     assertNoReserved(df)
     val parted = df.repartitionByRange(orderExprs: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("_lrn",
       row_number().over(Window.partitionBy("_pid").orderBy(orderExprs: _*)))
     // numPartitions rows — the one place a global window is safe.

@@ -42,9 +42,13 @@ class OperatorsSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
     assert(Ranking.globalRowNumber(df, order, "rn", asInt = true)
       .schema("rn").dataType === org.apache.spark.sql.types.IntegerType)
-    // phase 1 really is a distributed range repartition on the sort keys,
-    // not a funnel of the whole frame into one partition
-    assert(ranked.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    // the row_number window is partitioned by _pid (partition-local),
+    // never a single-partition global window; the range-repartitioned
+    // input reaches it as the materialized checkpoint (Ranking scaladoc
+    // — both two-phase consumers must see ONE partition assignment)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_pid"))
+    assert(plan.contains("Scan ExistingRDD"))
   }
 
   test("globalNtile is bit-identical to ntile, without the global window") {
@@ -62,11 +66,13 @@ class OperatorsSpec extends SparkSpec {
     val buckets = Ranking.globalNtile(tiny, Seq(desc("v")), 4, "b")
       .select("v", "b").as[(Int, Int)].collect().toMap
     assert(buckets === Map(3 -> 1, 1 -> 2))
-    // the quartile phase is a distributed range repartition, not a
-    // single-partition sort of the input frame
+    // the quartile phase is partition-local (window over _pid on the
+    // materialized range-partitioned relation), not a single-partition
+    // sort of the input frame
     val plan = Ranking.globalNtile(df, order, 4, "b")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"))
+    assert(plan.contains("windowspecdefinition(_pid"))
+    assert(plan.contains("Scan ExistingRDD"))
   }
 
   test("pagination pages are disjoint, ordered, and complete") {

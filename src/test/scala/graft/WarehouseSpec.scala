@@ -87,9 +87,10 @@ class WarehouseSpec extends SparkSpec {
   test("demographics rank avoids a single-partition window over the names") {
     val demo = StarSchema.factOwnerDemographics(StarSchema.dimOwner(cleaned))
     val p = demo.queryExecution.executedPlan.toString
-    // the two-phase ranking's signature: a range repartition on the
-    // frequency sort keys feeding partition-local row numbers
-    assert(p.contains("rangepartitioning"))
+    // the two-phase ranking's signature: partition-local row numbers
+    // over _pid on the materialized range-partitioned relation — never
+    // a single-partition window over the full name frame
+    assert(p.contains("windowspecdefinition(_pid"))
   }
 
   test("daily business aggregate rolls up counts and exact average") {
