@@ -424,16 +424,19 @@ object VersionedTable {
     * the same state, and readers never hit the old swap window.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, keys: Seq[String],
-                  root: String, keepVersions: Int = 3): Unit = {
+                  root: String, keepVersions: Int = 3,
+                  statsColumns: Seq[String] = Nil,
+                  bloomColumns: Seq[String] = Nil): Unit = {
     // readCurrent pins a concrete version path at plan time, and
     // publish's vacuum (keepVersions >= 2) retains that version through
     // the write — the merge can stream from old to new version without
-    // materializing
+    // materializing. Stats params matter only on the FIRST publish of a
+    // root (bootstrap); later calls inherit the spec either way.
     val merged =
       if (isVersioned(spark, root))
         graft.operators.Joins.upsert(readCurrent(spark, root), batch, keys)
       else batch
-    publish(merged, root, keepVersions)
+    publish(merged, root, keepVersions, statsColumns, bloomColumns)
     ()
   }
 }

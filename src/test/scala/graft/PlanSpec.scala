@@ -36,6 +36,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_orderkey"))
   }
 
+  test("pruned versioned read pushes the range into the surviving files' scan") {
+    // file skipping prunes WHOLE files; the re-applied exact predicate
+    // must still reach the parquet scan so row-group stats prune
+    // WITHIN the kept files (sortWithinPartitions at cluster time makes
+    // those row-group ranges tight — two independent pruning tiers)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plan_skip").toString + "/t"
+    graft.lake.Clustering.publishClustered(
+      Tables.orders(spark, sfDir), root, Seq("o_custkey", "o_totalprice"),
+      numFiles = 4, bits = 4)
+    val df = graft.lake.VersionedTable.readCurrentWhere(spark, root, Seq(
+      graft.lake.VersionedTable.ColRange("o_custkey", Some(100L), Some(500L))))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_custkey,100)") &&
+      p.contains("LessThanOrEqual(o_custkey,500)"), p.take(2000))
+  }
+
   test("keyset pagination is filter + TakeOrdered — no window, pushed seek key") {
     val p = plan("q_o4_keyset")
     assert(p.contains("TakeOrderedAndProject"))
