@@ -80,4 +80,18 @@ object Clustering {
                        extraStats: Seq[String] = Nil): String =
     VersionedTable.publish(cluster(df, cols, numFiles, bits), root,
       keepVersions, statsColumns = (cols ++ extraStats).distinct)
+
+  /** OPTIMIZE for a clustered table: rewrite the CURRENT version
+    * re-clustered (fresh equi-depth ranks over today's value
+    * distribution, `targetFiles` Z-ranges) as a new version — the
+    * layout-preserving counterpart of [[VersionedTable.compact]],
+    * whose hash repartition would destroy the Z-order. Run after
+    * enough upserts have interleaved unclustered rows that file
+    * min/max ranges drift wide. Same no-window manifest publish.
+    */
+  def recluster(spark: org.apache.spark.sql.SparkSession, root: String,
+                cols: Seq[String], targetFiles: Int, bits: Int = 8,
+                keepVersions: Int = 3, extraStats: Seq[String] = Nil): String =
+    publishClustered(VersionedTable.readCurrent(spark, root), root, cols,
+      targetFiles, bits, keepVersions, extraStats)
 }

@@ -65,6 +65,23 @@ object LakeQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Batch point lookup (IN-list): same adversarial hash layout as
+    // the bloom lookup, three keys of which one is absent at every
+    // scale factor — the kept file set is the union of each key's
+    // bloom candidates, and the oracle is the raw-table IN filter.
+    "q_l_in_lookup" -> ((s, dir) => {
+      val root = scratch("in", dir)
+      VersionedTable.publish(
+        Tables.customer(s, dir).repartition(8, col("c_custkey")),
+        root, statsColumns = Seq("c_custkey"), bloomColumns = Seq("c_name"),
+        bloomExpectedItems = 20000L, bloomFpp = 0.001)
+      VersionedTable.readCurrentWhere(s, root,
+          Seq(VersionedTable.ColIn("c_name", Seq(
+            "Customer#000000042", "Customer#000000777", "Customer#999999999"))))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // Clustering round trip: the full read-back of the Z-ordered
     // versioned copy aggregates identically to the raw table — the
     // layout op (two equi-depth ntiles, Morton interleave, range
@@ -96,6 +113,13 @@ object LakeQueries extends QueryPack {
     "q_l_bloom_lookup" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
         |FROM customer WHERE c_name = 'Customer#000000042'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_l_in_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_name IN ('Customer#000000042', 'Customer#000000777',
+        |                 'Customer#999999999')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_l_cluster_roundtrip" ->

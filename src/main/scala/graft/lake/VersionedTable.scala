@@ -240,18 +240,44 @@ object VersionedTable {
   final case class ColEquals(column: String, value: String) extends SkipPred {
     require(value != null, s"equality on $column with null never matches — filter nulls explicitly")
     def rowPredicate: Column = col(column) === lit(value)
+    private[lake] def fileKeep(statsCols: Seq[String]): Option[Column] =
+      pointKeep(column, value, statsCols)
+  }
+
+  /** Per-value file-keep test shared by [[ColEquals]] and [[ColIn]]:
+    * min/max containment AND bloom membership, whichever the version's
+    * stats carry.
+    */
+  private def pointKeep(column: String, value: String,
+                        statsCols: Seq[String]): Option[Column] = {
+    val range =
+      if (statsCols.contains(s"min_$column"))
+        Some(coalesce(col(s"min_$column") <= lit(value) &&
+          col(s"max_$column") >= lit(value), lit(false)))
+      else None
+    val bloom =
+      if (statsCols.contains(s"bloom_$column"))
+        Some(graft.functions.BloomAggregator.mightContainUdf(
+          col(s"bloom_$column"), lit(value)))
+      else None
+    (range.toSeq ++ bloom.toSeq).reduceOption(_ && _)
+  }
+
+  /** IN-list point predicate — the batch-lookup shape ("fetch these
+    * 200 keys"). A file survives when ANY listed value might be
+    * present (OR of the per-value [[ColEquals]] tests), so the kept
+    * set is the union of each key's candidate files — at high file
+    * counts that stays ∝ |values|, not ∝ table size.
+    */
+  final case class ColIn(column: String, values: Seq[String]) extends SkipPred {
+    require(values.nonEmpty, s"empty IN-list on $column never matches")
+    require(values.forall(_ != null),
+      s"IN-list on $column contains null, which never equi-matches — drop it")
+    def rowPredicate: Column = col(column).isin(values: _*)
     private[lake] def fileKeep(statsCols: Seq[String]): Option[Column] = {
-      val range =
-        if (statsCols.contains(s"min_$column"))
-          Some(coalesce(col(s"min_$column") <= lit(value) &&
-            col(s"max_$column") >= lit(value), lit(false)))
-        else None
-      val bloom =
-        if (statsCols.contains(s"bloom_$column"))
-          Some(graft.functions.BloomAggregator.mightContainUdf(
-            col(s"bloom_$column"), lit(value)))
-        else None
-      (range.toSeq ++ bloom.toSeq).reduceOption(_ && _)
+      val keeps = values.map(v => pointKeep(column, v, statsCols))
+      if (keeps.exists(_.isEmpty)) None
+      else Some(keeps.flatten.reduce(_ || _))
     }
   }
 

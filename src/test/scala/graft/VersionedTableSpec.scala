@@ -257,6 +257,54 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq(VersionedTable.ColEquals("s", "x"))).count() === 1L)
   }
 
+  test("IN-list pruning keeps the union of each key's candidate files") {
+    val root = tmpRoot("inlist")
+    val df = spark.range(4000).toDF("id")
+      .withColumn("name", concat(lit("user-"),
+        lpad(col("id").cast("string"), 6, "0")))
+    VersionedTable.publish(df.repartition(8, col("id")), root,
+      statsColumns = Seq("name"), bloomColumns = Seq("name"),
+      bloomExpectedItems = 1000L, bloomFpp = 0.001)
+    val in = VersionedTable.ColIn("name",
+      Seq("user-000007", "user-003900", "user-999999")) // 2 present, 1 absent
+    val Some((kept, total)) = VersionedTable.pruneFiles(spark, root, Seq(in))
+    assert(total === 8L)
+    assert(kept.length <= 4, s"IN pruning kept ${kept.length} of 8 files")
+    val out = VersionedTable.readCurrentWhere(spark, root, Seq(in))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(7L, 3900L))
+    // uncovered column → fall back, never mis-prune
+    assert(VersionedTable.pruneFiles(spark, root,
+      Seq(VersionedTable.ColIn("nope", Seq("x")))).isEmpty)
+  }
+
+  test("recluster restores tight file ranges that upserts drifted wide") {
+    val root = tmpRoot("recluster")
+    val grid = spark.range(64L * 64L)
+      .select(expr("id DIV 64").as("x"), (col("id") % 64).as("y"))
+    Clustering.publishClustered(grid, root, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    // an upsert publishes via plain parquet write — layout drifts, but
+    // inherited stats keep correctness; pruning just weakens
+    VersionedTable.upsertBatch(spark,
+      spark.range(64L * 64L).select(expr("id DIV 64").as("x"),
+        (col("id") % 64).as("y")), Seq("x", "y"), root)
+    assert(VersionedTable.readCurrent(spark, root).count() === 64L * 64L)
+    Clustering.recluster(spark, root, Seq("x", "y"), targetFiles = 16, bits = 6)
+    // rows preserved, 16 fresh Z-ranges, and 2-D pruning tight again on
+    // BOTH columns — the drifted layout prunes at best on one
+    assert(VersionedTable.readCurrent(spark, root).count() === 64L * 64L)
+    def kept(c: String): (Int, Long) = {
+      val (k, t) = VersionedTable.pruneFiles(spark, root,
+        Seq(ColRange(c, Some(0L), Some(7L)))).get
+      (k.length, t)
+    }
+    val ((kx, tx), (ky, _)) = (kept("x"), kept("y"))
+    assert(tx === 16L)
+    assert(kx <= 8, s"reclustered x pruning kept $kx of $tx")
+    assert(ky <= 8, s"reclustered y pruning kept $ky of $tx")
+  }
+
   test("readVersion time-travels to any retained published version") {
     val root = tmpRoot("tt")
     val v1 = VersionedTable.publish(Seq((1, "a")).toDF("k", "v"), root)
