@@ -82,6 +82,28 @@ object LakeQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Merge-on-read upsert: base snapshot + two keyed delta batches,
+    // read through the newest-wins merged view. The oracle emulates
+    // the same precedence in SQL (d2 over d1 over base via anti-IN) —
+    // hash-matching proves the delta overlay semantics exactly.
+    "q_l_mor_merge" -> ((s, dir) => {
+      val root = scratch("mor", dir)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      // ages out prior runs' superseded deltas (no-op on a fresh root)
+      if (VersionedTable.isVersioned(s, root))
+        VersionedTable.compactDeltas(s, root, Seq("k"))
+      VersionedTable.publish(orders, root)
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 10 === 0).withColumn("p", col("p") * 2), root)
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 15 === 0).withColumn("p", col("p") * 3), root)
+      VersionedTable.readCurrentMerged(s, root, Seq("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // Clustering round trip: the full read-back of the Z-ordered
     // versioned copy aggregates identically to the raw table — the
     // layout op (two equi-depth ntiles, Morton interleave, range
@@ -121,6 +143,21 @@ object LakeQueries extends QueryPack {
         |WHERE c_name IN ('Customer#000000042', 'Customer#000000777',
         |                 'Customer#999999999')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_l_mor_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |d1 AS (SELECT k, p * 2 AS p FROM base WHERE k % 10 = 0),
+        |d2 AS (SELECT k, p * 3 AS p FROM base WHERE k % 15 = 0),
+        |merged AS (
+        |  SELECT k, p FROM d2
+        |  UNION ALL SELECT k, p FROM d1 WHERE k NOT IN (SELECT k FROM d2)
+        |  UNION ALL SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM d1) AND k NOT IN (SELECT k FROM d2)
+        |)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged""".stripMargin,
 
     "q_l_cluster_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -56,14 +56,21 @@ object VersionedTable {
 
   private val MarkerPrefix = "_ready-"
   private val VersionPrefix = "v-"
+  private val DeltaPrefix = "d-"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Published versions, ascending (oldest first). Marker-backed: a
-    * version directory without its marker does not exist yet.
+    * version directory without its marker does not exist yet. Filters
+    * to BASE versions (`v-`) — delta versions (`d-`, see
+    * [[appendDelta]]) have their own listing.
     */
-  def listVersions(spark: SparkSession, root: String): Seq[String] = {
+  def listVersions(spark: SparkSession, root: String): Seq[String] =
+    listMarked(spark, root, VersionPrefix)
+
+  private def listMarked(spark: SparkSession, root: String,
+                         prefix: String): Seq[String] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) Seq.empty
@@ -71,6 +78,7 @@ object VersionedTable {
       .map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
       .map(_.stripPrefix(MarkerPrefix))
+      .filter(_.startsWith(prefix))
       .sorted
   }
 
@@ -103,12 +111,13 @@ object VersionedTable {
     spark.read.parquet(new Path(root, version).toString)
   }
 
-  /** Millisecond timestamp embedded in a version name; None for names
-    * this writer could not have produced (vacuum must skip those, not
-    * crash on a stray user-made `v-` directory).
+  /** Millisecond timestamp embedded in a version or delta name; None
+    * for names this writer could not have produced (vacuum must skip
+    * those, not crash on a stray user-made `v-` directory).
     */
   private def versionTsOpt(v: String): Option[Long] = {
-    val digits = v.stripPrefix(VersionPrefix).takeWhile(_ != '-')
+    val digits = v.stripPrefix(VersionPrefix).stripPrefix(DeltaPrefix)
+      .takeWhile(_ != '-')
     if (digits.nonEmpty && digits.forall(_.isDigit) && digits.length <= 18)
       Some(digits.toLong)
     else None
@@ -157,10 +166,13 @@ object VersionedTable {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(rootP)
-    // strictly increasing even under clock skew: never at or below the
-    // newest published version's timestamp
+    // strictly increasing even under clock skew: never at or below any
+    // published version OR delta timestamp — a compaction's base must
+    // strictly dominate every delta it folded, or a merged read would
+    // re-apply them
     val ts = math.max(System.currentTimeMillis(),
-      currentVersion(spark, root).map(versionTs(_) + 1).getOrElse(0L))
+      (listVersions(spark, root) ++ listDeltas(spark, root))
+        .map(versionTs).maxOption.map(_ + 1).getOrElse(0L))
     val token = java.util.UUID.randomUUID().toString.take(8)
     val version = f"$VersionPrefix$ts%013d-$token"
     val versionPath = new Path(rootP, version).toString
@@ -464,5 +476,125 @@ object VersionedTable {
       else batch
     publish(merged, root, keepVersions, statsColumns, bloomColumns)
     ()
+  }
+
+  // ---------------------------------------------------------------------
+  // Merge-on-read deltas — the scale path for high-frequency keyed
+  // upserts. [[upsertBatch]] is copy-on-write: every batch rewrites the
+  // whole table, O(table) work per micro-batch, which at 100 TB makes a
+  // 1-row update cost a full-table pass. The MOR triple splits that:
+  //
+  //   appendDelta        O(batch)   write ONLY the batch, marker-commit
+  //   readCurrentMerged  read-time  base ∪ pending deltas, newest per key
+  //   compactDeltas      amortized  fold deltas into a new base
+  //
+  // — Iceberg/Delta's MOR trade re-expressed over the same marker
+  // manifest: writes stay cheap, reads pay a window over the (small)
+  // delta overlay, and compaction restores read speed on an operator's
+  // schedule instead of every batch's.
+  // ---------------------------------------------------------------------
+
+  /** Published delta versions, ascending. Same marker-commit visibility
+    * rules as base versions. */
+  def listDeltas(spark: SparkSession, root: String): Seq[String] =
+    listMarked(spark, root, DeltaPrefix)
+
+  /** Deltas strictly newer than the current base — the overlay a merged
+    * read applies. Deltas at or below the base timestamp are already
+    * folded in (publish timestamps strictly dominate, see [[publish]]).
+    */
+  def pendingDeltas(spark: SparkSession, root: String): Seq[String] = {
+    val baseTs = currentVersion(spark, root).map(versionTs)
+      .getOrElse(throw new IllegalStateException(s"no published version at $root"))
+    listDeltas(spark, root).filter(d => versionTs(d) > baseTs)
+  }
+
+  /** Publish `batch` as a DELTA: an O(batch) write + marker create,
+    * never touching the base. Requires a published base (bootstrap the
+    * first snapshot with [[publish]]). Within a delta, keys are
+    * expected unique (the [[graft.operators.Joins.upsert]] batch
+    * precondition); across deltas, newer wins at merge time. A
+    * re-delivered batch lands as a second identical-content delta and
+    * the newest-wins merge converges — same redelivery contract as
+    * [[upsertBatch]], without its full-table rewrite.
+    */
+  def appendDelta(batch: DataFrame, root: String): String = {
+    val spark = batch.sparkSession
+    require(isVersioned(spark, root),
+      s"appendDelta needs a published base at $root — publish() the first snapshot")
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val ts = math.max(System.currentTimeMillis(),
+      (listVersions(spark, root) ++ listDeltas(spark, root))
+        .map(versionTs).max + 1)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val delta = f"$DeltaPrefix$ts%013d-$token"
+    batch.write.mode("errorifexists").parquet(new Path(rootP, delta).toString)
+    fs.create(new Path(rootP, s"$MarkerPrefix$delta"), false).close()
+    delta
+  }
+
+  /** The merged view: current base plus pending deltas, newest write
+    * per key winning (delta over base, later delta over earlier). The
+    * merge is a key-partitioned window — distributed, never a
+    * single-partition funnel — whose extra cost is proportional to the
+    * OVERLAY size once the base dominates row counts. File skipping
+    * does not apply through the overlay; compact to restore stats-backed
+    * pruned reads.
+    */
+  def readCurrentMerged(spark: SparkSession, root: String,
+                        keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val deltas = pendingDeltas(spark, root)
+    val base = readCurrent(spark, root)
+    if (deltas.isEmpty) base
+    else {
+      Seq("_gen", "_rn").foreach(w => require(!base.columns.contains(w),
+        s"working column $w clashes with a table column"))
+      val layers = base.withColumn("_gen", lit(0)) +:
+        deltas.zipWithIndex.map { case (d, i) =>
+          spark.read.parquet(new Path(root, d).toString)
+            .withColumn("_gen", lit(i + 1))
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
+      layers.reduce(_ unionByName _)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_gen", "_rn")
+    }
+  }
+
+  /** Fold every pending delta into a NEW base version (publish — so
+    * stats are inherited and recomputed, and the new base timestamp
+    * strictly dominates the folded deltas), then remove deltas no
+    * retained-base reader can still need: a reader that resolved any
+    * RETAINED base B applies only deltas newer than B, so deltas at or
+    * below the OLDEST retained base's timestamp are provably dead —
+    * the same retention horizon the base vacuum uses. Marker-less
+    * (crashed-append) delta dirs older than that horizon are orphans
+    * and removed too. No-op when nothing is pending.
+    */
+  def compactDeltas(spark: SparkSession, root: String, keys: Seq[String],
+                    keepVersions: Int = 3): String = {
+    val pending = pendingDeltas(spark, root)
+    val v =
+      if (pending.isEmpty) currentVersion(spark, root).get
+      else publish(readCurrentMerged(spark, root, keys), root, keepVersions)
+    val horizon = versionTs(listVersions(spark, root).head)
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    listDeltas(spark, root).filter(versionTs(_) <= horizon).foreach { d =>
+      fs.delete(new Path(rootP, s"$MarkerPrefix$d"), false)
+      fs.delete(new Path(rootP, d), true)
+    }
+    val marked = listDeltas(spark, root).toSet
+    if (fs.exists(rootP)) {
+      fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(DeltaPrefix) && !marked.contains(n))
+        .filter(n => versionTsOpt(n).exists(_ <= horizon))
+        .foreach(n => fs.delete(new Path(rootP, n), true))
+    }
+    v
   }
 }

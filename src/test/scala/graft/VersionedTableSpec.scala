@@ -305,6 +305,53 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ky <= 8, s"reclustered y pruning kept $ky of $tx")
   }
 
+  test("merge-on-read: delta appends, newest-wins merged read, compaction folds") {
+    val root = tmpRoot("mor")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    VersionedTable.appendDelta(Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), root)
+    VersionedTable.appendDelta(Seq((2L, "B3"), (5L, "e")).toDF("k", "v"), root)
+    val want = Map(1L -> "a", 2L -> "B3", 3L -> "c", 4L -> "d", 5L -> "e")
+    def mergedMap = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(mergedMap === want)
+    // equivalence with the copy-on-write upsert path, batch for batch
+    val cow = tmpRoot("morcow")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), cow)
+    VersionedTable.upsertBatch(spark, Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"), cow)
+    VersionedTable.upsertBatch(spark, Seq((2L, "B3"), (5L, "e")).toDF("k", "v"), Seq("k"), cow)
+    assert(VersionedTable.readCurrent(spark, cow)
+      .as[(Long, String)].collect().toMap === want)
+    // compaction folds the overlay into a plain base read
+    VersionedTable.compactDeltas(spark, root, Seq("k"))
+    assert(VersionedTable.pendingDeltas(spark, root).isEmpty)
+    assert(VersionedTable.readCurrent(spark, root)
+      .as[(Long, String)].collect().toMap === want)
+    // a re-delivered batch lands as a new delta and the merge converges
+    VersionedTable.appendDelta(Seq((2L, "B3"), (5L, "e")).toDF("k", "v"), root)
+    assert(mergedMap === want)
+  }
+
+  test("delta retention: compaction keeps deltas a retained-base reader may need") {
+    val root = tmpRoot("morret")
+    VersionedTable.publish(Seq((1L, "a")).toDF("k", "v"), root, keepVersions = 2)
+    VersionedTable.appendDelta(Seq((1L, "A")).toDF("k", "v"), root)
+    // crashed append: data dir, no marker, ancient timestamp → orphan
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "d-0000000000001-deadbeef"))
+    VersionedTable.compactDeltas(spark, root, Seq("k"), keepVersions = 2)
+    // the folded delta is NEWER than the oldest retained base (a reader
+    // that resolved that base still needs it) → kept; the orphan is dead
+    assert(VersionedTable.listDeltas(spark, root).length === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "d-0000000000001-deadbeef")))
+    // two more base publishes age the old base out of retention…
+    VersionedTable.publish(Seq((2L, "b")).toDF("k", "v"), root, keepVersions = 2)
+    VersionedTable.publish(Seq((3L, "c")).toDF("k", "v"), root, keepVersions = 2)
+    // …and the next compaction can finally drop the folded delta
+    VersionedTable.compactDeltas(spark, root, Seq("k"), keepVersions = 2)
+    assert(VersionedTable.listDeltas(spark, root).isEmpty)
+  }
+
   test("readVersion time-travels to any retained published version") {
     val root = tmpRoot("tt")
     val v1 = VersionedTable.publish(Seq((1, "a")).toDF("k", "v"), root)
