@@ -106,7 +106,10 @@ object ScaleBench {
     // write-side layout work, expected ~linear in rows (two ntile
     // passes + the clustered write dominate; the pruned read shrinks
     // with selectivity)
-    "q_l_skip_scan")
+    "q_l_skip_scan",
+    // round-10: merge-on-read — base publish + two delta appends + the
+    // key-partitioned newest-wins merged read; ~linear in rows
+    "q_l_mor_merge")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

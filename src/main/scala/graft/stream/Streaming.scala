@@ -349,6 +349,39 @@ object Streaming {
         ()
     }
 
+  /** `foreachBatch` keyed-upsert sink via merge-on-read deltas — the
+    * scale path for high-frequency streaming upserts where
+    * [[graft.lake.VersionedTable.upsertBatch]]'s copy-on-write rewrite
+    * per micro-batch would dominate. First batch bootstraps the base
+    * (with `statsColumns` if given); every later batch is an O(batch)
+    * [[graft.lake.VersionedTable.appendDelta]]; every `compactEvery`-th
+    * batch folds the overlay back into a base. Crash points converge
+    * under Spark's batch redelivery exactly like the delta contract:
+    * a re-delivered batch lands as an identical-content delta and the
+    * newest-wins merge is unchanged; a crash before/after compaction
+    * only moves WHEN the fold happens, never what the merged view
+    * reads. Read the sink with
+    * `VersionedTable.readCurrentMerged(spark, root, keys)`.
+    */
+  def morUpsertWriter(df: DataFrame, keys: Seq[String], root: String,
+                      compactEvery: Int = 10,
+                      statsColumns: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery != 0, "compactEvery must be positive (or negative to disable)")
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.lake.VersionedTable.isVersioned(spark, root))
+          graft.lake.VersionedTable.publish(batch, root,
+            statsColumns = statsColumns)
+        else
+          graft.lake.VersionedTable.appendDelta(batch, root)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.lake.VersionedTable.compactDeltas(spark, root, keys)
+        ()
+    }
+  }
+
   /** Stream-stream interval join — the genuinely-streaming join the
     * reference's architecture cannot express (its "streams" are DB
     * polls): attribute each left event to right events for the same

@@ -426,6 +426,30 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(feats(1L)._2.sum - 1.0f) < 1e-5)
   }
 
+  test("MOR upsert sink: delta per batch, scheduled compaction, merged view correct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor_sink").toString
+    val root = dir + "/table"
+    val q = Streaming.morUpsertWriter(
+        input.toDF().toDF("k", "v"), Seq("k"), root, compactEvery = 2)
+      .option("checkpointLocation", dir + "/chk").start()
+    input.addData((1L, "a"), (2L, "b"))          // batch 0: bootstrap base
+    q.processAllAvailable()
+    input.addData((2L, "B"), (3L, "c"))          // batch 1: delta
+    q.processAllAvailable()
+    assert(graft.lake.VersionedTable.pendingDeltas(spark, root).length === 1)
+    input.addData((3L, "C"), (4L, "d"))          // batch 2: delta + compaction
+    q.processAllAvailable()
+    q.stop()
+    // compaction folded the overlay: the BASE alone carries the fold
+    assert(graft.lake.VersionedTable.pendingDeltas(spark, root).isEmpty)
+    val out = graft.lake.VersionedTable
+      .readCurrentMerged(spark, root, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 3L -> "C", 4L -> "d"))
+  }
+
   test("real ImageIO decode produces luminance histograms from generated PNGs") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
