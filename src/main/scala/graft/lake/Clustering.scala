@@ -91,7 +91,11 @@ object Clustering {
     */
   def recluster(spark: org.apache.spark.sql.SparkSession, root: String,
                 cols: Seq[String], targetFiles: Int, bits: Int = 8,
-                keepVersions: Int = 3, extraStats: Seq[String] = Nil): String =
+                keepVersions: Int = 3, extraStats: Seq[String] = Nil): String = {
+    // reads only the bare base — a pending MOR overlay would be
+    // silently superseded by the republish; fold it first
+    VersionedTable.requireNoPendingDeltas(spark, root, "recluster")
     publishClustered(VersionedTable.readCurrent(spark, root), root, cols,
       targetFiles, bits, keepVersions, extraStats)
+  }
 }

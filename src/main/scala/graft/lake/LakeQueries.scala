@@ -104,6 +104,52 @@ object LakeQueries extends QueryPack {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // Merge-on-read DELETE: base + upsert delta + tombstone delta +
+    // later upsert delta, so precedence exercises every composition —
+    // delete over upsert, upsert over delete (re-insert), delete of
+    // untouched base rows. The oracle emulates newest-wins precedence
+    // (d3 > del > d1 > base) in SQL — hash-matching proves tombstone
+    // merge semantics exactly, including that deletes never leak the
+    // reserved flag column into the result.
+    "q_l_mor_delete" -> ((s, dir) => {
+      val root = scratch("mordel", dir)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      if (VersionedTable.isVersioned(s, root))
+        VersionedTable.compactDeltas(s, root, Seq("k"))
+      VersionedTable.publish(orders, root)
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 10 === 0).withColumn("p", col("p") * 2), root)
+      VersionedTable.appendDeleteDelta(
+        orders.where(col("k") % 7 === 0).select("k"), root)
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 15 === 0).withColumn("p", col("p") * 3), root)
+      VersionedTable.readCurrentMerged(s, root, Seq("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // Schema evolution through the delta overlay: a delta carrying a
+    // column the base lacks widens the merged view (base rows read
+    // null). The oracle builds the same union schema in SQL.
+    "q_l_schema_evo" -> ((s, dir) => {
+      val root = scratch("evo", dir)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      if (VersionedTable.isVersioned(s, root))
+        VersionedTable.compactDeltas(s, root, Seq("k"))
+      VersionedTable.publish(orders, root)
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 10 === 0)
+          .withColumn("p", col("p") * 2).withColumn("tag", lit("hot")), root)
+      VersionedTable.readCurrentMerged(s, root, Seq("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"),
+          count(col("tag")).as("n_tag"),
+          count(when(col("tag").isNull, 1)).as("n_untag"))
+    }),
+
     // Clustering round trip: the full read-back of the Z-ordered
     // versioned copy aggregates identically to the raw table — the
     // layout op (two equi-depth ntiles, Morton interleave, range
@@ -157,6 +203,38 @@ object LakeQueries extends QueryPack {
         |SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
         |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged""".stripMargin,
+
+    "q_l_mor_delete" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |d1 AS (SELECT k, p * 2 AS p FROM base WHERE k % 10 = 0),
+        |del AS (SELECT k FROM base WHERE k % 7 = 0),
+        |d3 AS (SELECT k, p * 3 AS p FROM base WHERE k % 15 = 0),
+        |merged AS (
+        |  SELECT k, p FROM d3
+        |  UNION ALL SELECT k, p FROM d1
+        |    WHERE k NOT IN (SELECT k FROM del) AND k NOT IN (SELECT k FROM d3)
+        |  UNION ALL SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM d1) AND k NOT IN (SELECT k FROM del)
+        |      AND k NOT IN (SELECT k FROM d3)
+        |)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged""".stripMargin,
+
+    "q_l_schema_evo" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |d1 AS (SELECT k, p * 2 AS p, 'hot' AS tag FROM base WHERE k % 10 = 0),
+        |merged AS (
+        |  SELECT k, p, tag FROM d1
+        |  UNION ALL SELECT k, p, NULL AS tag FROM base
+        |    WHERE k NOT IN (SELECT k FROM d1)
+        |)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |  COUNT(tag) AS n_tag,
+        |  COUNT(CASE WHEN tag IS NULL THEN 1 END) AS n_untag
         |FROM merged""".stripMargin,
 
     "q_l_cluster_roundtrip" ->

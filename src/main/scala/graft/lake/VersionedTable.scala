@@ -162,6 +162,9 @@ object VersionedTable {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 so in-flight readers of the previous " +
         s"version survive a publish, got $keepVersions")
+    require(!df.columns.contains(TombstoneCol),
+      s"$TombstoneCol is reserved for delete deltas and never appears " +
+        s"in a base version")
     val spark = df.sparkSession
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
@@ -449,6 +452,7 @@ object VersionedTable {
               keepVersions: Int = 3): Long = {
     require(targetFiles > 0,
       s"target file count must be positive, got $targetFiles")
+    requireNoPendingDeltas(spark, root, "compact")
     val v = publish(readCurrent(spark, root).repartition(targetFiles),
       root, keepVersions)
     spark.read.parquet(new Path(root, v).toString).count()
@@ -470,12 +474,38 @@ object VersionedTable {
     // the write — the merge can stream from old to new version without
     // materializing. Stats params matter only on the FIRST publish of a
     // root (bootstrap); later calls inherit the spec either way.
+    // A MOR overlay must fold into the merge base: the new base's
+    // timestamp will dominate every pending delta, so reading only the
+    // bare base here would silently supersede (lose) the overlay.
     val merged =
-      if (isVersioned(spark, root))
-        graft.operators.Joins.upsert(readCurrent(spark, root), batch, keys)
-      else batch
+      if (isVersioned(spark, root)) {
+        val cur =
+          if (pendingDeltas(spark, root).nonEmpty)
+            readCurrentMerged(spark, root, keys)
+          else readCurrent(spark, root)
+        graft.operators.Joins.upsert(cur, batch, keys)
+      } else batch
     publish(merged, root, keepVersions, statsColumns, bloomColumns)
     ()
+  }
+
+  /** Maintenance ops that republish from the BARE base (compact,
+    * recluster) cannot fold a delta overlay — and their new base
+    * timestamp would mark every pending delta as folded, silently
+    * dropping those writes. Refuse loudly instead; callers run
+    * [[compactDeltas]] first. ([[publish]] itself stays callable with
+    * pending deltas: a wholesale state replacement — compactDeltas'
+    * own fold, or a caller republishing a merged/recomputed table —
+    * legitimately supersedes the overlay.)
+    */
+  private[lake] def requireNoPendingDeltas(spark: SparkSession, root: String,
+                                           op: String): Unit = {
+    val pending =
+      if (isVersioned(spark, root)) pendingDeltas(spark, root) else Nil
+    require(pending.isEmpty,
+      s"$op reads only the base version, but $root has ${pending.size} " +
+        s"pending delta(s) whose rows it would silently drop — run " +
+        s"compactDeltas first")
   }
 
   // ---------------------------------------------------------------------
@@ -485,6 +515,7 @@ object VersionedTable {
   // 1-row update cost a full-table pass. The MOR triple splits that:
   //
   //   appendDelta        O(batch)   write ONLY the batch, marker-commit
+  //   appendDeleteDelta  O(batch)   tombstone keys (takedown w/o rewrite)
   //   readCurrentMerged  read-time  base ∪ pending deltas, newest per key
   //   compactDeltas      amortized  fold deltas into a new base
   //
@@ -509,6 +540,12 @@ object VersionedTable {
     listDeltas(spark, root).filter(d => versionTs(d) > baseTs)
   }
 
+  /** Reserved flag column marking a delta row as a DELETE of its key.
+    * Never appears in a published base (publish rejects it, and the
+    * merged view strips it before compaction republishes).
+    */
+  val TombstoneCol = "_tombstone"
+
   /** Publish `batch` as a DELTA: an O(batch) write + marker create,
     * never touching the base. Requires a published base (bootstrap the
     * first snapshot with [[publish]]). Within a delta, keys are
@@ -517,8 +554,43 @@ object VersionedTable {
     * re-delivered batch lands as a second identical-content delta and
     * the newest-wins merge converges — same redelivery contract as
     * [[upsertBatch]], without its full-table rewrite.
+    *
+    * Schema evolution: a delta may carry columns the base lacks —
+    * the merged view widens to the union schema and base rows read
+    * null there (parquet's own add-column semantics), and the next
+    * [[compactDeltas]] bakes the widened schema into the base. A delta
+    * may also carry a SUBSET of the table's columns (the merge keys are
+    * the only hard requirement): rows won from such a delta read null
+    * for the columns it omits — so an UPSERT delta should carry the
+    * full row (its nulls are real nulls); keys-only deltas are the
+    * delete form ([[appendDeleteDelta]]).
     */
   def appendDelta(batch: DataFrame, root: String): String = {
+    require(!batch.columns.contains(TombstoneCol),
+      s"$TombstoneCol is reserved for delete deltas — use appendDeleteDelta")
+    writeDelta(batch, root)
+  }
+
+  /** Publish a DELETE delta: `keysBatch` holds the key columns of the
+    * rows to remove (extra columns are ignored by the merge and should
+    * be dropped by the caller; duplicates are collapsed). The rows stop
+    * appearing in [[readCurrentMerged]] the instant the marker lands —
+    * an O(batch) takedown on a table whose copy-on-write delete would
+    * cost a full rewrite — and are physically removed by the next
+    * [[compactDeltas]]. Newest-wins composes across kinds: a later
+    * upsert delta re-inserts a deleted key; a later delete removes an
+    * upserted one. Deleting an absent key is a no-op (the tombstone
+    * wins its own key window, then the merged view filters it), so
+    * redelivery converges like every other delta.
+    */
+  def appendDeleteDelta(keysBatch: DataFrame, root: String): String = {
+    require(!keysBatch.columns.contains(TombstoneCol),
+      s"$TombstoneCol is reserved — pass bare key columns")
+    writeDelta(keysBatch.dropDuplicates().withColumn(TombstoneCol, lit(true)),
+      root)
+  }
+
+  private def writeDelta(batch: DataFrame, root: String): String = {
     val spark = batch.sparkSession
     require(isVersioned(spark, root),
       s"appendDelta needs a published base at $root — publish() the first snapshot")
@@ -535,33 +607,61 @@ object VersionedTable {
   }
 
   /** The merged view: current base plus pending deltas, newest write
-    * per key winning (delta over base, later delta over earlier). The
-    * merge is a key-partitioned window — distributed, never a
-    * single-partition funnel — whose extra cost is proportional to the
-    * OVERLAY size once the base dominates row counts. File skipping
-    * does not apply through the overlay; compact to restore stats-backed
-    * pruned reads.
+    * per key winning (delta over base, later delta over earlier).
+    * Delete deltas ([[appendDeleteDelta]]) drop their keys; a delta
+    * that added columns widens the view to the union schema (rows from
+    * layers without a column read null). The merge is a key-partitioned
+    * window — distributed, never a single-partition funnel — whose
+    * extra cost is proportional to the OVERLAY size once the base
+    * dominates row counts. File skipping does not apply through the
+    * overlay; compact to restore stats-backed pruned reads.
     */
   def readCurrentMerged(spark: SparkSession, root: String,
                         keys: Seq[String]): DataFrame = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version at $root"))
+    mergedOver(spark, root, base, pendingDeltas(spark, root), keys)
+  }
+
+  /** The newest-wins view of one base version under an explicit delta
+    * list (callers pass [[pendingDeltas]]; [[compactDeltas]] passes the
+    * exact set it is folding, which is what makes its stranded-delta
+    * recovery sound). Delete deltas drop their keys; schema-evolved
+    * deltas widen the output to the union schema (missing columns read
+    * null). The merge is a key-partitioned window — distributed, never
+    * a single-partition funnel — whose extra cost tracks the overlay
+    * size. File skipping does not apply through the overlay; compact to
+    * restore stats-backed pruned reads.
+    */
+  private def mergedOver(spark: SparkSession, root: String, base: String,
+                         deltas: Seq[String], keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val deltas = pendingDeltas(spark, root)
-    val base = readCurrent(spark, root)
-    if (deltas.isEmpty) base
+    val baseDf = spark.read.parquet(new Path(root, base).toString)
+    if (deltas.isEmpty) baseDf
     else {
-      Seq("_gen", "_rn").foreach(w => require(!base.columns.contains(w),
-        s"working column $w clashes with a table column"))
-      val layers = base.withColumn("_gen", lit(0)) +:
-        deltas.zipWithIndex.map { case (d, i) =>
-          spark.read.parquet(new Path(root, d).toString)
-            .withColumn("_gen", lit(i + 1))
-        }
+      val raw = baseDf +: deltas.map(d =>
+        spark.read.parquet(new Path(root, d).toString))
+      raw.foreach { l =>
+        Seq("_gen", "_rn").foreach(w => require(!l.columns.contains(w),
+          s"working column $w clashes with a table column"))
+        val missing = keys.filterNot(l.columns.contains)
+        require(missing.isEmpty,
+          s"every layer must carry the merge keys; missing $missing")
+      }
+      val layers = raw.zipWithIndex.map { case (l, i) =>
+        l.withColumn("_gen", lit(i))
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
-      layers.reduce(_ unionByName _)
+      val newest = layers
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_gen", "_rn")
+      if (newest.columns.contains(TombstoneCol))
+        newest.where(!coalesce(col(TombstoneCol), lit(false)))
+          .drop(TombstoneCol)
+      else newest
     }
   }
 
@@ -576,11 +676,43 @@ object VersionedTable {
     * and removed too. No-op when nothing is pending.
     */
   def compactDeltas(spark: SparkSession, root: String, keys: Seq[String],
-                    keepVersions: Int = 3): String = {
-    val pending = pendingDeltas(spark, root)
-    val v =
-      if (pending.isEmpty) currentVersion(spark, root).get
-      else publish(readCurrentMerged(spark, root, keys), root, keepVersions)
+                    keepVersions: Int = 3): String =
+    compactDeltasImpl(spark, root, keys, keepVersions, () => ())
+
+  /** [[compactDeltas]] body with a test seam: `beforePublish` runs
+    * between computing the fold set and publishing it, the window in
+    * which a concurrent [[appendDelta]] can land a delta whose
+    * timestamp the new base will dominate. Without recovery such a
+    * delta would be STRANDED — `pendingDeltas` (ts > base) considers
+    * it folded when it never was, silently losing its rows. The loop
+    * closes that race: after each publish it re-lists deltas in
+    * `(previous base ts, new base ts]` not in the folded set and folds
+    * those onto the new base (they were appended later, so overlaying
+    * them last preserves newest-wins order), repeating until none
+    * appear. Each round folds every delta visible at its start, so the
+    * loop only continues while writers keep racing the publish —
+    * quiesced (or single-writer, e.g. the streaming sink) it runs at
+    * most one extra round.
+    */
+  private[graft] def compactDeltasImpl(spark: SparkSession, root: String,
+                                      keys: Seq[String], keepVersions: Int,
+                                      beforePublish: () => Unit): String = {
+    val base0 = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version at $root"))
+    val preFoldedTs = versionTs(base0)
+    var base = base0
+    var folded = Set.empty[String]
+    var pending = pendingDeltas(spark, root)
+    while (pending.nonEmpty) {
+      beforePublish()
+      base = publish(mergedOver(spark, root, base, pending, keys),
+        root, keepVersions)
+      folded ++= pending
+      pending = listDeltas(spark, root).filter(d =>
+        versionTs(d) > preFoldedTs && versionTs(d) <= versionTs(base) &&
+          !folded.contains(d))
+    }
+    val v = base
     val horizon = versionTs(listVersions(spark, root).head)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)

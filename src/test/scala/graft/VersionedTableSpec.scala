@@ -393,4 +393,139 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readCurrent(spark, zroot).columns.toSeq ===
       Seq("x", "y"))
   }
+
+  test("delete deltas: tombstoned keys vanish, newer upserts resurrect, compaction removes physically") {
+    val root = tmpRoot("mordel")
+    VersionedTable.publish(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), root)
+    VersionedTable.appendDeleteDelta(Seq(2L, 3L, 99L).toDF("k"), root)
+    def merged = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+    // deletes drop their keys; deleting an absent key (99) is a no-op;
+    // the tombstone column never surfaces
+    assert(merged.as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 4L -> "d"))
+    assert(!merged.columns.contains(VersionedTable.TombstoneCol))
+    // a LATER upsert re-inserts a deleted key
+    VersionedTable.appendDelta(Seq((3L, "C2")).toDF("k", "v"), root)
+    assert(merged.as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 3L -> "C2", 4L -> "d"))
+    // a later delete removes an upserted key
+    VersionedTable.appendDeleteDelta(Seq(4L).toDF("k"), root)
+    val want = Map(1L -> "a", 3L -> "C2")
+    assert(merged.as[(Long, String)].collect().toMap === want)
+    // compaction makes the removal physical: the bare base holds only
+    // survivors and carries no tombstone column
+    VersionedTable.compactDeltas(spark, root, Seq("k"))
+    val base = VersionedTable.readCurrent(spark, root)
+    assert(base.as[(Long, String)].collect().toMap === want)
+    assert(base.columns.toSeq === Seq("k", "v"))
+    // redelivered delete converges (idempotent under retry)
+    VersionedTable.appendDeleteDelta(Seq(4L).toDF("k"), root)
+    assert(merged.as[(Long, String)].collect().toMap === want)
+    // the reserved column is rejected everywhere it could leak in
+    intercept[IllegalArgumentException] {
+      VersionedTable.publish(
+        Seq((1L, true)).toDF("k", VersionedTable.TombstoneCol), root)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendDelta(
+        Seq((1L, true)).toDF("k", VersionedTable.TombstoneCol), root)
+    }
+  }
+
+  test("schema evolution: delta-added columns widen the merged view and bake in at compaction") {
+    val root = tmpRoot("morevo")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // delta adds a column the base lacks
+    VersionedTable.appendDelta(
+      Seq((2L, "B", "en"), (3L, "c", "de")).toDF("k", "v", "lang"), root)
+    val merged = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+    assert(merged.columns.toSeq === Seq("k", "v", "lang"))
+    assert(merged.as[(Long, String, Option[String])].collect().toSet ===
+      Set((1L, "a", None), (2L, "B", Some("en")), (3L, "c", Some("de"))))
+    // compaction publishes the widened schema as the new base
+    VersionedTable.compactDeltas(spark, root, Seq("k"))
+    assert(VersionedTable.readCurrent(spark, root).columns.toSeq ===
+      Seq("k", "v", "lang"))
+    // a later delta carrying only the ORIGINAL columns still merges —
+    // its winning rows read null for the column it omits
+    VersionedTable.appendDelta(Seq((1L, "A")).toDF("k", "v"), root)
+    assert(VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+      .where(col("k") === 1L).select("v", "lang")
+      .as[(String, Option[String])].collect().toSeq === Seq(("A", None)))
+    // a layer missing the merge KEYS is refused loudly
+    VersionedTable.appendDelta(Seq(("x", "y")).toDF("v", "lang"), root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readCurrentMerged(spark, root, Seq("k")).collect()
+    }
+  }
+
+  test("base-only maintenance refuses pending deltas instead of silently dropping them") {
+    val root = tmpRoot("morguard")
+    VersionedTable.publish(Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), root)
+    VersionedTable.appendDelta(Seq((2L, 21L)).toDF("k", "x"), root)
+    // compact and recluster read the bare base — their republish would
+    // mark the pending delta folded without folding it
+    intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, root, targetFiles = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.recluster(spark, root, Seq("k"), targetFiles = 2)
+    }
+    // upsertBatch KNOWS the keys, so it folds the overlay instead
+    VersionedTable.upsertBatch(spark, Seq((3L, 30L)).toDF("k", "x"),
+      Seq("k"), root)
+    assert(VersionedTable.readCurrent(spark, root)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+    // with the overlay folded, maintenance proceeds
+    assert(VersionedTable.compact(spark, root, targetFiles = 2) === 3L)
+  }
+
+  test("compaction recovers a delta appended concurrently with its publish") {
+    val root = tmpRoot("morrace")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    VersionedTable.appendDelta(Seq((2L, "B")).toDF("k", "v"), root)
+    // race: another writer lands a delta AFTER compaction computed its
+    // fold set but BEFORE it published — the new base's timestamp will
+    // dominate this delta, so without recovery it would be stranded
+    // (pendingDeltas would call it folded; its rows silently lost)
+    var raced = false
+    VersionedTable.compactDeltasImpl(spark, root, Seq("k"), 3, () => {
+      if (!raced) {
+        raced = true
+        VersionedTable.appendDelta(Seq((3L, "c"), (2L, "B9")).toDF("k", "v"), root)
+      }
+    })
+    assert(raced)
+    // the racing delta's rows survived, with its newer write winning,
+    // and nothing is left pending
+    assert(VersionedTable.pendingDeltas(spark, root).isEmpty)
+    assert(VersionedTable.readCurrent(spark, root)
+      .as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B9", 3L -> "c"))
+  }
+
+  test("concurrent delta appends from two writers both land and merge deterministically") {
+    val root = tmpRoot("mortwo")
+    VersionedTable.publish(Seq((1L, "a")).toDF("k", "v"), root)
+    // two appends racing: names are unique (timestamp maxing + token),
+    // marker creation is atomic, so both become visible — unlike two
+    // racing BASE publishes, where the later name simply wins
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(
+        Seq((2L, "w1")).toDF("k", "v"),
+        Seq((3L, "w2")).toDF("k", "v")
+      ).map(b => pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = VersionedTable.appendDelta(b, root)
+      }))
+      val names = fs.map(_.get())
+      assert(names.distinct.length === 2)
+    } finally pool.shutdown()
+    assert(VersionedTable.pendingDeltas(spark, root).length === 2)
+    val m = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "a", 2L -> "w1", 3L -> "w2"))
+  }
 }
