@@ -382,6 +382,50 @@ object Streaming {
     }
   }
 
+  /** `foreachBatch` CDC-apply sink: a change stream whose rows carry an
+    * operation column (`deleteOp` = remove the key; anything else —
+    * insert, update, snapshot — is a keyed upsert) materializes into a
+    * merge-on-read [[graft.lake.VersionedTable]]. Per micro-batch:
+    * upserts land as one O(batch) delta, deletes as one tombstone
+    * delta appended AFTER it — so a key appearing as both in the same
+    * batch ends deleted. Callers whose source can emit several changes
+    * per key per batch should collapse to the last change upstream
+    * (the per-delta unique-key contract); a monotonic change-sequence
+    * column plus a max_by pre-aggregation is the usual shape. Every
+    * `compactEvery`-th batch folds the overlay (tombstones become
+    * physical removals there). Redelivery converges: re-running a
+    * batch appends identical deltas in the same order. This is the
+    * streaming face of [[graft.lake.LakeStorage.applyChanges]] — the
+    * same upsert/delete semantics, landing incrementally instead of
+    * recomputing, with the delete cost O(changed) rather than
+    * O(table).
+    */
+  def morCdcWriter(df: DataFrame, keys: Seq[String], root: String,
+                   opCol: String = "op", deleteOp: String = "D",
+                   compactEvery: Int = 10,
+                   statsColumns: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery != 0, "compactEvery must be positive (or negative to disable)")
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // null op never equals deleteOp (null-safe) → treated as upsert
+        val ups = batch.where(!(col(opCol) <=> lit(deleteOp))).drop(opCol)
+        val dels = batch.where(col(opCol) <=> lit(deleteOp))
+          .select(keys.map(col): _*)
+        if (!graft.lake.VersionedTable.isVersioned(spark, root))
+          graft.lake.VersionedTable.publish(ups, root,
+            statsColumns = statsColumns)
+        else if (!ups.isEmpty)
+          graft.lake.VersionedTable.appendDelta(ups, root)
+        if (!dels.isEmpty)
+          graft.lake.VersionedTable.appendDeleteDelta(dels, root)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.lake.VersionedTable.compactDeltas(spark, root, keys)
+        ()
+    }
+  }
+
   /** Stream-stream interval join — the genuinely-streaming join the
     * reference's architecture cannot express (its "streams" are DB
     * polls): attribute each left event to right events for the same

@@ -450,6 +450,38 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(1L -> "a", 2L -> "B", 3L -> "C", 4L -> "d"))
   }
 
+  test("morCdcWriter applies a change stream with deletes as MOR deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_morcdc").toString
+    val root = dir + "/table"
+    val q = Streaming.morCdcWriter(
+        input.toDF().toDF("k", "v", "op"), Seq("k"), root, compactEvery = 2)
+      .option("checkpointLocation", dir + "/chk").start()
+    input.addData((1L, "a", "I"), (2L, "b", "I"))       // batch 0: bootstrap
+    q.processAllAvailable()
+    // batch 1: update, insert, and a delete — delete lands after the
+    // upsert delta, so a same-batch upsert+delete of one key would end
+    // deleted; here they touch different keys
+    input.addData((2L, "B", "U"), (3L, "c", "I"), (1L, "", "D"))
+    q.processAllAvailable()
+    def merged = graft.lake.VersionedTable
+      .readCurrentMerged(spark, root, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(merged === Map(2L -> "B", 3L -> "c"))
+    // batch 2: re-insert a deleted key, delete an inserted one; batchId
+    // 2 triggers compaction → tombstones become physical removals
+    input.addData((1L, "A", "I"), (3L, "", "D"))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.lake.VersionedTable.pendingDeltas(spark, root).isEmpty)
+    assert(graft.lake.VersionedTable.readCurrent(spark, root)
+      .as[(Long, String)].collect().toMap === Map(1L -> "A", 2L -> "B"))
+    // the bare base never carries the reserved tombstone flag
+    assert(!graft.lake.VersionedTable.readCurrent(spark, root)
+      .columns.contains(graft.lake.VersionedTable.TombstoneCol))
+  }
+
   test("real ImageIO decode produces luminance histograms from generated PNGs") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
