@@ -610,10 +610,11 @@ object VersionedTable {
     * per key winning (delta over base, later delta over earlier).
     * Delete deltas ([[appendDeleteDelta]]) drop their keys; a delta
     * that added columns widens the view to the union schema (rows from
-    * layers without a column read null). The merge is a key-partitioned
-    * window — distributed, never a single-partition funnel — whose
-    * extra cost is proportional to the OVERLAY size once the base
-    * dominates row counts. File skipping does not apply through the
+    * layers without a column read null). Only the OVERLAY is ever
+    * shuffled (its newest-wins window) — the base streams through a
+    * left-anti join that AQE broadcasts while the overlay is small, so
+    * the merged read's extra cost over a bare scan tracks overlay
+    * size, never table size. File skipping does not apply through the
     * overlay; compact to restore stats-backed pruned reads.
     */
   def readCurrentMerged(spark: SparkSession, root: String,
@@ -628,10 +629,22 @@ object VersionedTable {
     * exact set it is folding, which is what makes its stranded-delta
     * recovery sound). Delete deltas drop their keys; schema-evolved
     * deltas widen the output to the union schema (missing columns read
-    * null). The merge is a key-partitioned window — distributed, never
-    * a single-partition funnel — whose extra cost tracks the overlay
-    * size. File skipping does not apply through the overlay; compact to
-    * restore stats-backed pruned reads.
+    * null).
+    *
+    * The plan never shuffles the BASE: newest-wins is resolved inside
+    * the overlay alone (a key-partitioned window over the unioned
+    * deltas — overlay-sized state), and the base enters through a
+    * left-anti join against the overlay's key set, which AQE
+    * broadcasts while the overlay is small — the common regime, since
+    * compaction keeps it so. A key-partitioned window over
+    * base ∪ overlay would instead exchange the full table on every
+    * merged read — at 100 TB that is the difference between a
+    * broadcast probe and a table-wide shuffle. Superseded-base
+    * suppression uses ALL overlay keys (tombstoned included); the
+    * tombstone filter then applies only to overlay winners, so a
+    * deleted key vanishes and a re-inserted one survives. File
+    * skipping does not apply through the overlay; compact to restore
+    * stats-backed pruned reads.
     */
   private def mergedOver(spark: SparkSession, root: String, base: String,
                          deltas: Seq[String], keys: Seq[String]): DataFrame = {
@@ -639,29 +652,31 @@ object VersionedTable {
     val baseDf = spark.read.parquet(new Path(root, base).toString)
     if (deltas.isEmpty) baseDf
     else {
-      val raw = baseDf +: deltas.map(d =>
+      val rawDeltas = deltas.map(d =>
         spark.read.parquet(new Path(root, d).toString))
-      raw.foreach { l =>
+      (baseDf +: rawDeltas).foreach { l =>
         Seq("_gen", "_rn").foreach(w => require(!l.columns.contains(w),
           s"working column $w clashes with a table column"))
         val missing = keys.filterNot(l.columns.contains)
         require(missing.isEmpty,
           s"every layer must carry the merge keys; missing $missing")
       }
-      val layers = raw.zipWithIndex.map { case (l, i) =>
-        l.withColumn("_gen", lit(i))
-      }
+      val overlay = rawDeltas.zipWithIndex
+        .map { case (l, i) => l.withColumn("_gen", lit(i)) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
-      val newest = layers
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val winners = overlay
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_gen", "_rn")
-      if (newest.columns.contains(TombstoneCol))
-        newest.where(!coalesce(col(TombstoneCol), lit(false)))
-          .drop(TombstoneCol)
-      else newest
+      val live =
+        if (winners.columns.contains(TombstoneCol))
+          winners.where(!coalesce(col(TombstoneCol), lit(false)))
+            .drop(TombstoneCol)
+        else winners
+      baseDf.join(winners.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(live, allowMissingColumns = true)
     }
   }
 

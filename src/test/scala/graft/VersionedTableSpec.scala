@@ -506,6 +506,25 @@ class VersionedTableSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "B9", 3L -> "c"))
   }
 
+  test("merged read resolves newest-wins in the overlay and anti-joins the base by broadcast") {
+    val root = tmpRoot("morplan")
+    VersionedTable.publish(
+      spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("x")),
+      root)
+    VersionedTable.appendDelta(Seq((5L, -1L)).toDF("k", "x"), root)
+    VersionedTable.appendDeleteDelta(Seq(6L).toDF("k"), root)
+    val m = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+    assert(m.count() === 9999L) // one key deleted, one updated in place
+    assert(m.where(col("k") === 5L).select("x").as[Long].head() === -1L)
+    // AQE's final plan: the base is suppressed via a BROADCAST left-anti
+    // probe against the (tiny) overlay key set — the base side is never
+    // exchanged. A base∪overlay window would instead hash-partition the
+    // whole table on k for every merged read.
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"anti join not broadcast in:\n$plan")
+  }
+
   test("concurrent delta appends from two writers both land and merge deterministically") {
     val root = tmpRoot("mortwo")
     VersionedTable.publish(Seq((1L, "a")).toDF("k", "v"), root)
