@@ -90,10 +90,11 @@ object LakeQueries extends QueryPack {
       val root = scratch("mor", dir)
       val orders = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      // ages out prior runs' superseded deltas (no-op on a fresh root)
-      if (VersionedTable.isVersioned(s, root))
-        VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.publish(orders, root)
+      // the fresh publish supersedes prior runs' deltas; with nothing
+      // pending this is the cheap no-fold cleanup that only deletes
+      // delta dirs older than the retention horizon
+      VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.appendDelta(
         orders.where(col("k") % 10 === 0).withColumn("p", col("p") * 2), root)
       VersionedTable.appendDelta(
@@ -115,9 +116,9 @@ object LakeQueries extends QueryPack {
       val root = scratch("mordel", dir)
       val orders = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      if (VersionedTable.isVersioned(s, root))
-        VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.publish(orders, root)
+      // no-fold cleanup of prior runs' superseded deltas (see q_l_mor_merge)
+      VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.appendDelta(
         orders.where(col("k") % 10 === 0).withColumn("p", col("p") * 2), root)
       VersionedTable.appendDeleteDelta(
@@ -130,6 +131,33 @@ object LakeQueries extends QueryPack {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // Pruned read THROUGH the delta overlay: base clustered+stats'd on
+    // customer key, then upsert and delete deltas land, then a range
+    // read that skips base files while the un-pruned overlay still
+    // overrides and deletes. The oracle applies the same precedence
+    // then the range filter on the raw table — hash-matching proves
+    // base-file skipping under an overlay never loses an override, a
+    // tombstone, or a matching row.
+    "q_l_mor_skip" -> ((s, dir) => {
+      val root = scratch("morskip", dir)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        col("o_totalprice").as("p"))
+      Clustering.publishClustered(orders, root, Seq("c"), numFiles = 16,
+        bits = 8)
+      // no-fold cleanup of prior runs' superseded deltas (see q_l_mor_merge)
+      VersionedTable.compactDeltas(s, root, Seq("k"))
+      VersionedTable.appendDelta(
+        orders.where(col("k") % 10 === 0).withColumn("p", col("p") * 2), root)
+      VersionedTable.appendDeleteDelta(
+        orders.where(col("k") % 7 === 0).select("k"), root)
+      VersionedTable.readCurrentMergedWhere(s, root, Seq("k"),
+          Seq(VersionedTable.ColRange("c", Some(100L), Some(2000L))))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // Schema evolution through the delta overlay: a delta carrying a
     // column the base lacks widens the merged view (base rows read
     // null). The oracle builds the same union schema in SQL.
@@ -137,9 +165,9 @@ object LakeQueries extends QueryPack {
       val root = scratch("evo", dir)
       val orders = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      if (VersionedTable.isVersioned(s, root))
-        VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.publish(orders, root)
+      // no-fold cleanup of prior runs' superseded deltas (see q_l_mor_merge)
+      VersionedTable.compactDeltas(s, root, Seq("k"))
       VersionedTable.appendDelta(
         orders.where(col("k") % 10 === 0)
           .withColumn("p", col("p") * 2).withColumn("tag", lit("hot")), root)
@@ -222,6 +250,21 @@ object LakeQueries extends QueryPack {
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM merged""".stripMargin,
+
+    "q_l_mor_skip" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |                     o_totalprice AS p FROM orders),
+        |d1 AS (SELECT k, c, p * 2 AS p FROM base WHERE k % 10 = 0),
+        |del AS (SELECT k FROM base WHERE k % 7 = 0),
+        |merged AS (
+        |  SELECT k, c, p FROM d1 WHERE k NOT IN (SELECT k FROM del)
+        |  UNION ALL SELECT k, c, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM d1) AND k NOT IN (SELECT k FROM del)
+        |)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged WHERE c BETWEEN 100 AND 2000""".stripMargin,
 
     "q_l_schema_evo" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),

@@ -624,6 +624,38 @@ object VersionedTable {
     mergedOver(spark, root, base, pendingDeltas(spark, root), keys)
   }
 
+  /** [[readCurrentWhere]] through the delta overlay: file-stats
+    * skipping applies to the BASE scan even while deltas are pending,
+    * so a selective merged read keeps its pruning instead of waiting
+    * for compaction. Identical to `readCurrentMerged(...).where(pred)`
+    * — pruning the base is sound because a skipped base row (one no
+    * kept file can contain, i.e. it fails every predicate) is either
+    * filtered post-merge anyway or superseded by an overlay row that
+    * alone determines its key's output; the OVERLAY is never pruned
+    * (deltas carry no file stats, and a tombstone must still suppress
+    * a pruned-in base row), and the exact row predicate re-applies to
+    * the merged result, so skipping remains purely a scan
+    * optimization. Falls back to the full base scan when stats are
+    * missing or cannot evaluate a predicate.
+    */
+  def readCurrentMergedWhere(spark: SparkSession, root: String,
+                             keys: Seq[String],
+                             preds: Seq[SkipPred]): DataFrame = {
+    require(preds.nonEmpty, "readCurrentMergedWhere needs at least one predicate")
+    val deltas = pendingDeltas(spark, root)
+    if (deltas.isEmpty) readCurrentWhere(spark, root, preds)
+    else {
+      val pred = preds.map(_.rowPredicate).reduce(_ && _)
+      val baseDf = pruneFiles(spark, root, preds) match {
+        case Some((kept, _)) if kept.isEmpty =>
+          readCurrent(spark, root).where(lit(false))
+        case Some((kept, _)) => spark.read.parquet(kept: _*)
+        case None => readCurrent(spark, root)
+      }
+      mergedDf(spark, root, baseDf, deltas, keys).where(pred)
+    }
+  }
+
   /** The newest-wins view of one base version under an explicit delta
     * list (callers pass [[pendingDeltas]]; [[compactDeltas]] passes the
     * exact set it is folding, which is what makes its stranded-delta
@@ -647,9 +679,20 @@ object VersionedTable {
     * stats-backed pruned reads.
     */
   private def mergedOver(spark: SparkSession, root: String, base: String,
-                         deltas: Seq[String], keys: Seq[String]): DataFrame = {
+                         deltas: Seq[String], keys: Seq[String]): DataFrame =
+    mergedDf(spark, root,
+      spark.read.parquet(new Path(root, base).toString), deltas, keys)
+
+  /** [[mergedOver]] with the base relation supplied by the caller —
+    * the seam [[readCurrentMergedWhere]] uses to substitute a
+    * file-pruned base scan. Only sound when every row the caller
+    * removed from the base is one the final predicate would reject:
+    * such a row is either filtered post-merge anyway or superseded by
+    * an overlay row that alone determines its key's output.
+    */
+  private def mergedDf(spark: SparkSession, root: String, baseDf: DataFrame,
+                       deltas: Seq[String], keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val baseDf = spark.read.parquet(new Path(root, base).toString)
     if (deltas.isEmpty) baseDf
     else {
       val rawDeltas = deltas.map(d =>

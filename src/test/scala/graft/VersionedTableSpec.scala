@@ -506,6 +506,37 @@ class VersionedTableSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "B9", 3L -> "c"))
   }
 
+  test("merged pruned read: base files skip under the overlay; overrides, deletes, and overlay-only rows survive") {
+    val root = tmpRoot("morskip")
+    VersionedTable.publish(
+      spark.range(1600).select(col("id").as("k"), (col("id") % 7).as("x"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsColumns = Seq("k"))
+    // overlay: an in-range update, a brand-new out-of-base-range key,
+    // and an in-range delete
+    VersionedTable.appendDelta(Seq((100L, 99L), (2000L, 1L)).toDF("k", "x"), root)
+    VersionedTable.appendDeleteDelta(Seq(101L).toDF("k"), root)
+    val preds = Seq(ColRange("k", Some(90L), Some(110L)))
+    val out = VersionedTable.readCurrentMergedWhere(spark, root, Seq("k"), preds)
+      .as[(Long, Long)].collect().toMap
+    // identical to the unpruned merged read + filter
+    val full = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+      .where(col("k").between(90L, 110L))
+      .as[(Long, Long)].collect().toMap
+    assert(out === full)
+    assert(out(100L) === 99L)      // delta override visible
+    assert(!out.contains(101L))    // tombstone applies through pruning
+    assert(out.size === 20)        // 21 keys in range, one deleted
+    // the stats really cut base files for this range
+    val (kept, total) = VersionedTable.pruneFiles(spark, root, preds).get
+    assert(total === 8L && kept.length <= 2, s"kept ${kept.length} of $total")
+    // every base file skipped, yet the overlay-only row still surfaces
+    val far = VersionedTable.readCurrentMergedWhere(spark, root, Seq("k"),
+        Seq(ColRange("k", Some(1900L), Some(2100L))))
+      .as[(Long, Long)].collect().toSeq
+    assert(far === Seq((2000L, 1L)))
+  }
+
   test("merged read resolves newest-wins in the overlay and anti-joins the base by broadcast") {
     val root = tmpRoot("morplan")
     VersionedTable.publish(
