@@ -193,9 +193,50 @@ object ScaleBench {
       }
     }
 
+    // Merged-read isolation: a FIXED overlay (1000 upserts + 500
+    // tombstones) over a 100×-growing base, timing ONLY
+    // readCurrentMerged — the write-side fixture cost that dominates
+    // q_l_mor_merge is out of the timer. With the overlay-window +
+    // broadcast-anti-join plan the read must grow like the bare base
+    // scan (linear); a base∪overlay window would re-shuffle the whole
+    // table and the curve would carry the exchange's superlinear
+    // constant instead.
+    val morSizes = Seq(("S", 15000L), ("M", 150000L), ("L", 1500000L))
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    for ((name, n) <- morSizes) {
+      val root = s"/tmp/graft_scale/morread_$name/t"
+      if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
+        graft.lake.VersionedTable.publish(
+          orders(spark, n).select(col("o_orderkey").as("k"),
+            col("o_totalprice").as("p")), root)
+        graft.lake.VersionedTable.appendDelta(
+          spark.range(1000).select((col("id") * 7 + 1).as("k"),
+            lit(1.0).as("p")), root)
+        graft.lake.VersionedTable.appendDeleteDelta(
+          spark.range(500).select((col("id") * 13 + 2).as("k")), root)
+      }
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.lake.VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+            .agg(count(lit(1)), sum(col("p"))).collect()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name/q_mor_read failed: ${e.getMessage}")
+          None
+        }
+      }
+      if (times.nonEmpty) {
+        results((name, "q_mor_read")) = times.min
+        println(f"""{"size":"$name","query":"q_mor_read","sec":${times.min}%.3f}""")
+      } else {
+        println(s"""{"size":"$name","query":"q_mor_read","sec":null,"failed":true}""")
+      }
+    }
+
     // growth summary: seconds ratio per 10× data step
     println("query,S_sec,M_sec,L_sec,M_over_S,L_over_M")
-    for (q <- heavy :+ "q_chain_cc") {
+    for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read") {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
       def ratio(a: Option[Double], b: Option[Double]) = (a, b) match {

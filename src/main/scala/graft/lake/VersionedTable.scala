@@ -436,6 +436,65 @@ object VersionedTable {
     doomed ++ orphans
   }
 
+  /** Time-based retention — the `VACUUM ... RETAIN n HOURS` form:
+    * drop published versions older than `maxAgeMs` (by their embedded
+    * publish timestamp), but always keep the newest `minKeep` so the
+    * count-based reader contract survives even when everything is old.
+    * Orphan cleanup follows the same horizon rule as [[vacuum]].
+    * Returns the removed version names. Size `maxAgeMs` to the longest
+    * read (or audit/time-travel window) a deployment runs, exactly
+    * like a table format's snapshot-expiry age.
+    */
+  def vacuumOlderThan(spark: SparkSession, root: String, maxAgeMs: Long,
+                      minKeep: Int = 2): Seq[String] = {
+    require(minKeep >= 2,
+      s"must keep at least 2 versions so in-flight readers of the " +
+        s"previous version survive a publish, got $minKeep")
+    require(maxAgeMs >= 0, s"retention age must be >= 0, got $maxAgeMs")
+    val versions = listVersions(spark, root)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val aged = versions.dropRight(minKeep).filter(versionTs(_) < cutoff)
+    val keep = versions.length - aged.length
+    if (aged.isEmpty) Seq.empty else vacuum(spark, root, keep)
+  }
+
+  /** Operator introspection: one row per published version and pending
+    * delta — kind, name, publish time, file count, bytes, and whether
+    * the version carries a stats index. An O(manifest) FS walk (never
+    * reads data files), built driver-side like every other planning
+    * relation over the version listing.
+    */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val current = currentVersion(spark, root)
+    def rowsFor(names: Seq[String], kind: String) = names.map { v =>
+      val p = new Path(rootP, v)
+      val files = fs.listStatus(p).toSeq.filterNot(s =>
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      val hasStats = fs.exists(new Path(p, StatsDir))
+      Row(kind, v, new java.sql.Timestamp(versionTs(v)),
+        files.count(_.isFile), files.filter(_.isFile).map(_.getLen).sum,
+        hasStats, current.contains(v))
+    }
+    val pendingSet = if (current.isDefined) pendingDeltas(spark, root).toSet
+      else Set.empty[String]
+    val rows = rowsFor(listVersions(spark, root), "base") ++
+      rowsFor(listDeltas(spark, root).filter(pendingSet), "delta") ++
+      rowsFor(listDeltas(spark, root).filterNot(pendingSet), "delta-folded")
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("name", StringType),
+      StructField("published_at", TimestampType),
+      StructField("num_files", IntegerType), StructField("bytes", LongType),
+      StructField("has_stats", BooleanType),
+      StructField("is_current", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .orderBy("published_at", "name")
+  }
+
   /** [[LakeStorage.compact]] re-expressed over the manifest: rewrite
     * the current version to `targetFiles` files as a NEW version — no
     * rename of live data, no reader window at all. Returns the row

@@ -506,6 +506,55 @@ class VersionedTableSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "B9", 3L -> "c"))
   }
 
+  test("vacuumOlderThan drops aged versions but never below minKeep") {
+    val root = tmpRoot("ttl")
+    val v1 = VersionedTable.publish(Seq((1, "a")).toDF("k", "v"), root)
+    val v2 = VersionedTable.publish(Seq((2, "b")).toDF("k", "v"), root)
+    val v3 = VersionedTable.publish(Seq((3, "c")).toDF("k", "v"), root)
+    // everything younger than a long horizon → nothing removed
+    assert(VersionedTable.vacuumOlderThan(spark, root, Long.MaxValue / 2).isEmpty)
+    // zero retention: aged versions go, but the newest minKeep survive
+    assert(VersionedTable.vacuumOlderThan(spark, root, 0L) === Seq(v1))
+    assert(VersionedTable.listVersions(spark, root) === Seq(v2, v3))
+    assert(VersionedTable.vacuumOlderThan(spark, root, 0L).isEmpty)
+    intercept[IllegalArgumentException] {
+      VersionedTable.vacuumOlderThan(spark, root, 0L, minKeep = 1)
+    }
+  }
+
+  test("describe lists bases and deltas with currency and pending/folded status") {
+    val root = tmpRoot("desc")
+    val v1 = VersionedTable.publish(Seq((1L, "a")).toDF("k", "v"), root,
+      statsColumns = Seq("k"))
+    val d1 = VersionedTable.appendDelta(Seq((1L, "A")).toDF("k", "v"), root)
+    def rows = VersionedTable.describe(spark, root).collect()
+      .map(r => r.getString(1) -> (r.getString(0), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(rows(v1) === (("base", true, true)))     // stats'd, current
+    assert(rows(d1) === (("delta", false, false)))  // pending overlay
+    val v2 = VersionedTable.compactDeltas(spark, root, Seq("k"))
+    assert(rows(v2)._1 === "base" && rows(v2)._3 === true)
+    assert(rows(v1) === (("base", true, false)))     // superseded
+    assert(rows(d1)._1 === "delta-folded")           // folded, retained
+    // every listed entry has files and bytes
+    assert(VersionedTable.describe(spark, root).collect()
+      .forall(r => r.getInt(3) > 0 && r.getLong(4) > 0L))
+  }
+
+  test("a merged read planned before a concurrent compaction still reads correctly after it") {
+    val root = tmpRoot("morconc")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    VersionedTable.appendDelta(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), root)
+    // reader resolves base + overlay NOW (plan pins concrete paths)...
+    val planned = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+    // ...then a compaction publishes a new base and vacuums; retention
+    // (keepVersions >= 2, deltas kept to the oldest retained base's
+    // horizon) must keep the reader's resolved layers alive
+    VersionedTable.compactDeltas(spark, root, Seq("k"))
+    assert(planned.as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("merged pruned read: base files skip under the overlay; overrides, deletes, and overlay-only rows survive") {
     val root = tmpRoot("morskip")
     VersionedTable.publish(
