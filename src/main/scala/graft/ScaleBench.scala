@@ -109,7 +109,11 @@ object ScaleBench {
     "q_l_skip_scan",
     // round-10: merge-on-read — base publish + two delta appends + the
     // key-partitioned newest-wins merged read; ~linear in rows
-    "q_l_mor_merge")
+    "q_l_mor_merge",
+    // round-10: learned quality gate — two full-batch GD rounds plus
+    // the scoring pass; per round two feature-relation shuffles, so
+    // ~linear in total token count
+    "q_t_quality_model_score")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

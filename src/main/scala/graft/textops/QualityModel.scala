@@ -1,0 +1,175 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based quality filtering: a hashed bag-of-words logistic
+  * regression trained and applied entirely inside Spark — the
+  * fastText/CCNet-style classifier gate that sits between the heuristic
+  * gates ([[TextAnalysis.qualityScore]]) and near-dedup in a
+  * pretraining curation pipeline. Training-data extension beyond the
+  * reference's heuristic-only filtering (its quality gates are static
+  * predicates — `data_processor.py`-style null/length checks); a
+  * learned gate is what production corpora actually use for "looks
+  * like the trusted corpus" scoring.
+  *
+  * Design:
+  *   - Features are the engine-portable md5 hash of each whitespace
+  *     token, mod `dim` (hashing trick). No vocabulary is ever built or
+  *     collected: the feature id is a pure function of the token, so
+  *     the map side needs no dictionary broadcast and any engine with
+  *     md5 reproduces the features bit-for-bit (the
+  *     [[graft.operators.Sampling.withSplit]] discipline).
+  *   - Training is full-batch gradient descent on log-loss. Each
+  *     iteration is two feature-relation passes: margin per doc (join
+  *     features with the broadcast dim-row weight relation, sum), then
+  *     gradient per feature (join features with the per-doc residual,
+  *     sum). All sums run in DECIMAL so they are order- and
+  *     partitioning-independent; weights and residuals are rounded to
+  *     9 dp per iteration (the PageRank rounding discipline), which
+  *     makes the whole fit a pure function of the corpus — layout-,
+  *     retry-, and engine-independent.
+  *   - Scoring is one broadcast join + one per-doc aggregation.
+  *
+  * 100 TB shape: you do NOT full-batch-train on the whole corpus — fit
+  * on a [[graft.operators.Sampling.withSplit]] sample (a classifier
+  * with `dim` parameters saturates long before 10^6 docs), then run
+  * the cheap scoring pass over everything. Per training iteration the
+  * only wide ops are one shuffle of the sample's feature relation by
+  * doc (margin agg re-uses the grouping) and one by feature — both
+  * with map-side partial aggregation; the weight relation is dim ≤
+  * 2^20 rows and always broadcast, and nothing is ever collected to
+  * the driver. Scoring the full corpus is embarrassingly parallel:
+  * broadcast weights, one narrow tokenize+hash pass, one per-doc sum.
+  */
+object QualityModel {
+
+  // 1 integer digit + 9 fractional: shares, residuals, and weights all
+  // live in [−10, 10], and (10,9)×(10,9) → DECIMAL(21,18) stays under
+  // both engines' 38-digit cap WITHOUT precision-loss rescaling — the
+  // products and sums are exact in Spark and DuckDB alike. (Wider
+  // inputs would push the product past 38 digits and Spark would
+  // silently round the scale down; DuckDB wouldn't — a portability
+  // trap, not a theoretical one.)
+  private val dec9 = DecimalType(10, 9)
+
+  /** Engine-portable feature id: first 8 md5 hex digits of the token,
+    * as a long, mod `dim` — always in [0, dim). Mirrors in any SQL
+    * engine as `CAST(('0x' || substring(md5(tok),1,8)) AS BIGINT) % dim`.
+    */
+  def featureId(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % dim
+
+  /** Hashed bag-of-words feature relation: one row per (doc, feature)
+    * with the raw token count `cnt` and the length-normalized share
+    * `x` = round(cnt / doc token count, 9 dp) — the fastText input
+    * convention. Normalized shares (Σ_f x = 1 per doc) keep every
+    * margin a weighted MEAN of token weights, so gradient steps can't
+    * saturate the sigmoid on long documents the way raw counts do.
+    * Tokens are lowercased whitespace tokens (the [[TextAnalysis]]
+    * tokenization convention); empty tokens from whitespace runs are
+    * dropped. Documents with no tokens contribute no rows — they carry
+    * no evidence either way and score sigmoid(0) = 0.5 at apply time.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, s"feature dimension must be positive, got $dim")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("_tok"))
+      .where(col("_tok") =!= "")
+      .groupBy(col(idCol), featureId(col("_tok"), dim).as("feat"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(byDoc), 9)
+          .cast(dec9))
+  }
+
+  /** Fit logistic-regression weights by `iters` rounds of full-batch
+    * gradient descent from w = 0. Returns the dim-row (at most — only
+    * features observed in the corpus appear) weight relation
+    * `(feat, w)`, with w rounded to 9 dp.
+    *
+    * `labelCol` must be a 0/1 numeric column (e.g. the output of a
+    * trusted-vs-crawl union, or a heuristic seed label). The update is
+    * per-feature mass-normalized gradient descent (diagonal
+    * preconditioning — the plain 1/n step shrinks with the corpus and
+    * a rare feature would never move):
+    *   w_f ← round(w_f − lr · Σ_docs (round(σ(margin), 9) − y) · x_f
+    *                        / Σ_docs x_f, 9)
+    * so a feature exclusive to the positive class moves by +lr/2 in
+    * round one regardless of corpus size or feature frequency. Every
+    * Σ is a DECIMAL sum, so two runs over any layout of the same rows
+    * produce identical weights.
+    */
+  def trainLogistic(df: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, dim: Int = 256, iters: Int = 2,
+                    lr: Double = 0.5): DataFrame = {
+    require(iters > 0, s"iteration count must be positive, got $iters")
+    val reserved = Set("feat", "cnt", "x", "w", "_tok", "_y", "_m", "_r", "_g")
+    require(!reserved.contains(idCol) && !reserved.contains(labelCol),
+      s"idCol/labelCol collide with trainLogistic's working names " +
+        s"(${reserved.mkString(", ")}) — rename them first")
+    // The feature relation is consumed twice per iteration (margin agg
+    // + gradient join) plus once for n — materialize it once.
+    val feats = hashedFeatures(df, idCol, textCol, dim)
+      .join(df.select(col(idCol), col(labelCol).cast("long").as("_y")), idCol)
+      .localCheckpoint()
+    var w = feats.select(col("feat")).distinct()
+      .withColumn("w", lit(0.0))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // Margin per doc: exact DECIMAL dot product of 9-dp weights with
+      // 9-dp shares — order-independent by construction.
+      val margins = feats.join(broadcast(w), "feat")
+        .withColumn("_c", col("w").cast(dec9) * col("x"))
+        .groupBy(col(idCol), col("_y"))
+        .agg(sum(col("_c")).as("_m"))
+      // Residual σ(margin) − y, rounded to 9 dp: the only non-exact
+      // step per iteration is the sigmoid itself, truncated well above
+      // double-ulp noise so both engines agree.
+      val resid = margins.select(col(idCol),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("_m").cast("double"))), 9)
+          - col("_y")).as("_r"))
+      // Gradient and feature mass per feature in ONE aggregation —
+      // both exact DECIMAL sums over the same joined rows.
+      val grad = feats.join(resid, idCol)
+        .withColumn("_g", col("_r").cast(dec9) * col("x"))
+        .groupBy(col("feat"))
+        .agg(sum(col("_g")).as("_gs"), sum(col("x")).as("_mass"))
+      // Every feature appears in ≥1 doc, so grad covers every weight
+      // row — inner join is total. localCheckpoint cuts the per-
+      // iteration lineage (w is consumed twice next round).
+      w = w.join(grad, Seq("feat"))
+        .select(col("feat"),
+          round(col("w") - lit(lr)
+            * (col("_gs").cast("double") / col("_mass").cast("double")), 9)
+            .as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Score documents with a trained weight relation: `(idCol, score)`
+    * with score = σ(Σ w·cnt) rounded to 9 dp. Weights are broadcast
+    * (dim-bounded); docs with no in-vocabulary token — including
+    * empty docs — score σ(0) = 0.5 via the left join's null sum.
+    * This is the full-corpus pass: narrow tokenize+hash, one per-doc
+    * aggregation, no other shuffle.
+    */
+  def scoreLogistic(df: DataFrame, weights: DataFrame, idCol: String,
+                    textCol: String, dim: Int): DataFrame = {
+    val margins = hashedFeatures(df, idCol, textCol, dim)
+      .join(broadcast(weights), Seq("feat"), "left")
+      .withColumn("_c", coalesce(col("w"), lit(0.0)).cast(dec9) * col("x"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_m"))
+    df.select(col(idCol)).join(margins, Seq(idCol), "left")
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-coalesce(col("_m").cast("double"), lit(0.0)))), 9)
+          .as("score"))
+  }
+}

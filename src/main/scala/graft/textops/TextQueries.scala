@@ -286,6 +286,43 @@ object TextQueries extends QueryPack {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")),
 
+    // Learned quality gate, training side: hashed-token logistic
+    // regression fit with two full-batch GD rounds on the "is English"
+    // seed label. md5 features, DECIMAL sums, and 9-dp per-iteration
+    // rounding make the fit a pure function of the corpus — the oracle
+    // replays both rounds in SQL and the weights hash-match. (The
+    // synthetic corpus's lang column is METADATA — all 31 vocabulary
+    // tokens appear in every language — so these two queries prove the
+    // distributed GD loop is engine-exact; that the same loop actually
+    // LEARNS is asserted in QualityModelSpec on a fixture whose
+    // classes have disjoint vocabularies.)
+    "q_t_quality_model" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      QualityModel.trainLogistic(docs, "doc_id", "text", "y",
+          dim = 64, iters = 2, lr = 0.5)
+        .select(col("feat"), round(col("w"), 6).as("weight"))
+        .orderBy("feat")
+    }),
+
+    // Learned quality gate, apply side: score every document with the
+    // trained weights (broadcast join + per-doc sum), report per-lang
+    // mean score.
+    "q_t_quality_model_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      val w = QualityModel.trainLogistic(docs, "doc_id", "text", "y",
+          dim = 64, iters = 2, lr = 0.5)
+      QualityModel.scoreLogistic(docs, w, "doc_id", "text", dim = 64)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(lit(1)), 6).as("avg_score"))
+        .orderBy("lang")
+    }),
+
     // Benchmark decontamination: remove corpus docs sharing ≥2 distinct
     // 3-shingles with the "evaluation set" (every 20th doc), summarized
     // per source. The benchmark shingle relation broadcasts at scale.
@@ -1253,6 +1290,89 @@ object TextQueries extends QueryPack {
         |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
         |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Replays both GD rounds: round 1 from w=0 collapses to residual
+    // (0.5 − y); round 2 uses the exact-DECIMAL margins of the 9-dp
+    // w1 against the 9-dp normalized token shares.
+    "q_t_quality_model" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |f0 AS (SELECT doc_id, y,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS feat,
+        |    COUNT(*) AS cnt
+        |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
+        |f AS (SELECT doc_id, y, feat,
+        |    CAST(ROUND(CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |  FROM f0),
+        |g1 AS (SELECT feat,
+        |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
+        |    SUM(x) AS mass
+        |  FROM f GROUP BY feat),
+        |w1 AS (SELECT feat,
+        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |  FROM g1),
+        |m2 AS (SELECT f.doc_id, f.y,
+        |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
+        |  FROM f JOIN w1 USING (feat) GROUP BY f.doc_id, f.y),
+        |r2 AS (SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |g2 AS (SELECT f.feat,
+        |    SUM(CAST(r2.r AS DECIMAL(10,9)) * f.x) AS gs,
+        |    SUM(f.x) AS mass
+        |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
+        |w2 AS (SELECT w1.feat,
+        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |  FROM w1 JOIN g2 ON w1.feat = g2.feat)
+        |SELECT feat, ROUND(w, 6) AS weight FROM w2 ORDER BY feat""".stripMargin,
+
+    // Same two training rounds, then the scoring pass: per-doc margin
+    // against w2, σ rounded to 9 dp (token-less docs score 0.5 via the
+    // left join), per-lang DECIMAL-summed mean.
+    "q_t_quality_model_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |f0 AS (SELECT doc_id, y,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS feat,
+        |    COUNT(*) AS cnt
+        |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
+        |f AS (SELECT doc_id, y, feat,
+        |    CAST(ROUND(CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |  FROM f0),
+        |g1 AS (SELECT feat,
+        |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
+        |    SUM(x) AS mass
+        |  FROM f GROUP BY feat),
+        |w1 AS (SELECT feat,
+        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |  FROM g1),
+        |m2 AS (SELECT f.doc_id, f.y,
+        |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
+        |  FROM f JOIN w1 USING (feat) GROUP BY f.doc_id, f.y),
+        |r2 AS (SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |g2 AS (SELECT f.feat,
+        |    SUM(CAST(r2.r AS DECIMAL(10,9)) * f.x) AS gs,
+        |    SUM(f.x) AS mass
+        |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
+        |w2 AS (SELECT w1.feat,
+        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
+        |mm AS (SELECT f.doc_id,
+        |    SUM(CAST(w2.w AS DECIMAL(10,9)) * f.x) AS m
+        |  FROM f JOIN w2 USING (feat) GROUP BY f.doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |  FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_score
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Mirrors curate(): dedup by min doc_id per fingerprint, then the
     // q_t_quality score and q_t_langid prediction formulas, then the
