@@ -323,6 +323,34 @@ object TextQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Learned quality gate, production shape: the documented 100 TB
+    // composition made executable — md5-split the corpus, train on the
+    // train half only, score EVERYTHING with the broadcast weights,
+    // gate at the corpus-mean score, report per-source pass rates.
+    // Every stage (split buckets, GD rounds, scores, mean, counts) is
+    // engine-exact, so the whole pipeline hash-matches the SQL replay.
+    "q_t_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      val trainDocs = graft.operators.Sampling.withSplit(docs, "doc_id", 50)
+        .filter(col("split") === "train")
+      val w = QualityModel.trainLogistic(trainDocs, "doc_id", "text", "y",
+        dim = 64, iters = 2, lr = 0.5)
+      val scored = QualityModel.scoreLogistic(docs, w, "doc_id", "text", 64)
+      // corpus-mean threshold as a broadcast 1-row relation (the J6
+      // scalar-subquery shape); DECIMAL sum keeps it layout-exact
+      val thresh = scored.agg(
+        (sum(col("score")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("_mean"))
+      scored.join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(broadcast(thresh))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("score") > col("_mean"), 1)).as("n_pass"))
+        .orderBy("source")
+    }),
+
     // Benchmark decontamination: remove corpus docs sharing ≥2 distinct
     // 3-shingles with the "evaluation set" (every 20th doc), summarized
     // per source. The benchmark shingle relation broadcasts at scale.
@@ -1373,6 +1401,58 @@ object TextQueries extends QueryPack {
         |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_score
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Production composition: features over ALL docs once (shares are
+    // per-doc, so subset vs full computes the same x), train rounds
+    // over the md5-split train half (bucket ≥ 50), scoring left-joins
+    // the train-only weights with COALESCE 0 for unseen features, gate
+    // at the DECIMAL-exact corpus mean.
+    "q_t_quality_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |f0 AS (SELECT doc_id, y,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS feat,
+        |    COUNT(*) AS cnt
+        |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
+        |f AS (SELECT doc_id, y, feat,
+        |    CAST(ROUND(CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |  FROM f0),
+        |ft AS (SELECT * FROM f
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 >= 50),
+        |g1 AS (SELECT feat,
+        |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
+        |    SUM(x) AS mass
+        |  FROM ft GROUP BY feat),
+        |w1 AS (SELECT feat,
+        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |  FROM g1),
+        |m2 AS (SELECT ft.doc_id, ft.y,
+        |    SUM(CAST(w1.w AS DECIMAL(10,9)) * ft.x) AS m
+        |  FROM ft JOIN w1 USING (feat) GROUP BY ft.doc_id, ft.y),
+        |r2 AS (SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |g2 AS (SELECT ft.feat,
+        |    SUM(CAST(r2.r AS DECIMAL(10,9)) * ft.x) AS gs,
+        |    SUM(ft.x) AS mass
+        |  FROM ft JOIN r2 USING (doc_id) GROUP BY ft.feat),
+        |w2 AS (SELECT w1.feat,
+        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
+        |mm AS (SELECT f.doc_id,
+        |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * f.x) AS m
+        |  FROM f LEFT JOIN w2 USING (feat) GROUP BY f.doc_id),
+        |sc AS (SELECT d.doc_id, d.source,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |  FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id),
+        |mn AS (SELECT CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*) AS m FROM sc)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN score > (SELECT m FROM mn) THEN 1 END) AS n_pass
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors curate(): dedup by min doc_id per fingerprint, then the
     // q_t_quality score and q_t_langid prediction formulas, then the
