@@ -106,16 +106,52 @@ object QualityModel {
     */
   def trainLogistic(df: DataFrame, idCol: String, textCol: String,
                     labelCol: String, dim: Int = 256, iters: Int = 2,
-                    lr: Double = 0.5): DataFrame = {
+                    lr: Double = 0.5): DataFrame =
+    trainLogisticOn(hashedFeatures(df, idCol, textCol, dim),
+      df.select(col(idCol), col(labelCol)), idCol, labelCol, iters, lr)
+
+  /** Dense-vector feature relation: one row per (id, dimension index)
+    * with `x` = round(component, 9 dp) — the embedding-space
+    * counterpart of [[hashedFeatures]] (a semantic quality gate over
+    * the `embeddings` table instead of a lexical one over `documents`).
+    * float→double widening is value-exact, so the 9-dp rounding is the
+    * only lossy step and both engines agree on it. Mirrors in DuckDB
+    * as `UNNEST(vec)` zipped with `generate_subscripts(vec, 1) − 1`.
+    */
+  def vectorFeatures(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("feat", "_v")))
+      .select(col(idCol), col("feat").cast("long").as("feat"),
+        round(col("_v").cast("double"), 9).cast(dec9).as("x"))
+
+  /** The generic GD core: fit weights over ANY feature relation
+    * `(idCol, feat: long, x: DECIMAL(10,9))` — sparse hashed text
+    * shares ([[hashedFeatures]]) or dense embedding components
+    * ([[vectorFeatures]]) — against `labels` `(idCol, labelCol)`.
+    *
+    * `norm` picks the per-feature step divisor:
+    *   - `"mass"` (the [[trainLogistic]] default): divide by Σ_docs x_f
+    *     — diagonal preconditioning for NON-NEGATIVE features (token
+    *     shares), where the plain 1/n step would let rare features
+    *     crawl. Requires positive per-feature mass; signed features
+    *     can drive Σx toward 0 and blow the step up.
+    *   - `"count"`: divide by the feature's row count — the safe mean
+    *     gradient for signed dense features (embeddings).
+    */
+  def trainLogisticOn(features: DataFrame, labels: DataFrame, idCol: String,
+                      labelCol: String, iters: Int, lr: Double,
+                      norm: String = "mass"): DataFrame = {
     require(iters > 0, s"iteration count must be positive, got $iters")
+    require(norm == "mass" || norm == "count",
+      s"norm must be 'mass' or 'count', got '$norm'")
     val reserved = Set("feat", "cnt", "x", "w", "_tok", "_y", "_m", "_r", "_g")
     require(!reserved.contains(idCol) && !reserved.contains(labelCol),
-      s"idCol/labelCol collide with trainLogistic's working names " +
+      s"idCol/labelCol collide with trainLogisticOn's working names " +
         s"(${reserved.mkString(", ")}) — rename them first")
     // The feature relation is consumed twice per iteration (margin agg
-    // + gradient join) plus once for n — materialize it once.
-    val feats = hashedFeatures(df, idCol, textCol, dim)
-      .join(df.select(col(idCol), col(labelCol).cast("long").as("_y")), idCol)
+    // + gradient join) — materialize it once.
+    val feats = features
+      .join(labels.select(col(idCol), col(labelCol).cast("long").as("_y")),
+        idCol)
       .localCheckpoint()
     var w = feats.select(col("feat")).distinct()
       .withColumn("w", lit(0.0))
@@ -133,12 +169,14 @@ object QualityModel {
       val resid = margins.select(col(idCol),
         (round(lit(1.0) / (lit(1.0) + exp(-col("_m").cast("double"))), 9)
           - col("_y")).as("_r"))
-      // Gradient and feature mass per feature in ONE aggregation —
-      // both exact DECIMAL sums over the same joined rows.
+      // Gradient and step divisor per feature in ONE aggregation —
+      // all exact DECIMAL/long sums over the same joined rows.
       val grad = feats.join(resid, idCol)
         .withColumn("_g", col("_r").cast(dec9) * col("x"))
         .groupBy(col("feat"))
-        .agg(sum(col("_g")).as("_gs"), sum(col("x")).as("_mass"))
+        .agg(sum(col("_g")).as("_gs"),
+          (if (norm == "mass") sum(col("x")) else count(lit(1)))
+            .as("_mass"))
       // Every feature appears in ≥1 doc, so grad covers every weight
       // row — inner join is total. localCheckpoint cuts the per-
       // iteration lineage (w is consumed twice next round).
@@ -160,13 +198,22 @@ object QualityModel {
     * aggregation, no other shuffle.
     */
   def scoreLogistic(df: DataFrame, weights: DataFrame, idCol: String,
-                    textCol: String, dim: Int): DataFrame = {
-    val margins = hashedFeatures(df, idCol, textCol, dim)
+                    textCol: String, dim: Int): DataFrame =
+    scoreLogisticOn(hashedFeatures(df, idCol, textCol, dim), weights,
+      df.select(col(idCol)), idCol)
+
+  /** Generic scoring: σ of the feature⋈weights dot product for every
+    * id in `ids` — ids with no feature row (or only out-of-vocabulary
+    * features) fall back through the left joins to σ(0) = 0.5.
+    */
+  def scoreLogisticOn(features: DataFrame, weights: DataFrame,
+                      ids: DataFrame, idCol: String): DataFrame = {
+    val margins = features
       .join(broadcast(weights), Seq("feat"), "left")
       .withColumn("_c", coalesce(col("w"), lit(0.0)).cast(dec9) * col("x"))
       .groupBy(col(idCol))
       .agg(sum(col("_c")).as("_m"))
-    df.select(col(idCol)).join(margins, Seq(idCol), "left")
+    ids.join(margins, Seq(idCol), "left")
       .select(col(idCol),
         round(lit(1.0) / (lit(1.0)
           + exp(-coalesce(col("_m").cast("double"), lit(0.0)))), 9)

@@ -351,6 +351,27 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Learned quality gate, embedding space: the SAME generic GD core
+    // over dense vector components instead of hashed token shares — a
+    // semantic gate ("scores like cluster 0") next to the lexical one.
+    // Count-normalized steps (signed features make Σx an unsafe
+    // divisor); two rounds replayed exactly by the oracle.
+    "q_t_embed_classifier" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("y", when(col("label") === 0, 1L).otherwise(0L))
+      val feats = QualityModel.vectorFeatures(emb, "vec_id", "embedding")
+      val w = QualityModel.trainLogisticOn(feats, emb.select("vec_id", "y"),
+        "vec_id", "y", iters = 2, lr = 1.0, norm = "count")
+      QualityModel.scoreLogisticOn(feats, w, emb.select("vec_id"), "vec_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("score")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(lit(1)), 6).as("avg_score"))
+        .orderBy("label")
+    }),
+
     // Benchmark decontamination: remove corpus docs sharing ≥2 distinct
     // 3-shingles with the "evaluation set" (every 20th doc), summarized
     // per source. The benchmark shingle relation broadcasts at scale.
@@ -1453,6 +1474,45 @@ object TextQueries extends QueryPack {
         |SELECT source, COUNT(*) AS n_docs,
         |  COUNT(CASE WHEN score > (SELECT m FROM mn) THEN 1 END) AS n_pass
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Dense-feature twin of q_t_quality_model: vector components via
+    // UNNEST + generate_subscripts, count-normalized GD steps.
+    "q_t_embed_classifier" ->
+      """WITH v AS (SELECT vec_id,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+        |    i - 1 AS feat,
+        |    CAST(ROUND(CAST(x0 AS DOUBLE), 9) AS DECIMAL(10,9)) AS x
+        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x0,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |g1 AS (SELECT feat,
+        |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
+        |    COUNT(*) AS mass
+        |  FROM v GROUP BY feat),
+        |w1 AS (SELECT feat,
+        |    ROUND(0.0 - 1.0 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |  FROM g1),
+        |m2 AS (SELECT v.vec_id, v.y,
+        |    SUM(CAST(w1.w AS DECIMAL(10,9)) * v.x) AS m
+        |  FROM v JOIN w1 USING (feat) GROUP BY v.vec_id, v.y),
+        |r2 AS (SELECT vec_id,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |g2 AS (SELECT v.feat,
+        |    SUM(CAST(r2.r AS DECIMAL(10,9)) * v.x) AS gs,
+        |    COUNT(*) AS mass
+        |  FROM v JOIN r2 USING (vec_id) GROUP BY v.feat),
+        |w2 AS (SELECT w1.feat,
+        |    ROUND(w1.w - 1.0 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
+        |mm AS (SELECT v.vec_id,
+        |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * v.x) AS m
+        |  FROM v LEFT JOIN w2 USING (feat) GROUP BY v.vec_id),
+        |sc AS (SELECT e.vec_id, e.label,
+        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |  FROM embeddings e LEFT JOIN mm ON e.vec_id = mm.vec_id)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_score
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
 
     // Mirrors curate(): dedup by min doc_id per fingerprint, then the
     // q_t_quality score and q_t_langid prediction formulas, then the

@@ -82,6 +82,41 @@ class QualityModelSpec extends SparkSpec {
     assert(s > 0.5 && s < pure)
   }
 
+  test("dense vectorFeatures path separates synthetic clusters (count norm)") {
+    // class 1 points along +e0, class 0 along −e0; small deterministic
+    // off-axis noise so the problem isn't literally one coordinate
+    val rows = (0 until 40).map { i =>
+      val y = (i % 2).toLong
+      val base = if (y == 1L) 1.0 else -1.0
+      val vec = Array.tabulate(8)(d =>
+        (if (d == 0) base else 0.1 * ((i + d) % 3 - 1)).toFloat)
+      (i.toLong, vec, y)
+    }
+    val df = rows.toDF("vec_id", "embedding", "y")
+    val feats = QualityModel.vectorFeatures(df, "vec_id", "embedding")
+    val w = QualityModel.trainLogisticOn(feats, df.select("vec_id", "y"),
+      "vec_id", "y", iters = 5, lr = 2.0, norm = "count")
+    val means = QualityModel
+      .scoreLogisticOn(feats, w, df.select("vec_id"), "vec_id")
+      .join(df.select("vec_id", "y"), "vec_id")
+      .groupBy("y").agg(avg("score").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(means(1L) > 0.85, s"positive class mean ${means(1L)}")
+    assert(means(0L) < 0.15, s"negative class mean ${means(0L)}")
+  }
+
+  test("mass norm rejects unknown norm and dense features keep ordinal ids") {
+    val df = Seq((1L, Array(0.25f, -0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val feats = QualityModel.vectorFeatures(df, "vec_id", "embedding")
+    val f = feats.orderBy("feat")
+      .collect().map(r => (r.getLong(1), r.getDecimal(2).doubleValue())).toSeq
+    assert(f === Seq((0L, 0.25), (1L, -0.5), (2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogisticOn(feats, df, "vec_id", "y", 1, 0.5,
+        norm = "bogus")
+    }
+  }
+
   test("hashedFeatures shares sum to ~1 per doc and features stay in [0,dim)") {
     val f = QualityModel.hashedFeatures(fixture, "doc_id", "text", 32)
     val bad = f.filter(col("feat") < 0 || col("feat") >= 32).count()
