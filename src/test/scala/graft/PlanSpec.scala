@@ -257,4 +257,20 @@ class PlanSpec extends SparkSpec {
       "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size
     assert(joins <= 5, s"expected at most 5 joins for 3 iterations, got $joins\n$p")
   }
+
+  test("classifier scoring broadcasts the dim-row weight relation") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", 1L), (2L, "noise junk", 0L))
+      .toDF("doc_id", "text", "y")
+    val w = graft.textops.QualityModel.trainLogistic(
+      docs, "doc_id", "text", "y", dim = 32, iters = 1, lr = 0.5)
+    val scored = graft.textops.QualityModel.scoreLogistic(
+      Tables.documents(spark, sfDir), w, "doc_id", "text", 32)
+    val p = scored.queryExecution.executedPlan.toString
+    // the weights join must be a broadcast — a shuffle join on the
+    // full corpus's feature relation would re-exchange every token row
+    // against a dim-row table at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
