@@ -576,6 +576,48 @@ object Streaming {
         ()
     }
 
+  /** Online refresh of the learned quality gate
+    * ([[graft.textops.QualityModel]]): one mass-normalized GD round on
+    * each labeled micro-batch, warm-started from the manifest-versioned
+    * weight store — "retrain the gate on today's crawl without a full
+    * refit". Features the batch never mentions keep their prior weight
+    * (their gradient is structurally zero), unseen-before features
+    * enter at 0, so the store only ever grows toward the dim bound and
+    * scoring readers ([[graft.textops.QualityModel.scoreLogisticOn]]
+    * over `VersionedTable.readCurrent`) always resolve a complete
+    * weight version mid-publish. Per batch the work is the classifier's
+    * two feature-relation shuffles — batch-sized, not corpus-sized —
+    * and the dim-row store rides broadcast joins. Returns the published
+    * weights so the caller can chain a same-batch scoring stage.
+    */
+  def onlineLogisticBatchStep(batch: DataFrame, idCol: String,
+                              textCol: String, labelCol: String, dim: Int,
+                              lr: Double, storePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val prior =
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        Some(graft.lake.VersionedTable.readCurrent(spark, storePath))
+      else None
+    val w = graft.textops.QualityModel.trainLogisticOn(
+      graft.textops.QualityModel.hashedFeatures(batch, idCol, textCol, dim),
+      batch.select(col(idCol), col(labelCol)), idCol, labelCol,
+      iters = 1, lr = lr, init = prior)
+    graft.lake.VersionedTable.publish(w, storePath)
+    w
+  }
+
+  /** foreachBatch writer wrapping [[onlineLogisticBatchStep]]. */
+  def onlineLogisticWriter(rows: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, dim: Int, lr: Double,
+                           storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        onlineLogisticBatchStep(batch, idCol, textCol, labelCol, dim, lr,
+          storePath)
+        ()
+    }
+
   /** Idempotent micro-batch sink (T5/T6): upsert each batch into a
     * manifest-versioned parquet table by key — re-delivered batches
     * converge to the same state. Persistence is

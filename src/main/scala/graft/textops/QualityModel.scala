@@ -136,10 +136,18 @@ object QualityModel {
     *     can drive Σx toward 0 and blow the step up.
     *   - `"count"`: divide by the feature's row count — the safe mean
     *     gradient for signed dense features (embeddings).
+    *
+    * `init` warm-starts from an existing `(feat, w)` relation (the
+    * online-refresh path, [[graft.stream.Streaming]]'s logistic batch
+    * step): the weight table becomes the UNION of prior and observed
+    * features — unseen-before features enter at 0, and features the
+    * current rows never touch keep their prior weight through every
+    * round (their gradient is structurally zero).
     */
   def trainLogisticOn(features: DataFrame, labels: DataFrame, idCol: String,
                       labelCol: String, iters: Int, lr: Double,
-                      norm: String = "mass"): DataFrame = {
+                      norm: String = "mass",
+                      init: Option[DataFrame] = None): DataFrame = {
     require(iters > 0, s"iteration count must be positive, got $iters")
     require(norm == "mass" || norm == "count",
       s"norm must be 'mass' or 'count', got '$norm'")
@@ -153,9 +161,14 @@ object QualityModel {
       .join(labels.select(col(idCol), col(labelCol).cast("long").as("_y")),
         idCol)
       .localCheckpoint()
-    var w = feats.select(col("feat")).distinct()
-      .withColumn("w", lit(0.0))
-      .localCheckpoint()
+    val observed = feats.select(col("feat")).distinct()
+    var w = (init match {
+      case None => observed.withColumn("w", lit(0.0))
+      case Some(prior) => prior
+        .select(col("feat"), col("w").cast("double").as("w"))
+        .join(observed, Seq("feat"), "full")
+        .na.fill(0.0, Seq("w"))
+    }).localCheckpoint()
     for (_ <- 1 to iters) {
       // Margin per doc: exact DECIMAL dot product of 9-dp weights with
       // 9-dp shares — order-independent by construction.
@@ -177,13 +190,16 @@ object QualityModel {
         .agg(sum(col("_g")).as("_gs"),
           (if (norm == "mass") sum(col("x")) else count(lit(1)))
             .as("_mass"))
-      // Every feature appears in ≥1 doc, so grad covers every weight
-      // row — inner join is total. localCheckpoint cuts the per-
+      // LEFT join: with no init every weight row has a gradient (w =
+      // observed features), so this is the old inner join; with a
+      // warm start, prior-only features carry no gradient and keep
+      // their weight unchanged. localCheckpoint cuts the per-
       // iteration lineage (w is consumed twice next round).
-      w = w.join(grad, Seq("feat"))
+      w = w.join(grad, Seq("feat"), "left")
         .select(col("feat"),
-          round(col("w") - lit(lr)
-            * (col("_gs").cast("double") / col("_mass").cast("double")), 9)
+          when(col("_gs").isNull, col("w"))
+            .otherwise(round(col("w") - lit(lr)
+              * (col("_gs").cast("double") / col("_mass").cast("double")), 9))
             .as("w"))
         .localCheckpoint()
     }

@@ -583,4 +583,68 @@ class StreamingSpec extends SparkSpec {
     // undecodable payload is quarantined, not thrown
     assert(out(3L).features.isEmpty)
   }
+
+  test("online logistic batch step warm-starts and keeps untouched weights") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_wstore").toString + "/w"
+    val b1 = Seq((1L, "alpha beta", 1L), (2L, "noise junk", 0L))
+      .toDF("doc_id", "text", "y")
+    val b2 = Seq((3L, "alpha gamma", 1L), (4L, "cruft filler", 0L))
+      .toDF("doc_id", "text", "y")
+    val dim = 4096 // large enough that the fixture tokens don't collide
+    val w1 = Streaming.onlineLogisticBatchStep(b1, "doc_id", "text", "y",
+        dim, lr = 1.0, store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w2 = Streaming.onlineLogisticBatchStep(b2, "doc_id", "text", "y",
+        dim, lr = 1.0, store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def feat(tok: String) = spark.range(1)
+      .select(graft.textops.QualityModel.featureId(lit(tok), dim))
+      .collect().head.getLong(0)
+    // batch-1-only features persist bit-identically through batch 2
+    for (t <- Seq("beta", "noise", "junk"))
+      assert(w2(feat(t)) === w1(feat(t)), t)
+    // the shared positive token moved further positive on fresh evidence
+    assert(w1(feat("alpha")) > 0 && w2(feat("alpha")) > w1(feat("alpha")))
+    // unseen-before features entered at 0 and trained this round
+    assert(!w1.contains(feat("cruft")) && w2(feat("cruft")) < 0)
+    // the store is the manifest-versioned current weight relation
+    val cur = graft.lake.VersionedTable.readCurrent(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur === w2)
+    // determinism: replaying both batches into a fresh store reproduces
+    // the weights exactly
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_wstore2").toString + "/w"
+    Streaming.onlineLogisticBatchStep(b1, "doc_id", "text", "y", dim, 1.0, store2)
+    val replay = Streaming.onlineLogisticBatchStep(b2, "doc_id", "text", "y",
+        dim, 1.0, store2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replay === w2)
+  }
+
+  test("online logistic writer trains across micro-batches end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_wstore_stream").toString + "/w"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streaming.onlineLogisticWriter(
+        input.toDF().toDF("doc_id", "text", "y"),
+        "doc_id", "text", "y", dim = 4096, lr = 2.0, store)
+      .start()
+    input.addData((1L, "alpha beta", 1L), (2L, "noise junk", 0L))
+    q.processAllAvailable()
+    input.addData((3L, "alpha beta gamma", 1L), (4L, "noise cruft", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val w = graft.lake.VersionedTable.readCurrent(spark, store)
+    // after two online rounds the trained gate separates the vocabularies
+    val probe = Seq((10L, "alpha beta"), (11L, "noise junk"))
+      .toDF("doc_id", "text")
+    val scores = graft.textops.QualityModel
+      .scoreLogistic(probe, w, "doc_id", "text", 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(10L) > 0.6, s"positive probe ${scores(10L)}")
+    assert(scores(11L) < 0.4, s"negative probe ${scores(11L)}")
+  }
 }
