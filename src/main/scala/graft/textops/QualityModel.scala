@@ -77,6 +77,13 @@ object QualityModel {
     require(dim > 0, s"feature dimension must be positive, got $dim")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
+    // Two exchanges by design, NOT a pre-repartition on id: the
+    // groupBy's map-side partial aggregation collapses repeated tokens
+    // before anything moves, so the (id, feat) exchange and the
+    // window's id exchange both carry the SMALL aggregated relation.
+    // Repartitioning the raw token explode by id first would be one
+    // exchange — of the unaggregated token rows, ~avg-token-multiplicity
+    // larger, with every giant document concentrated on one partition.
     df.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("_tok"))
       .where(col("_tok") =!= "")
