@@ -178,6 +178,46 @@ object LakeQueries extends QueryPack {
           count(when(col("tag").isNull, 1)).as("n_untag"))
     }),
 
+    // Version rollback: publish good data, publish a corrupted version,
+    // roll back to the good one — the current read matches the raw
+    // table exactly (and the rollback's timestamp supersedes any
+    // pending overlay). Oracle is the plain raw-table aggregate.
+    "q_l_rollback" -> ((s, dir) => {
+      val root = scratch("rollback", dir)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val good = VersionedTable.publish(orders, root)
+      VersionedTable.publish(orders.withColumn("p", col("p") * 2), root)
+      VersionedTable.rollbackTo(s, root, good)
+      VersionedTable.readCurrent(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // Cross-table consistent snapshot: fact+dim committed as one group
+    // manifest; afterwards the fact's own current is advanced with a
+    // zeroed-out publish (the torn mid-group state). Group readers
+    // resolve the PINNED versions, so the join matches the raw tables
+    // — proving the snapshot shields readers from per-table drift.
+    "q_l_snapshot_join" -> ((s, dir) => {
+      val group = scratch("snap", dir)
+      val fact = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        col("o_totalprice").as("p"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("c"), col("c_mktsegment").as("seg"))
+      SnapshotGroup.publishSnapshot(s, group,
+        Seq("fact" -> fact, "dim" -> dim))
+      VersionedTable.publish(fact.withColumn("p", lit(0.0)), s"$group/fact")
+      SnapshotGroup.readSnapshot(s, group, "fact")
+        .join(SnapshotGroup.readSnapshot(s, group, "dim"), "c")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec)).cast("double").as("sum_p"))
+        .orderBy("seg")
+    }),
+
     // Clustering round trip: the full read-back of the Z-ordered
     // versioned copy aggregates identically to the raw table — the
     // layout op (two equi-depth ntiles, Morton interleave, range
@@ -279,6 +319,18 @@ object LakeQueries extends QueryPack {
         |  COUNT(tag) AS n_tag,
         |  COUNT(CASE WHEN tag IS NULL THEN 1 END) AS n_untag
         |FROM merged""".stripMargin,
+
+    "q_l_rollback" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders""".stripMargin,
+
+    "q_l_snapshot_join" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
 
     "q_l_cluster_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -436,6 +436,25 @@ object VersionedTable {
     doomed ++ orphans
   }
 
+  /** Roll the table back to a PUBLISHED version: republish that
+    * version's rows as a new current version (stats spec inherited,
+    * standard vacuum). The rollback is a data rewrite, not a pointer
+    * flip — deliberate: "current" is defined as the newest marker, so a
+    * pointer-style rollback would need markers that redirect to older
+    * data directories, and then vacuum would have to reference-count
+    * redirects to avoid deleting a directory a live marker still points
+    * at. A rewrite keeps every invariant (immutable version dirs,
+    * newest-marker-wins, orphan rule) untouched at the cost of one
+    * distributed copy of the table.
+    *
+    * Because the new version's timestamp dominates every pending delta,
+    * a rollback also DISCARDS the pending delta overlay — rolling back
+    * to v means "the table's content is exactly v", not "v plus
+    * whatever upserts landed after the bad publish".
+    */
+  def rollbackTo(spark: SparkSession, root: String, version: String): String =
+    publish(readVersion(spark, root, version), root)
+
   /** Time-based retention — the `VACUUM ... RETAIN n HOURS` form:
     * drop published versions older than `maxAgeMs` (by their embedded
     * publish timestamp), but always keep the newest `minKeep` so the

@@ -627,4 +627,72 @@ class VersionedTableSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(m === Map(1L -> "a", 2L -> "w1", 3L -> "w2"))
   }
+
+  test("rollbackTo restores a prior version's content and discards pending deltas") {
+    val root = tmpRoot("rollback")
+    VersionedTable.publish(Seq((1L, "good"), (2L, "good")).toDF("k", "v"), root)
+    val goodVersion = VersionedTable.currentVersion(spark, root).get
+    VersionedTable.publish(Seq((1L, "bad")).toDF("k", "v"), root)
+    VersionedTable.appendDelta(Seq((9L, "pending")).toDF("k", "v"), root)
+    val rolled = VersionedTable.rollbackTo(spark, root, goodVersion)
+    assert(VersionedTable.currentVersion(spark, root).contains(rolled))
+    val cur = VersionedTable.readCurrent(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(cur === Map(1L -> "good", 2L -> "good"))
+    // the rollback's timestamp dominates the delta: the overlay is gone
+    val merged = VersionedTable.readCurrentMerged(spark, root, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(merged === Map(1L -> "good", 2L -> "good"))
+    // the rolled-back-FROM version is still listed (time travel survives)
+    assert(VersionedTable.listVersions(spark, root).length === 3)
+  }
+
+  test("snapshot group: readers see complete snapshots, never a mix") {
+    import graft.lake.SnapshotGroup
+    val group = tmpRoot("group")
+    val s1 = SnapshotGroup.publishSnapshot(spark, group, Seq(
+      "fact" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"),
+      "dim" -> Seq((1L, "a"), (2L, "b")).toDF("k", "name")))
+    // a member's per-table current advances mid-flight (as during the
+    // next group publish) — the GROUP still resolves s1's pins
+    VersionedTable.publish(Seq((1L, 99L)).toDF("k", "amt"), s"$group/fact")
+    val factPinned = SnapshotGroup.readSnapshot(spark, group, "fact")
+      .as[(Long, Long)].collect().toMap
+    assert(factPinned === Map(1L -> 10L, 2L -> 20L))
+    // commit snapshot 2; newest resolves to it, s1 stays readable
+    val s2 = SnapshotGroup.publishSnapshot(spark, group, Seq(
+      "fact" -> Seq((1L, 11L)).toDF("k", "amt"),
+      "dim" -> Seq((1L, "a2")).toDF("k", "name")))
+    assert(SnapshotGroup.listSnapshots(spark, group) === Seq(s1, s2))
+    assert(SnapshotGroup.readSnapshot(spark, group, "dim")
+      .as[(Long, String)].collect().toMap === Map(1L -> "a2"))
+    assert(SnapshotGroup.readSnapshot(spark, group, "dim", Some(s1))
+      .as[(Long, String)].collect().toMap === Map(1L -> "a", 2L -> "b"))
+    // pins cover exactly the member set
+    assert(SnapshotGroup.snapshotTables(spark, group).keySet === Set("fact", "dim"))
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.readSnapshot(spark, group, "nope")
+    }
+  }
+
+  test("snapshot group: manifest retention prunes, temps invisible, members survive") {
+    import graft.lake.SnapshotGroup
+    val group = tmpRoot("groupret")
+    val names = (1 to 4).map { i =>
+      SnapshotGroup.publishSnapshot(spark, group,
+        Seq("t" -> Seq((i.toLong, i.toLong)).toDF("k", "v")),
+        keepSnapshots = 2, keepVersions = 4)
+    }
+    val listed = SnapshotGroup.listSnapshots(spark, group)
+    assert(listed === names.drop(2))
+    // a stray uncommitted temp never lists as a snapshot
+    val fs = new org.apache.hadoop.fs.Path(group)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(group, ".g-9999.tmp"), false).close()
+    assert(SnapshotGroup.listSnapshots(spark, group) === listed)
+    // every RETAINED snapshot's pinned versions are still readable
+    listed.foreach { s =>
+      assert(SnapshotGroup.readSnapshot(spark, group, "t", Some(s)).count() === 1)
+    }
+  }
 }
