@@ -86,6 +86,17 @@ object ScaleBench {
       (pmod(xxhash64(col("id"), lit(23)), lit(math.max(nOrders / 100, 1))) + 1)
         .as("l_suppkey"))
 
+  /** customer dimension sized to the o_custkey range (nOrders/10 keys),
+    * for the snapshot-group fact⋈dim row.
+    */
+  def customer(spark: SparkSession, nOrders: Long): DataFrame =
+    spark.range(math.max(nOrders / 10, 1)).select(
+      (col("id") + 1).as("c_custkey"),
+      element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+        (pmod(xxhash64(col("id"), lit(43)), lit(5)) + 1).cast("int"))
+        .as("c_mktsegment"))
+
   // (name, docRows, embRows, orderRows) — S/M/L ≈ sf0.01/sf0.1/sf1
   val sizes: Seq[(String, Long, Long, Long)] = Seq(
     ("S", 500L, 500L, 15000L),
@@ -113,7 +124,11 @@ object ScaleBench {
     // round-10: learned quality gate — two full-batch GD rounds plus
     // the scoring pass; per round two feature-relation shuffles, so
     // ~linear in total token count
-    "q_t_quality_model_score")
+    "q_t_quality_model_score",
+    // round-10: cross-table snapshot — two member publishes + the
+    // manifest commit + the pinned join read-back; ~linear in rows
+    // (manifest work is O(tables) driver-side FS calls)
+    "q_l_snapshot_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,6 +157,9 @@ object ScaleBench {
         orders(spark, nOrd).write.mode("overwrite").parquet(s"$dir/orders.parquet")
         lineitem(spark, nOrd).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
+      // customer arrived after the corpora were first cached — backfill
+      if (!new java.io.File(s"$dir/customer.parquet").exists())
+        customer(spark, nOrd).write.mode("overwrite").parquet(s"$dir/customer.parquet")
       for (q <- heavy) {
         // the full-pairs oracle is small-n by design — skip at L
         if (!(q == "q_t_jaccard_pairs" && name == "L")) {

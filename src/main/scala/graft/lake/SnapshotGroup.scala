@@ -89,24 +89,41 @@ object SnapshotGroup {
       throw new IllegalStateException(
         s"could not commit snapshot manifest $snapshot under $groupRoot")
     // prune old manifests beyond retention (their member versions age
-    // out through the members' own vacuum)
+    // out through the members' own vacuum), plus any dot-temp a
+    // crashed writer left behind — strictly older than this commit, so
+    // never an in-flight writer's
     listSnapshots(spark, groupRoot).dropRight(keepSnapshots)
       .foreach(m => fs.delete(new Path(rootP, m), false))
+    fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(s".$ManifestPrefix") && n.endsWith(".tmp")
+        && n != s".$snapshot.tmp")
+      .foreach(n => fs.delete(new Path(rootP, n), false))
     snapshot
   }
 
-  /** Committed snapshots, ascending (oldest first). */
+  /** Committed snapshots, ascending (oldest first). Names this writer
+    * could not have produced (a stray user-made `g-` file) are ignored,
+    * not crashed on — the [[VersionedTable]] vacuum discipline.
+    */
   def listSnapshots(spark: SparkSession, groupRoot: String): Seq[String] = {
     val rootP = new Path(groupRoot)
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) Seq.empty
     else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith(".tmp"))
+      .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith(".tmp") &&
+        manifestTsOpt(n).isDefined)
       .sorted
   }
 
-  private def manifestTs(m: String): Long =
-    m.stripPrefix(ManifestPrefix).takeWhile(_ != '-').toLong
+  private def manifestTsOpt(m: String): Option[Long] = {
+    val digits = m.stripPrefix(ManifestPrefix).takeWhile(_ != '-')
+    if (digits.nonEmpty && digits.forall(_.isDigit) && digits.length <= 18)
+      Some(digits.toLong)
+    else None
+  }
+
+  private def manifestTs(m: String): Long = manifestTsOpt(m).getOrElse(
+    throw new IllegalArgumentException(s"not a snapshot name: $m"))
 
   /** The pinned `table → version` map of a snapshot (newest when
     * `snapshot` is None).

@@ -158,7 +158,8 @@ object QualityModel {
     require(iters > 0, s"iteration count must be positive, got $iters")
     require(norm == "mass" || norm == "count",
       s"norm must be 'mass' or 'count', got '$norm'")
-    val reserved = Set("feat", "cnt", "x", "w", "_tok", "_y", "_m", "_r", "_g")
+    val reserved = Set("feat", "cnt", "x", "w", "_tok", "_y", "_m", "_r",
+      "_g", "_c", "_gs", "_mass")
     require(!reserved.contains(idCol) && !reserved.contains(labelCol),
       s"idCol/labelCol collide with trainLogisticOn's working names " +
         s"(${reserved.mkString(", ")}) — rename them first")
