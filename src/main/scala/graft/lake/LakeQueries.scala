@@ -207,9 +207,14 @@ object LakeQueries extends QueryPack {
         col("o_totalprice").as("p"))
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("c"), col("c_mktsegment").as("seg"))
+      // 2 fact publishes per snapshot interval × 3 kept snapshots →
+      // keep 7 on EVERY publish of the member (group and direct alike)
+      // so each retained manifest's pin stays readable
+      // (SnapshotGroup scaladoc sizing rule)
       SnapshotGroup.publishSnapshot(s, group,
-        Seq("fact" -> fact, "dim" -> dim))
-      VersionedTable.publish(fact.withColumn("p", lit(0.0)), s"$group/fact")
+        Seq("fact" -> fact, "dim" -> dim), keepVersions = 7)
+      VersionedTable.publish(fact.withColumn("p", lit(0.0)), s"$group/fact",
+        keepVersions = 7)
       SnapshotGroup.readSnapshot(s, group, "fact")
         .join(SnapshotGroup.readSnapshot(s, group, "dim"), "c")
         .groupBy("seg")

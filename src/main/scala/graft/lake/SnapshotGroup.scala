@@ -26,11 +26,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (their own vacuum), manifests keep `keepSnapshots`. Size
   * `keepVersions >= keepSnapshots + 1` (enforced at publish) so no
   * retained manifest can reference a vacuumed member version — each
-  * snapshot pins at most one version per member, and member vacuum only
-  * runs on the group's own publishes. Reading a manifest older than
-  * retention fails with the standard [[VersionedTable.readVersion]]
-  * error, exactly like time travel past snapshot expiry in a table
-  * format.
+  * snapshot pins at most one version per member. The contract extends
+  * to DIRECT member publishes (`VersionedTable.publish` /
+  * `rollbackTo` on `groupRoot/<name>`): they run the member's vacuum
+  * too and burn retention slots of their own, so the general sizing
+  * rule is keepVersions > (member publishes per snapshot interval) ×
+  * keepSnapshots — with direct publishes interleaved, pass a
+  * correspondingly larger `keepVersions` on every publish of that
+  * member or an older retained manifest's pin can age out. Reading a
+  * manifest older than retention fails with the
+  * standard [[VersionedTable.readVersion]] error, exactly like time
+  * travel past snapshot expiry in a table format.
   *
   * 100 TB shape: the manifest is O(tables) bytes of driver-side FS
   * work; all data movement is the member publishes themselves
@@ -89,14 +95,18 @@ object SnapshotGroup {
       throw new IllegalStateException(
         s"could not commit snapshot manifest $snapshot under $groupRoot")
     // prune old manifests beyond retention (their member versions age
-    // out through the members' own vacuum), plus any dot-temp a
-    // crashed writer left behind — strictly older than this commit, so
-    // never an in-flight writer's
+    // out through the members' own vacuum), plus dot-temps of CRASHED
+    // writers only — judged by an age horizon, not by name: a
+    // concurrent writer's in-flight temp can carry ANY nearby
+    // timestamp (it computed its ts before or after ours), so the only
+    // safe "provably dead" test is an embedded ts a full hour stale.
     listSnapshots(spark, groupRoot).dropRight(keepSnapshots)
       .foreach(m => fs.delete(new Path(rootP, m), false))
+    val deadHorizon = System.currentTimeMillis() - 3600 * 1000L
     fs.listStatus(rootP).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(s".$ManifestPrefix") && n.endsWith(".tmp")
-        && n != s".$snapshot.tmp")
+      .filter(n => n.startsWith(s".$ManifestPrefix") && n.endsWith(".tmp"))
+      .filter(n => manifestTsOpt(n.stripPrefix(".").stripSuffix(".tmp"))
+        .exists(_ < deadHorizon))
       .foreach(n => fs.delete(new Path(rootP, n), false))
     snapshot
   }
@@ -115,12 +125,8 @@ object SnapshotGroup {
       .sorted
   }
 
-  private def manifestTsOpt(m: String): Option[Long] = {
-    val digits = m.stripPrefix(ManifestPrefix).takeWhile(_ != '-')
-    if (digits.nonEmpty && digits.forall(_.isDigit) && digits.length <= 18)
-      Some(digits.toLong)
-    else None
-  }
+  private def manifestTsOpt(m: String): Option[Long] =
+    VersionedTable.digitsTs(m.stripPrefix(ManifestPrefix))
 
   private def manifestTs(m: String): Long = manifestTsOpt(m).getOrElse(
     throw new IllegalArgumentException(s"not a snapshot name: $m"))

@@ -115,9 +115,17 @@ object VersionedTable {
     * for names this writer could not have produced (vacuum must skip
     * those, not crash on a stray user-made `v-` directory).
     */
-  private def versionTsOpt(v: String): Option[Long] = {
-    val digits = v.stripPrefix(VersionPrefix).stripPrefix(DeltaPrefix)
-      .takeWhile(_ != '-')
+  private def versionTsOpt(v: String): Option[Long] =
+    digitsTs(v.stripPrefix(VersionPrefix).stripPrefix(DeltaPrefix))
+
+  /** Shared name→timestamp parse for every lake commit protocol
+    * (versions, deltas, snapshot-group manifests): the leading digit
+    * run of a prefix-stripped name, or None for a name this writer
+    * family could not have produced (strays are skipped, not crashed
+    * on).
+    */
+  private[lake] def digitsTs(stripped: String): Option[Long] = {
+    val digits = stripped.takeWhile(_ != '-')
     if (digits.nonEmpty && digits.forall(_.isDigit) && digits.length <= 18)
       Some(digits.toLong)
     else None
@@ -451,9 +459,16 @@ object VersionedTable {
     * a rollback also DISCARDS the pending delta overlay — rolling back
     * to v means "the table's content is exactly v", not "v plus
     * whatever upserts landed after the bad publish".
+    *
+    * Pass the table's own retention as `keepVersions` — the embedded
+    * vacuum runs like any publish's, so a rollback with the default on
+    * a table maintained at keepVersions=10 would silently shrink its
+    * audit horizon to 3.
     */
-  def rollbackTo(spark: SparkSession, root: String, version: String): String =
-    publish(readVersion(spark, root, version), root)
+  def rollbackTo(spark: SparkSession, root: String, version: String,
+                 keepVersions: Int = 3): String =
+    publish(readVersion(spark, root, version), root,
+      keepVersions = keepVersions)
 
   /** Time-based retention — the `VACUUM ... RETAIN n HOURS` form:
     * drop published versions older than `maxAgeMs` (by their embedded

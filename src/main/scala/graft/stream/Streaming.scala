@@ -592,29 +592,53 @@ object Streaming {
     */
   def onlineLogisticBatchStep(batch: DataFrame, idCol: String,
                               textCol: String, labelCol: String, dim: Int,
-                              lr: Double, storePath: String): DataFrame = {
+                              lr: Double, storePath: String,
+                              batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val prior =
       if (graft.lake.VersionedTable.isVersioned(spark, storePath))
         Some(graft.lake.VersionedTable.readCurrent(spark, storePath))
       else None
-    val w = graft.textops.QualityModel.trainLogisticOn(
-      graft.textops.QualityModel.hashedFeatures(batch, idCol, textCol, dim),
-      batch.select(col(idCol), col(labelCol)), idCol, labelCol,
-      iters = 1, lr = lr, init = prior)
-    graft.lake.VersionedTable.publish(w, storePath)
-    w
+    // At-least-once redelivery guard: foreachBatch commits its offsets
+    // AFTER this function returns, so a crash between our publish and
+    // the checkpoint commit re-runs the same micro-batch. The store
+    // carries the last applied batch id; a replay of an id we already
+    // folded returns the store unchanged instead of taking a second
+    // gradient step on the same evidence (the upsert-sink idempotence
+    // discipline).
+    val alreadyApplied = (for {
+      p <- prior; bid <- batchId
+      if p.columns.contains("_batch")
+      row = p.agg(max(col("_batch"))).head()
+      if !row.isNullAt(0)
+    } yield row.getLong(0) >= bid).getOrElse(false)
+    if (alreadyApplied) {
+      prior.get.select(col("feat"), col("w"))
+    } else {
+      val w = graft.textops.QualityModel.trainLogisticOn(
+        graft.textops.QualityModel.hashedFeatures(batch, idCol, textCol, dim),
+        batch.select(col(idCol), col(labelCol)), idCol, labelCol,
+        iters = 1, lr = lr, init = prior)
+      val stamped = batchId match {
+        case Some(bid) => w.withColumn("_batch", lit(bid))
+        case None => w
+      }
+      graft.lake.VersionedTable.publish(stamped, storePath)
+      w
+    }
   }
 
-  /** foreachBatch writer wrapping [[onlineLogisticBatchStep]]. */
+  /** foreachBatch writer wrapping [[onlineLogisticBatchStep]], with the
+    * micro-batch id threaded through for redelivery idempotence.
+    */
   def onlineLogisticWriter(rows: DataFrame, idCol: String, textCol: String,
                            labelCol: String, dim: Int, lr: Double,
                            storePath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         onlineLogisticBatchStep(batch, idCol, textCol, labelCol, dim, lr,
-          storePath)
+          storePath, batchId = Some(batchId))
         ()
     }
 

@@ -54,6 +54,11 @@ object QualityModel {
   // trap, not a theoretical one.)
   private val dec9 = DecimalType(10, 9)
 
+  /** Largest 9-dp value DECIMAL(10,9) holds — the weight clamp bound
+    * (mirrors in SQL as `GREATEST(-9.999999999, LEAST(9.999999999, …))`).
+    */
+  val WeightBound = 9.999999999
+
   /** Engine-portable feature id: first 8 md5 hex digits of the token,
     * as a long, mod `dim` — always in [0, dim). Mirrors in any SQL
     * engine as `CAST(('0x' || substring(md5(tok),1,8)) AS BIGINT) % dim`.
@@ -201,13 +206,22 @@ object QualityModel {
       // LEFT join: with no init every weight row has a gradient (w =
       // observed features), so this is the old inner join; with a
       // warm start, prior-only features carry no gradient and keep
-      // their weight unchanged. localCheckpoint cuts the per-
-      // iteration lineage (w is consumed twice next round).
+      // their weight unchanged. The update is clamped to the
+      // DECIMAL(10,9)-representable band: past ±10 Spark's non-ANSI
+      // cast would turn the weight into NULL and sum() would silently
+      // drop the model's strongest feature from every margin — the
+      // sigmoid is saturated long before ±10 anyway, so the clamp
+      // changes nothing in-range and prevents silent corruption out of
+      // range (an aggressive lr, or many warm-started online rounds of
+      // one-sided evidence, can get there). localCheckpoint cuts the
+      // per-iteration lineage (w is consumed twice next round).
       w = w.join(grad, Seq("feat"), "left")
         .select(col("feat"),
           when(col("_gs").isNull, col("w"))
-            .otherwise(round(col("w") - lit(lr)
-              * (col("_gs").cast("double") / col("_mass").cast("double")), 9))
+            .otherwise(greatest(lit(-WeightBound), least(lit(WeightBound),
+              round(col("w") - lit(lr)
+                * (col("_gs").cast("double") / col("_mass").cast("double")),
+                9))))
             .as("w"))
         .localCheckpoint()
     }
@@ -215,23 +229,31 @@ object QualityModel {
   }
 
   /** Score documents with a trained weight relation: `(idCol, score)`
-    * with score = σ(Σ w·cnt) rounded to 9 dp. Weights are broadcast
-    * (dim-bounded); docs with no in-vocabulary token — including
-    * empty docs — score σ(0) = 0.5 via the left join's null sum.
-    * This is the full-corpus pass: narrow tokenize+hash, one per-doc
-    * aggregation, no other shuffle.
+    * with score = σ(Σ w·x) over the length-normalized shares x —
+    * the same feature convention the trainer fits on. Weights are
+    * broadcast (dim-bounded); docs with no in-vocabulary token —
+    * including empty docs — score σ(0) = 0.5 via the left join's null
+    * sum. This is the full-corpus pass: narrow tokenize+hash, one
+    * per-doc aggregation, no other shuffle.
     */
   def scoreLogistic(df: DataFrame, weights: DataFrame, idCol: String,
                     textCol: String, dim: Int): DataFrame =
     scoreLogisticOn(hashedFeatures(df, idCol, textCol, dim), weights,
       df.select(col(idCol)), idCol)
 
-  /** Generic scoring: σ of the feature⋈weights dot product for every
-    * id in `ids` — ids with no feature row (or only out-of-vocabulary
-    * features) fall back through the left joins to σ(0) = 0.5.
+  /** Generic scoring: σ(Σ w·x) rounded to 9 dp, for every id in `ids`
+    * — ids with no feature row (or only out-of-vocabulary features)
+    * fall back through the left joins to σ(0) = 0.5. Weights are
+    * assumed in the trained band |w| ≤ [[WeightBound]] (the trainer
+    * clamps); an out-of-band hand-built weight would null out under
+    * the DECIMAL cast.
     */
   def scoreLogisticOn(features: DataFrame, weights: DataFrame,
                       ids: DataFrame, idCol: String): DataFrame = {
+    val reserved = Set("feat", "cnt", "x", "w", "_c", "_m", "score")
+    require(!reserved.contains(idCol),
+      s"idCol collides with scoreLogisticOn's working names " +
+        s"(${reserved.mkString(", ")}) — rename it first")
     val margins = features
       .join(broadcast(weights), Seq("feat"), "left")
       .withColumn("_c", coalesce(col("w"), lit(0.0)).cast(dec9) * col("x"))

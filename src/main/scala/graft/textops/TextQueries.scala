@@ -1361,7 +1361,8 @@ object TextQueries extends QueryPack {
         |    SUM(x) AS mass
         |  FROM f GROUP BY feat),
         |w1 AS (SELECT feat,
-        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
         |  FROM g1),
         |m2 AS (SELECT f.doc_id, f.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
@@ -1373,7 +1374,8 @@ object TextQueries extends QueryPack {
         |    SUM(f.x) AS mass
         |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
         |w2 AS (SELECT w1.feat,
-        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat)
         |SELECT feat, ROUND(w, 6) AS weight FROM w2 ORDER BY feat""".stripMargin,
 
@@ -1398,7 +1400,8 @@ object TextQueries extends QueryPack {
         |    SUM(x) AS mass
         |  FROM f GROUP BY feat),
         |w1 AS (SELECT feat,
-        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
         |  FROM g1),
         |m2 AS (SELECT f.doc_id, f.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
@@ -1410,7 +1413,8 @@ object TextQueries extends QueryPack {
         |    SUM(f.x) AS mass
         |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
         |w2 AS (SELECT w1.feat,
-        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT f.doc_id,
         |    SUM(CAST(w2.w AS DECIMAL(10,9)) * f.x) AS m
@@ -1449,7 +1453,8 @@ object TextQueries extends QueryPack {
         |    SUM(x) AS mass
         |  FROM ft GROUP BY feat),
         |w1 AS (SELECT feat,
-        |    ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
         |  FROM g1),
         |m2 AS (SELECT ft.doc_id, ft.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * ft.x) AS m
@@ -1461,7 +1466,8 @@ object TextQueries extends QueryPack {
         |    SUM(ft.x) AS mass
         |  FROM ft JOIN r2 USING (doc_id) GROUP BY ft.feat),
         |w2 AS (SELECT w1.feat,
-        |    ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT f.doc_id,
         |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * f.x) AS m
@@ -1489,7 +1495,8 @@ object TextQueries extends QueryPack {
         |    COUNT(*) AS mass
         |  FROM v GROUP BY feat),
         |w1 AS (SELECT feat,
-        |    ROUND(0.0 - 1.0 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(0.0 - 1.0 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
         |  FROM g1),
         |m2 AS (SELECT v.vec_id, v.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * v.x) AS m
@@ -1501,7 +1508,8 @@ object TextQueries extends QueryPack {
         |    COUNT(*) AS mass
         |  FROM v JOIN r2 USING (vec_id) GROUP BY v.feat),
         |w2 AS (SELECT w1.feat,
-        |    ROUND(w1.w - 1.0 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9) AS w
+        |    GREATEST(-9.999999999, LEAST(9.999999999,
+        |      ROUND(w1.w - 1.0 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT v.vec_id,
         |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * v.x) AS m

@@ -623,6 +623,29 @@ class StreamingSpec extends SparkSpec {
     assert(replay === w2)
   }
 
+  test("online logistic batch step is idempotent under micro-batch redelivery") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_wstore_redeliver").toString + "/w"
+    val b1 = Seq((1L, "alpha beta", 1L), (2L, "noise junk", 0L))
+      .toDF("doc_id", "text", "y")
+    val first = Streaming.onlineLogisticBatchStep(b1, "doc_id", "text", "y",
+        256, 1.0, store, batchId = Some(7L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // crash-after-publish replay: same batch, same id — store unchanged,
+    // no second gradient step
+    val replay = Streaming.onlineLogisticBatchStep(b1, "doc_id", "text", "y",
+        256, 1.0, store, batchId = Some(7L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replay === first)
+    val versions = graft.lake.VersionedTable.listVersions(spark, store)
+    assert(versions.length === 1, s"replay must not publish: $versions")
+    // a genuinely new batch id DOES apply
+    val next = Streaming.onlineLogisticBatchStep(b1, "doc_id", "text", "y",
+        256, 1.0, store, batchId = Some(8L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(next !== first)
+  }
+
   test("online logistic writer trains across micro-batches end to end") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files
