@@ -89,6 +89,35 @@ object VersionedTable {
   def isVersioned(spark: SparkSession, root: String): Boolean =
     currentVersion(spark, root).isDefined
 
+  /** Guard for "absent means empty" code paths (streaming state
+    * stores, upsert sinks): a root that holds DATA but no version —
+    * a plain-parquet dataset from a pre-versioned layout — must fail
+    * loudly, because treating it as an empty table would silently
+    * discard the accumulated state on the first write. Migration is a
+    * deliberate act: read the loose part files (glob them directly —
+    * a plain read of the root would trip over the version
+    * subdirectories), publish them as the first version of a fresh
+    * root (or this root, whose loose files then become invisible dead
+    * bytes to delete), and re-point the sink.
+    */
+  def requireVersionedOrEmpty(spark: SparkSession, root: String): Unit =
+    if (!isVersioned(spark, root)) {
+      val rootP = new Path(root)
+      val fs = fsOf(spark, rootP)
+      if (fs.exists(rootP)) {
+        val foreign = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+          .filterNot(n => n.startsWith(MarkerPrefix) ||
+            n.startsWith(VersionPrefix) || n.startsWith(DeltaPrefix) ||
+            n.startsWith(".") || n.startsWith("_"))
+        require(foreign.isEmpty,
+          s"$root holds unversioned data (${foreign.take(3).mkString(", ")}" +
+            s"${if (foreign.length > 3) ", …" else ""}): reading it as an " +
+            "empty table would silently discard it — migrate the legacy " +
+            "dataset explicitly (read the loose parquet files, publish " +
+            "them as a version, remove the loose files)")
+      }
+    }
+
   /** Read the current version. Fails (like any read of an absent
     * dataset) when nothing has been published.
     */
@@ -378,12 +407,15 @@ object VersionedTable {
       val keeps = preds.map(_.fileKeep(stats.columns.toSeq))
       if (keeps.exists(_.isEmpty)) None
       else {
-        val total = stats.count()
-        val kept = stats
-          .where(keeps.flatten.reduce(_ && _))
-          .select("file_path")
-          .collect().map(_.getString(0)).toSeq
-        Some((kept, total))
+        // ONE pass: collecting (file, keep) pairs yields the kept list
+        // and the total together — a separate stats.count() would cost
+        // a second job per pruned read, on the hot point-lookup path
+        val rows = stats
+          .select(col("file_path"),
+            coalesce(keeps.flatten.reduce(_ && _), lit(false)).as("_keep"))
+          .collect()
+        Some((rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+          rows.length.toLong))
       }
     }
 
@@ -577,7 +609,12 @@ object VersionedTable {
             readCurrentMerged(spark, root, keys)
           else readCurrent(spark, root)
         graft.operators.Joins.upsert(cur, batch, keys)
-      } else batch
+      } else {
+        // loud, not silent: a legacy plain-parquet dataset here would
+        // otherwise be discarded by the bootstrap publish
+        requireVersionedOrEmpty(spark, root)
+        batch
+      }
     publish(merged, root, keepVersions, statsColumns, bloomColumns)
     ()
   }

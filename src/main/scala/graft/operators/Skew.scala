@@ -24,7 +24,14 @@ object Skew {
     * recomputation and can disagree with shuffle files already
     * written). Duplicate rows share a salt; for a hot key whose rows
     * carry any payload variety the hash still spreads them across all
-    * `saltFactor` reducers.
+    * `saltFactor` reducers. The degenerate case is a hot key whose
+    * rows are EXACT duplicates across every column (e.g. after
+    * projecting away everything but the join key): all of them hash to
+    * one salt and the skew silently returns. If that shape is possible,
+    * keep a unique row id (a surrogate/primary key) in the projection —
+    * any distinguishing column restores the spread; positional salts
+    * (partition id, monotonic id) are NOT a fix, they reintroduce the
+    * retry nondeterminism this salt exists to avoid.
     */
   /** Content-derived salt in [0, saltFactor): `xxhash64` over every
     * column of `fact` — deterministic under recomputation. Exposed for

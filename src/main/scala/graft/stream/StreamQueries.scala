@@ -79,8 +79,16 @@ object StreamQueries extends QueryPack {
           transform(col("embedding"), x => x.cast("double")).as("cv"))
       val withTs = emb.withColumn("ts",
         lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_semstep").toString + "/store"
+      // deterministic per-input scratch root (the LakeQueries
+      // discipline — a fresh createTempDirectory per run accumulates
+      // orphan state dirs across bench/correctness repetitions), wiped
+      // before the fold: the two-batch result is only deterministic
+      // from an EMPTY store
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"semstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
       // batch 1 (even ids) materializes eagerly — survivors checkpoint,
       // state publishes to the store
       Streaming.semanticDedupBatchStep(

@@ -278,9 +278,14 @@ object Streaming {
     val store =
       if (graft.lake.VersionedTable.isVersioned(spark, storePath))
         graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      else {
+        // loud on a legacy plain-parquet store: treating it as empty
+        // would reset the dedup state and re-admit seen content
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("band", IntegerType), StructField("key", LongType),
           StructField("_ts", TimestampType))))
+      }
     // batch-sized; computed ONCE — four consumers below (store probe,
     // both sides of the in-batch self-join, survivor band extraction)
     // would otherwise each recompute the minhash banding
@@ -332,19 +337,23 @@ object Streaming {
     *
     * The old append-sink ordering lost a batch's survivors in the
     * middle case (documented as the "re-ingest the gap at rest" trade);
-    * the keyed versioned upsert closes that window structurally. Read
-    * the sink with `VersionedTable.readCurrent(spark, survivorsPath)`.
+    * the keyed merge-on-read sink closes that window structurally AND
+    * keeps the per-batch sink cost O(batch): the previous copy-on-write
+    * upsert re-read and re-wrote the whole survivors table every
+    * micro-batch — quadratic total write amplification on a
+    * long-running stream. Read the sink with
+    * `VersionedTable.readCurrentMerged(spark, survivorsPath, Seq(idCol))`.
     */
   def nearDedupWriter(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, storePath: String, survivorsPath: String,
-                      retention: String = "1 hour")
+                      retention: String = "1 hour", compactEvery: Int = 10)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val (survivors, newStore) = nearDedupBatchCompute(batch, idCol,
           textCol, tsCol, storePath, retention, 3, 64, 16)
-        graft.lake.VersionedTable.upsertBatch(batch.sparkSession, survivors,
-          Seq(idCol), survivorsPath)
+        morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
+          compactEvery)
         graft.lake.VersionedTable.publish(newStore, storePath)
         ()
     }
@@ -370,16 +379,31 @@ object Streaming {
     require(compactEvery != 0, "compactEvery must be positive (or negative to disable)")
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.lake.VersionedTable.isVersioned(spark, root))
-          graft.lake.VersionedTable.publish(batch, root,
-            statsColumns = statsColumns)
-        else
-          graft.lake.VersionedTable.appendDelta(batch, root)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.lake.VersionedTable.compactDeltas(spark, root, keys)
+        morUpsertStep(batch, keys, root, batchId, compactEvery, statsColumns)
         ()
     }
+  }
+
+  /** One merge-on-read upsert step — the shared O(batch) sink body of
+    * [[morUpsertWriter]] and both dedup writers' survivors sinks:
+    * bootstrap-publish on an empty root (loud on a legacy layout),
+    * delta-append otherwise, fold the overlay every `compactEvery`
+    * batches.
+    */
+  private[graft] def morUpsertStep(batch: DataFrame, keys: Seq[String],
+                                   root: String, batchId: Long,
+                                   compactEvery: Int,
+                                   statsColumns: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
+      graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
+      graft.lake.VersionedTable.publish(batch, root,
+        statsColumns = statsColumns)
+    }
+    else
+      graft.lake.VersionedTable.appendDelta(batch, root)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      graft.lake.VersionedTable.compactDeltas(spark, root, keys)
   }
 
   /** `foreachBatch` CDC-apply sink: a change stream whose rows carry an
@@ -409,16 +433,27 @@ object Streaming {
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // materialize the change batch ONCE: the op-split filters, the
+        // emptiness decisions, and the delta writes all read the same
+        // blocks instead of re-scanning the source up to four times
+        val b = batch.localCheckpoint()
         // null op never equals deleteOp (null-safe) → treated as upsert
-        val ups = batch.where(!(col(opCol) <=> lit(deleteOp))).drop(opCol)
-        val dels = batch.where(col(opCol) <=> lit(deleteOp))
+        val ups = b.where(!(col(opCol) <=> lit(deleteOp))).drop(opCol)
+        val dels = b.where(col(opCol) <=> lit(deleteOp))
           .select(keys.map(col): _*)
-        if (!graft.lake.VersionedTable.isVersioned(spark, root))
+        // both emptiness decisions in ONE job over the cached blocks
+        val cnts = b.agg(
+          count(when(!(col(opCol) <=> lit(deleteOp)), 1)).as("nu"),
+          count(when(col(opCol) <=> lit(deleteOp), 1)).as("nd")).head()
+        val (nUps, nDels) = (cnts.getLong(0), cnts.getLong(1))
+        if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
+          graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
           graft.lake.VersionedTable.publish(ups, root,
             statsColumns = statsColumns)
-        else if (!ups.isEmpty)
+        }
+        else if (nUps > 0)
           graft.lake.VersionedTable.appendDelta(ups, root)
-        if (!dels.isEmpty)
+        if (nDels > 0)
           graft.lake.VersionedTable.appendDeleteDelta(dels, root)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           graft.lake.VersionedTable.compactDeltas(spark, root, keys)
@@ -508,12 +543,16 @@ object Streaming {
     val store =
       if (graft.lake.VersionedTable.isVersioned(spark, storePath))
         graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("bucket", LongType),
-          StructField("_sid", LongType),
-          StructField("_svec", ArrayType(DoubleType)),
-          StructField("_ts", TimestampType))))
+      else {
+        // loud on a legacy plain-parquet store (see nearDedup twin)
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("bucket", LongType),
+            StructField("_sid", LongType),
+            StructField("_svec", ArrayType(DoubleType)),
+            StructField("_ts", TimestampType))))
+      }
     val assigned = graft.textops.Similarity.assignBuckets(
         batch.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, bucketCol, centroidVecCol)
@@ -563,15 +602,17 @@ object Streaming {
                           tsCol: String, centroids: DataFrame,
                           bucketCol: String, centroidVecCol: String,
                           threshold: Double, storePath: String,
-                          survivorsPath: String, retention: String = "1 hour")
+                          survivorsPath: String, retention: String = "1 hour",
+                          compactEvery: Int = 10)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val (survivors, newStore) = semanticDedupBatchCompute(batch, idCol,
           vecCol, tsCol, centroids, bucketCol, centroidVecCol, threshold,
           storePath, retention)
-        graft.lake.VersionedTable.upsertBatch(batch.sparkSession, survivors,
-          Seq(idCol), survivorsPath)
+        // O(batch) merge-on-read survivors sink (see nearDedupWriter)
+        morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
+          compactEvery)
         graft.lake.VersionedTable.publish(newStore, storePath)
         ()
     }
@@ -598,7 +639,12 @@ object Streaming {
     val prior =
       if (graft.lake.VersionedTable.isVersioned(spark, storePath))
         Some(graft.lake.VersionedTable.readCurrent(spark, storePath))
-      else None
+      else {
+        // loud on a legacy plain-parquet store: treating it as absent
+        // would restart the model from zero
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        None
+      }
     // At-least-once redelivery guard: foreachBatch commits its offsets
     // AFTER this function returns, so a crash between our publish and
     // the checkpoint commit re-runs the same micro-batch. The store

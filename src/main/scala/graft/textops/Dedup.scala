@@ -411,20 +411,22 @@ object Dedup {
     * the round-count bound. Size `maxIter` ≈ log₂(nodes) + slack for
     * graphs that could be a single deep component.
     *
-    * Convergence is detected structurally and for FREE: `e` is a union
-    * of stars iff no node has both a smaller and a larger neighbour
-    * (⟺ no parent is also a child), and the large-star aggregation
-    * already groups the symmetric neighbourhood per node — carrying
-    * `max(v)` next to the `min(v)` it needs anyway yields the
-    * violation counter as an `observe` metric collected by the round's
-    * own checkpoint materialization (the propagation form's counter
-    * pattern). No per-round convergence job, no extra shuffle; the
-    * price is that star-ness of round k's output is seen while
-    * computing round k+1 — one redundant (idempotent: stars are the
-    * round operator's fixpoint) round of work. A non-converged exit
-    * still throws rather than returning partial clusters. Works for
-    * any ordered node type (string ids included); self-loop-only nodes
-    * label themselves via the final node-relation join.
+    * Convergence detection is two-tier. The cheap tier rides the
+    * round for free: the large-star aggregation already groups the
+    * symmetric neighbourhood per node, and carrying `max(v)` next to
+    * the `min(v)` it needs anyway yields a "some node has both a
+    * smaller and a larger neighbour" counter as an `observe` metric
+    * collected by the round's own checkpoint materialization. That
+    * star test is NECESSARY but not sufficient — a star forest whose
+    * roots are chained among themselves passes it one round early
+    * (the {(1,4),(2,4),(2,3)} regression in TextOpsSpec), so rounds
+    * the counter nominates as final additionally pay the exact
+    * fixpoint check next == e (count + except on the edge relation);
+    * only that equality stops the loop. Non-candidate rounds still run
+    * zero convergence jobs. A non-converged exit throws rather than
+    * returning partial clusters. Works for any ordered node type
+    * (string ids included); self-loop-only nodes label themselves via
+    * the final node-relation join.
     *
     * Returns (node, label) where label = min node id in the component.
     */
@@ -475,9 +477,19 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
         .localCheckpoint() // materializes AND collects the observe metric
-      // null sum ⟺ no violating node ⟺ e was stars; next == e then
+      // null sum ⟺ no node has BOTH a smaller and a larger neighbour.
+      // That star test is necessary but NOT sufficient: a star forest
+      // whose ROOTS are themselves chained (e.g. {(4,1),(4,2),(3,2)} —
+      // node 2 has only larger neighbours, node 4 only smaller) passes
+      // it while the round still rewires (3,2)→(3,1)… stopping there
+      // returned a SPLIT component. The true stop condition is the
+      // round fixpoint next == e, and the cheap observed test now only
+      // gates WHEN to pay for the exact set-equality check — candidate
+      // rounds are typically just the final one, so the two extra jobs
+      // (count + except) run once per call, on k-row-ish relations.
       converged = awaitObserved(obs, "nonstar",
-        "connectedComponents").fold(true)(_ == 0L)
+        "connectedComponents").fold(true)(_ == 0L) &&
+        next.count() == e.count() && next.except(e).isEmpty
       e = next
       i += 1
     }

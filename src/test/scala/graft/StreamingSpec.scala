@@ -117,7 +117,8 @@ class StreamingSpec extends SparkSpec {
       (4L, Timestamp.valueOf("2024-01-01 10:06:00"),
         "fresh unrelated content mentioning rivers mountains valleys forests deserts plains"))
     q.processAllAvailable()
-    val kept = graft.lake.VersionedTable.readCurrent(spark, dir + "/survivors")
+    val kept = graft.lake.VersionedTable
+      .readCurrentMerged(spark, dir + "/survivors", Seq("doc_id"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 2L, 4L))
     // batch 3 arrives beyond the retention horizon: doc 1's bands are
@@ -126,7 +127,8 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (5L, Timestamp.valueOf("2024-01-01 12:30:00"), base.replace("dog", "hen")))
     q.processAllAvailable()
-    val kept2 = graft.lake.VersionedTable.readCurrent(spark, dir + "/survivors")
+    val kept2 = graft.lake.VersionedTable
+      .readCurrentMerged(spark, dir + "/survivors", Seq("doc_id"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
     // state is bounded: only bands of docs within the horizon remain
@@ -155,14 +157,15 @@ class StreamingSpec extends SparkSpec {
     // attempt 1: sink commit succeeds, state publish never happens
     val (surv1, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
       "ts", store, "1 hour", 3, 64, 16)
-    graft.lake.VersionedTable.upsertBatch(spark, surv1, Seq("doc_id"), sink)
+    Streaming.morUpsertStep(surv1, Seq("doc_id"), sink, 0L, 10)
     assert(!graft.lake.VersionedTable.isVersioned(spark, store)) // "crashed"
     // attempt 2 (re-delivery): the full writer step runs to completion
     val (surv2, store2) = Streaming.nearDedupBatchCompute(batch, "doc_id",
       "text", "ts", store, "1 hour", 3, 64, 16)
-    graft.lake.VersionedTable.upsertBatch(spark, surv2, Seq("doc_id"), sink)
+    Streaming.morUpsertStep(surv2, Seq("doc_id"), sink, 0L, 10)
     graft.lake.VersionedTable.publish(store2, store)
-    val out = graft.lake.VersionedTable.readCurrent(spark, sink)
+    val out = graft.lake.VersionedTable
+      .readCurrentMerged(spark, sink, Seq("doc_id"))
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 3L)) // converged: no loss, no duplicates
     // attempt 3 (re-delivery AFTER state publish): everything collides
@@ -170,8 +173,9 @@ class StreamingSpec extends SparkSpec {
     val (surv3, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
       "ts", store, "1 hour", 3, 64, 16)
     assert(surv3.isEmpty)
-    graft.lake.VersionedTable.upsertBatch(spark, surv3, Seq("doc_id"), sink)
-    val out3 = graft.lake.VersionedTable.readCurrent(spark, sink)
+    Streaming.morUpsertStep(surv3, Seq("doc_id"), sink, 0L, 10)
+    val out3 = graft.lake.VersionedTable
+      .readCurrentMerged(spark, sink, Seq("doc_id"))
       .select("doc_id").as[Long].collect().sorted
     assert(out3.toSeq === Seq(1L, 3L))
   }
@@ -221,7 +225,8 @@ class StreamingSpec extends SparkSpec {
       (3L, Timestamp.valueOf("2024-01-01 10:05:00"), Seq(0.99, 0.05)),
       (4L, Timestamp.valueOf("2024-01-01 10:06:00"), Seq(0.5, 0.5)))
     q.processAllAvailable()
-    val kept = graft.lake.VersionedTable.readCurrent(spark, dir + "/surv")
+    val kept = graft.lake.VersionedTable
+      .readCurrentMerged(spark, dir + "/surv", Seq("vid"))
       .select("vid").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 2L, 4L))
     // beyond the retention horizon the stored vectors expire first:
@@ -229,7 +234,8 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (5L, Timestamp.valueOf("2024-01-01 12:30:00"), Seq(0.999, 0.01)))
     q.processAllAvailable()
-    val kept2 = graft.lake.VersionedTable.readCurrent(spark, dir + "/surv")
+    val kept2 = graft.lake.VersionedTable
+      .readCurrentMerged(spark, dir + "/surv", Seq("vid"))
       .select("vid").as[Long].collect().sorted
     assert(kept2.toSeq === Seq(1L, 2L, 4L, 5L))
     val storeTs = graft.lake.VersionedTable.readCurrent(spark, dir + "/store")

@@ -276,6 +276,22 @@ class TextOpsSpec extends SparkSpec {
     assert(star === prop)
   }
 
+  test("star-contraction CC does not stop on a star forest with chained roots") {
+    // regression: {(1,4),(2,4),(2,3)} canonicalizes to a star forest in
+    // which NO node has both a smaller and a larger neighbour (2 has
+    // only larger, 4 only smaller), so the observed star counter
+    // nominates round 1 as final — but the round still rewires
+    // (3,2)→(3,1), and stopping early returned {3→2} next to {1,2,4→1}:
+    // one component split in two. The fixpoint check must catch it.
+    val edges = Seq((1L, 4L), (2L, 4L), (2L, 3L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val prop = Dedup.connectedComponentsPropagate(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === prop)
+  }
+
   test("star-contraction CC converges in O(log n) rounds on a chain (propagation needs O(n))") {
     // a 300-node chain: diameter 299. The propagation form cannot finish
     // in 12 rounds; star contraction converges comfortably within them —

@@ -628,6 +628,23 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(m === Map(1L -> "a", 2L -> "w1", 3L -> "w2"))
   }
 
+  test("a legacy plain-parquet dataset at a sink path fails loudly, not silently reset") {
+    val root = tmpRoot("legacy")
+    Seq((1L, "old-state")).toDF("k", "v").write.parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.upsertBatch(spark,
+        Seq((2L, "new")).toDF("k", "v"), Seq("k"), root)
+    }
+    assert(e.getMessage.contains("unversioned data"))
+    // the legacy data is untouched
+    assert(spark.read.parquet(root).count() === 1)
+    // an empty or version-only root still bootstraps normally
+    val fresh = tmpRoot("legacy2")
+    VersionedTable.upsertBatch(spark,
+      Seq((2L, "new")).toDF("k", "v"), Seq("k"), fresh)
+    assert(VersionedTable.readCurrent(spark, fresh).count() === 1)
+  }
+
   test("rollbackTo restores a prior version's content and discards pending deltas") {
     val root = tmpRoot("rollback")
     VersionedTable.publish(Seq((1L, "good"), (2L, "good")).toDF("k", "v"), root)
