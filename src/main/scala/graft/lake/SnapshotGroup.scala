@@ -136,9 +136,13 @@ object SnapshotGroup {
     */
   def snapshotTables(spark: SparkSession, groupRoot: String,
                      snapshot: Option[String] = None): Map[String, String] = {
-    val name = snapshot.orElse(listSnapshots(spark, groupRoot).lastOption)
+    val committed = listSnapshots(spark, groupRoot)
+    val name = snapshot.orElse(committed.lastOption)
       .getOrElse(throw new IllegalStateException(
         s"no committed snapshot under $groupRoot"))
+    require(committed.contains(name),
+      s"$name is not a committed snapshot of $groupRoot " +
+        "(pruned past keepSnapshots, or never existed)")
     val rootP = new Path(groupRoot)
     val fs = fsOf(spark, rootP)
     val in = fs.open(new Path(rootP, name))
@@ -150,6 +154,71 @@ object SnapshotGroup {
       val Array(t, v) = line.split("\t", 2)
       t -> v
     }.toMap
+  }
+
+  /** Roll the GROUP back to a prior snapshot: re-commit its pins as
+    * the newest manifest. Unlike [[VersionedTable.rollbackTo]] this IS
+    * a pointer flip — member version directories are immutable and the
+    * old manifest already names them, so the rollback writes O(tables)
+    * bytes and moves no data. The rolled-back-to versions must still
+    * be retained (standard snapshot-expiry semantics — reading an aged
+    * pin fails loudly); member tables' own current markers are NOT
+    * touched, group readers never consult them.
+    */
+  def rollbackToSnapshot(spark: SparkSession, groupRoot: String,
+                         snapshot: String): String = {
+    val pins = snapshotTables(spark, groupRoot, Some(snapshot))
+    // fail loudly NOW if any pin has aged out, not at first read
+    pins.foreach { case (t, v) =>
+      require(VersionedTable.listVersions(spark, s"$groupRoot/$t").contains(v),
+        s"cannot roll back to $snapshot: member '$t' version $v has been " +
+          "vacuumed (snapshot expired)")
+    }
+    val rootP = new Path(groupRoot)
+    val fs = fsOf(spark, rootP)
+    val ts = math.max(System.currentTimeMillis(),
+      listSnapshots(spark, groupRoot).map(manifestTs)
+        .maxOption.map(_ + 1).getOrElse(0L))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val name = f"$ManifestPrefix$ts%013d-$token"
+    val tmp = new Path(rootP, s".$name.tmp")
+    val out = fs.create(tmp, false)
+    out.write(pins.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, new Path(rootP, name)))
+      throw new IllegalStateException(
+        s"could not commit rollback manifest $name under $groupRoot")
+    name
+  }
+
+  /** Operator introspection: one row per (snapshot, member) with the
+    * pinned version, whether the snapshot is current, and whether the
+    * pin is still readable (not vacuumed). O(manifests × tables)
+    * driver-side FS work, the [[VersionedTable.describe]] discipline.
+    */
+  def describe(spark: SparkSession, groupRoot: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snaps = listSnapshots(spark, groupRoot)
+    val newest = snaps.lastOption
+    val rows = snaps.flatMap { s =>
+      snapshotTables(spark, groupRoot, Some(s)).toSeq.sortBy(_._1)
+        .map { case (t, v) =>
+          Row(s, t, v, newest.contains(s),
+            VersionedTable.listVersions(spark, s"$groupRoot/$t").contains(v))
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("snapshot", StringType, nullable = false),
+        StructField("table", StringType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("is_current", BooleanType, nullable = false),
+        StructField("pin_readable", BooleanType, nullable = false))))
   }
 
   /** Read one member table at the snapshot's pinned version (newest

@@ -692,6 +692,40 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot group: rollback re-pins without moving data; describe reports pins") {
+    import graft.lake.SnapshotGroup
+    val group = tmpRoot("grollback")
+    val s1 = SnapshotGroup.publishSnapshot(spark, group, Seq(
+      "t" -> Seq((1L, "v1")).toDF("k", "v")))
+    val s2 = SnapshotGroup.publishSnapshot(spark, group, Seq(
+      "t" -> Seq((1L, "v2")).toDF("k", "v")))
+    val versionsBefore = VersionedTable.listVersions(spark, s"$group/t")
+    val rb = SnapshotGroup.rollbackToSnapshot(spark, group, s1)
+    // newest snapshot now reads s1's content — and NO member version
+    // was written (pointer flip, not rewrite)
+    assert(SnapshotGroup.readSnapshot(spark, group, "t")
+      .as[(Long, String)].collect().toMap === Map(1L -> "v1"))
+    assert(VersionedTable.listVersions(spark, s"$group/t") === versionsBefore)
+    assert(SnapshotGroup.listSnapshots(spark, group) === Seq(s1, s2, rb))
+    // describe: 3 snapshots × 1 member, all pins readable, newest current
+    val d = SnapshotGroup.describe(spark, group)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getBoolean(4)))
+    assert(d.length === 3)
+    assert(d.count(_._2) === 1 && d.filter(_._2).head._1 === rb)
+    assert(d.forall(_._3))
+    // rolling back past retention fails loudly (the manifest ages out
+    // before its pins — snapshotTables rejects the pruned name)
+    (1 to 5).foreach { i =>
+      SnapshotGroup.publishSnapshot(spark, group,
+        Seq("t" -> Seq((1L, s"v$i")).toDF("k", "v")),
+        keepSnapshots = 2, keepVersions = 3)
+    }
+    val gone = intercept[IllegalArgumentException] {
+      SnapshotGroup.rollbackToSnapshot(spark, group, rb)
+    }
+    assert(gone.getMessage.contains("not a committed snapshot"))
+  }
+
   test("snapshot group: manifest retention prunes, temps invisible, members survive") {
     import graft.lake.SnapshotGroup
     val group = tmpRoot("groupret")
