@@ -419,6 +419,28 @@ object RelationalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // G3 (extension): exact triangle counting over the part
+    // co-occurrence graph (parts sharing an URGENT order) — the
+    // clustering-coefficient ingredient for community structure the
+    // count tables of G1/G2 can't see. Degree-ordered orientation
+    // bounds wedge work at O(m^1.5) with no hot reducer; per-node
+    // counts are pure integer arithmetic, engine-exact. Top 20.
+    "q_g3_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val sup = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_partkey").as("nk"))
+        .distinct()
+      val edges = sup.select(col("ok"), col("nk").as("src"))
+        .join(sup.select(col("ok"), col("nk").as("dst")), "ok")
+        .where(col("src") < col("dst"))
+        .select("src", "dst")
+      Graph.triangleCounts(edges, "src", "dst")
+        .orderBy(desc("triangles"), asc("node"))
+        .limit(20)
+    }),
+
     // P12 (extension): k-anonymity suppression — quasi-identifier
     // combinations rarer than k collapse to '*' before release; one
     // window shuffle on the QI key. k=7 genuinely suppresses groups
@@ -708,6 +730,22 @@ object RelationalQueries extends QueryPack {
         |  FROM c2) WHERE rn = 1)
         |SELECT label, COUNT(*) AS n_members
         |FROM a2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // Triangles are orientation-independent, so the oracle uses the
+    // simpler id-ordering (a<b<c once per triangle) instead of the
+    // engine's degree-ordering — same result, simplest correct SQL.
+    "q_g3_triangles" ->
+      """WITH sup AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS nk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.nk AS a, b.nk AS b
+        |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.nk < b.nk),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT UNNEST([x, y, z]) AS node FROM t)
+        |SELECT node, COUNT(*) AS triangles FROM n GROUP BY node
+        |ORDER BY triangles DESC, node LIMIT 20""".stripMargin,
 
     "q_g1_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

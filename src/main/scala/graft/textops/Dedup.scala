@@ -349,19 +349,74 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
-    val banded = sigSize.select(col(idCol),
-      posexplode(bandKeysExpr(r, bands, family)).as(Seq("band", "key")))
-    val candidates = banded.toDF("doc_a", "band", "key")
-      .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val candidates = bandedCandidates(sigSize, idCol, r, bands, family)
     // Exact verification restricted to candidates — the sketch only
     // prunes, it never decides. Set sizes ride along with the
     // signatures (same aggregation pass — see signaturesWithSize).
     val sh = TextFunctions.shingleTable(df, idCol, textCol, shingleN, family)
     val sizes = sigSize.select(col(idCol), col("n_sh"))
     pairsJaccard(candidates, sh, sizes, idCol, threshold)
+  }
+
+  /** The LSH candidate generator shared by the verify tiers: band each
+    * signature, hash-join on (band, key), dedupe to (doc_a < doc_b)
+    * pairs. Subquadratic — pair work is Σ bucket², never n².
+    */
+  private def bandedCandidates(sigSize: DataFrame, idCol: String, r: Int,
+                               bands: Int, family: HashFamily): DataFrame = {
+    val banded = sigSize.select(col(idCol),
+      posexplode(bandKeysExpr(r, bands, family)).as(Seq("band", "key")))
+    banded.toDF("doc_a", "band", "key")
+      .join(banded.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Character-level near-duplicate pairs: MinHash-LSH candidates
+    * verified with normalized edit (Levenshtein) similarity,
+    * `1 − lev(a,b) / max(len(a), len(b))` over whitespace-normalized
+    * text — the verify tier to use when token-set Jaccard is blind to
+    * the difference that matters (reorderings of the same vocabulary
+    * score Jaccard 1.0 but low edit similarity; small in-place edits
+    * score high on both).
+    *
+    * Scale shape: candidates come from the banded signature join
+    * (never all-pairs); the O(len_a · len_b) Levenshtein runs ONLY on
+    * candidate pairs that survive a free length prefilter —
+    * lev ≥ |len_a − len_b| implies sim ≤ 1 − |Δlen|/maxlen, so pairs
+    * whose length gap already violates `threshold` drop before any
+    * quadratic work. Both the filter and the distance are
+    * engine-portable (plain character semantics), so the whole tier
+    * replays in the DuckDB oracle. Empty-vs-empty pairs (maxlen 0)
+    * define sim = 1. Returns (doc_a, doc_b, edit_sim) at 6 dp.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.5,
+                        family: HashFamily = HashFamily.Xx64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sigSize = signaturesWithSize(df, idCol, textCol, shingleN, numHashes, family)
+    val candidates = bandedCandidates(sigSize, idCol, r = numHashes / bands,
+      bands = bands, family = family)
+    val texts = df.select(col(idCol),
+      TextFunctions.normalized(col(textCol)).as("_t"))
+    val joined = candidates
+      .join(texts.toDF("doc_a", "_ta"), "doc_a")
+      .join(texts.toDF("doc_b", "_tb"), "doc_b")
+      .withColumn("_max", greatest(length(col("_ta")), length(col("_tb"))))
+      // free necessary condition: sim ≤ 1 − |Δlen|/maxlen
+      .filter(abs(length(col("_ta")) - length(col("_tb")))
+        <= lit(1.0 - threshold) * col("_max"))
+    joined
+      .withColumn("edit_sim",
+        when(col("_max") === 0, lit(1.0))
+          .otherwise(round(lit(1.0)
+            - levenshtein(col("_ta"), col("_tb")).cast("double") / col("_max"), 6)))
+      .filter(col("edit_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("edit_sim"))
   }
 
   /** Exact Jaccard for a given candidate-pair set. */

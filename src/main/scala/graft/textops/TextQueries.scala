@@ -117,6 +117,18 @@ object TextQueries extends QueryPack {
           family = HashFamily.Md5Portable)
         .orderBy("doc_a", "doc_b")),
 
+    // Character-level verify tier over the same LSH candidates:
+    // normalized Levenshtein similarity ≥ 0.5 (token-set Jaccard is
+    // blind to reorderings; edit distance is not). The O(len²) work
+    // runs only on banded candidates that also survive the free
+    // length-gap prefilter. Md5Portable so the oracle replays the
+    // whole tier, sketch included.
+    "q_t_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          family = HashFamily.Md5Portable)
+        .orderBy("doc_a", "doc_b")),
+
     // SimHash near-dups within Hamming distance 3 of the 64-bit sketch —
     // the classic 64-bit simhash dedup operating point (Manku et al.,
     // WWW'07). Larger radii are supported (banding derives chunk count
@@ -792,7 +804,12 @@ object TextQueries extends QueryPack {
     * same candidate-join + exact-Jaccard tail as q_t_jaccard_pairs.
     * All operands stay positive so `%` ≡ pmod on both engines.
     */
-  private def minhashLshOracleSql: String = {
+  /** The MinHash-LSH candidate CTE chain (Md5Portable family, 64
+    * hashes × 16 bands) shared by every oracle that verifies LSH
+    * candidates — ends in `cand(doc_a, doc_b)`. Replays the engine's
+    * sketch bit-for-bit: permutation mins, band md5 keys, bucket join.
+    */
+  private def minhashCandCtes: String = {
     val p = Dedup.MinhashPrime
     val mins = Dedup.minhashCoefficients(64).zipWithIndex.map {
       case ((a, b), i) => s"MIN((h * $a + $b) % $p) AS m$i"
@@ -802,7 +819,7 @@ object TextQueries extends QueryPack {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, CAST(('0x' || substring(md5($parts), 1, 15)) AS BIGINT) AS key FROM sig"
     }.mkString("\n|  UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |hb AS (SELECT doc_id,
        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $p AS h
        |  FROM sh),
@@ -813,7 +830,11 @@ object TextQueries extends QueryPack {
        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
        |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def minhashLshOracleSql: String = {
+    s"""WITH $minhashCandCtes,
        |pairs AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
@@ -934,6 +955,27 @@ object TextQueries extends QueryPack {
     // Full SimHash replay: per-occurrence token hashes, 64 bit votes,
     // 4×16-bit chunk banding, exact Hamming filter.
     "q_t_simhash" -> simhashOracleSql,
+
+    // Same LSH candidate replay, then the character-level verify:
+    // length-gap prefilter, levenshtein over normalized text, keep
+    // rounded sim ≥ 0.5 (filter on the ROUNDED value, as the engine
+    // does — a boundary pair must decide identically in both engines).
+    "q_t_edit_verify" ->
+      s"""WITH $minhashCandCtes,
+         |d AS (SELECT doc_id,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |    CASE WHEN GREATEST(length(da.t), length(db.t)) = 0 THEN 1.0
+         |         ELSE ROUND(1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
+         |           / GREATEST(length(da.t), length(db.t)), 6) END AS edit_sim
+         |  FROM cand c
+         |  JOIN d da ON da.doc_id = c.doc_a
+         |  JOIN d db ON db.doc_id = c.doc_b
+         |  WHERE ABS(length(da.t) - length(db.t))
+         |    <= 0.5 * GREATEST(length(da.t), length(db.t)))
+         |SELECT doc_a, doc_b, edit_sim FROM v WHERE edit_sim >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_t_exact_dedup" ->
       s"""SELECT COUNT(*) AS n_docs,

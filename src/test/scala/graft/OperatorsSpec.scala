@@ -327,6 +327,45 @@ class OperatorsSpec extends SparkSpec {
     assert(pr2 === pr)
   }
 
+  test("triangleCounts: hand-checked counts, and junk edges don't distort them") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3;
+    // a pendant path 4-5-6 adds no triangle; self-loop, duplicate,
+    // reversed-duplicate, and null edges must all be inert.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (2L, 1L), (1L, 2L), (5L, 5L)).map { case (a, b) => (Option(a), Option(b)) }
+    val df = (edges :+ ((None: Option[Long], Option(9L))))
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.triangleCounts(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // layout invariance (pure integer arithmetic + orientation is a
+    // function of the graph, not the partitioning)
+    val out2 = graft.operators.Graph.triangleCounts(df.repartition(7), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === out)
+  }
+
+  test("triangleCounts: degree-ordered orientation matches brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 160).map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+    val df = es.toDF("a", "b")
+    val got = graft.operators.Graph.triangleCounts(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side brute force over the canonical edge set
+    val canon = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if canon((x, y)) && canon((y, z)) && canon((x, z))
+      n <- Seq(x, y, z)
+    } expect(n) += 1
+    assert(got === expect.toMap)
+  }
+
   test("gapFillDaily densifies each key's own span and carries values forward") {
     import java.sql.Date
     val df = Seq(

@@ -54,6 +54,34 @@ class TextOpsSpec extends SparkSpec {
       s"Md5Portable LSH recall ${md5Lsh.size}/${exact.size} below 0.9")
   }
 
+  test("editVerifiedPairs separates in-place edits from reorderings Jaccard can't see") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k x"),  // one word swapped → high edit sim
+      (3L, "l k j i h g f e d c b a"),  // same vocabulary reversed
+      (4L, "a b c d e f g h i j k l"))  // identical → sim 1.0
+      .toDF("doc_id", "text")
+    // unigram shingles so every pair above is an LSH candidate — the
+    // spec isolates the VERIFY tier's decisions
+    val pairs = Dedup.editVerifiedPairs(df, "doc_id", "text", shingleN = 1,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.9)
+    // token-set Jaccard calls 1↔3 identical; edit similarity must not
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 3L)))
+    // both hash families agree on the surviving pair set (candidates
+    // may differ; the exact verify decides)
+    val md5 = Dedup.editVerifiedPairs(df, "doc_id", "text", shingleN = 1,
+        numHashes = 64, bands = 16, threshold = 0.5,
+        family = HashFamily.Md5Portable)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(md5 === pairs)
+  }
+
   test("simhash of identical docs is identical; near docs within small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
