@@ -471,6 +471,51 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the `k` corpus vectors MOST cosine-similar to it whose `labelCol`
+    * differs — the near-miss negatives that carry the gradient signal
+    * random negatives don't (in-batch/random negatives are trivially
+    * far; the hard ones sit just across the decision boundary).
+    *
+    * Shape: anchors are a TRAINING BATCH — a k-row relation — so they
+    * broadcast and the corpus-sized side never shuffles for the
+    * candidate product; the |anchors|·n candidate stream collapses
+    * per-anchor through the k-bounded [[graft.functions.TopKAggregator]]
+    * (map-side partials carry ≤k rows per anchor, exchange is
+    * O(anchors·k), nothing sorts the corpus). This is exact brute
+    * force per anchor — the IVF-bucketed composition
+    * ([[searchIvfMultiProbe]] + label filter) is the approximate
+    * scale path when even one pass over the corpus per batch is too
+    * much. Cosine is rounded to 6 dp BEFORE top-k selection and ties
+    * break by id ASC, so the result is layout- and engine-exact.
+    *
+    * `idCol` must be integral (rides the bounded top-k buffer as a
+    * long). Corpus rows with a NULL label are kept as negatives for
+    * every anchor (unknown label ≠ anchor's); NULL-labeled anchors
+    * treat every labeled row as a negative.
+    *
+    * Returns (anchor_id, rank, negative_id, cos_sim), rank 1-based.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"negatives per anchor must be positive, got $k")
+    val a = anchors.select(col(idCol).as("_aid"), col(vecCol).as("_avec"),
+      col(labelCol).as("_albl"))
+    val cand = df.join(broadcast(a),
+        col(idCol) =!= col("_aid") &&
+          (col(labelCol).isNull || col("_albl").isNull ||
+            col(labelCol) =!= col("_albl")))
+      .select(col("_aid"),
+        round(cosine(col(vecCol), col("_avec")), 6).as("_cos"),
+        col(idCol).cast("long").as("_nid"))
+    cand.groupBy(col("_aid").as("anchor_id"))
+      .agg(graft.functions.TopKAggregator
+        .topK(k, col("_cos"), col("_nid")).as("_top"))
+      .select(col("anchor_id"), posexplode(col("_top")).as(Seq("_p", "_e")))
+      .select(col("anchor_id"), (col("_p") + 1).cast("long").as("rank"),
+        col("_e.id").as("negative_id"), col("_e.value").as("cos_sim"))
+  }
+
   /** d×d gram matrix Σᵣ vᵣ·vᵣᵀ of an embedding column as (i, j, s)
     * rows — the one-pass statistic under covariance, PCA, and
     * whitening. Each row contributes its d² element products

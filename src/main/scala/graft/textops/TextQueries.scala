@@ -577,6 +577,34 @@ object TextQueries extends QueryPack {
           Seq("hash", "join", "scan"), topK = 10)
         .orderBy(desc("bm25"), asc("doc_id"))),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    // the dense cosine top-20 (same query constant as q_t_bm25, same
+    // query vector as q_t_cosine_topk). Rank-only fusion — no score
+    // calibration — with DECIMAL-summed 1/(60+rank) contributions.
+    "q_t_rrf" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "scan"), topK = 20)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      val dense = Similarity.cosineTopKAgainst(emb, "vec_id", "embedding",
+          qv, "_qv", k = 20)
+        .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+      Retrieval.rrfFuse(Seq(lex, dense), "doc_id", "score", k = 60)
+        .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
+    // Hard-negative mining: every 50th vector anchors a training
+    // batch; each anchor takes its 5 nearest different-label
+    // neighbours — exact per-anchor brute force through the k-bounded
+    // top-k aggregator (anchors broadcast; the corpus never shuffles).
+    "q_t_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") % 50 === 0), k = 5)
+        .orderBy("anchor_id", "rank")
+    }),
+
     // BPE trainer, iteration-0 statistics: the weighted adjacent-pair
     // relation the first merge argmax runs on (top 10). The corpus's
     // only full scan in a BPE run — everything after is vocab-sized.
@@ -1734,6 +1762,66 @@ object TextQueries extends QueryPack {
         |SELECT doc_id,
         |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // BM25 top-20 and cosine top-20 replayed, then rank-fused:
+    // contributions 1/(60+rank) under the same (score DESC, id ASC)
+    // rank order as the engine, DECIMAL-summed, 6 dp.
+    "q_t_rrf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    ln(CAST(1.0 AS DOUBLE) + (scal.n - dft.df_t + CAST(0.5 AS DOUBLE))
+        |        / (dft.df_t + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / scal.avgdl))
+        |      AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN scal),
+        |bm AS (SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
+        |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, UNNEST(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |qe AS (SELECT UNNEST(qv) AS qx, generate_subscripts(qv, 1) AS i FROM q),
+        |d AS (SELECT vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(qx AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        |  FROM e JOIN qe USING (i) GROUP BY vec_id),
+        |qn AS (SELECT SQRT(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qnorm FROM qe),
+        |co AS (SELECT vec_id AS doc_id, ROUND(dot / (SQRT(n2) * qnorm), 6) AS cs
+        |  FROM d, qn ORDER BY cs DESC, doc_id LIMIT 20),
+        |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+        |rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r FROM co),
+        |u AS (SELECT doc_id, CAST(1.0 / (60 + r) AS DECIMAL(38,18)) AS c FROM rb
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1.0 / (60 + r) AS DECIMAL(38,18)) AS c FROM rc)
+        |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS rrf_score,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id""".stripMargin,
+
+    // Brute-force different-label top-5 per anchor — the exact
+    // semantics the bounded-aggregator engine path must reproduce.
+    "q_t_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS aid, label AS albl, v AS av FROM e
+        |  WHERE vec_id % 50 = 0),
+        |c AS (SELECT a.aid, e.vec_id AS nid,
+        |    ROUND(list_cosine_similarity(e.v, a.av), 6) AS cs
+        |  FROM e JOIN a ON e.vec_id <> a.aid
+        |    AND (e.label IS NULL OR a.albl IS NULL OR e.label <> a.albl)),
+        |r AS (SELECT aid, nid, cs,
+        |    ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cs DESC, nid) AS rn FROM c)
+        |SELECT aid AS anchor_id, rn AS "rank", nid AS negative_id, cs AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY anchor_id, "rank"""".stripMargin,
 
     "q_t_bpe_pairs" ->
       """WITH w AS (SELECT word, COUNT(*) AS n FROM (

@@ -82,6 +82,63 @@ class TextOpsSpec extends SparkSpec {
     assert(md5 === pairs)
   }
 
+  test("rrfFuse: rank arithmetic exact, both-list docs beat single-list docs") {
+    import graft.textops.Retrieval
+    val lex = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
+    val dense = Seq((2L, 0.7), (3L, 0.1)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(Seq(lex, dense), "id", "score", k = 60)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def rrf(ranks: Int*): Double =
+      math.rint(ranks.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(out(1L) === ((rrf(1), 1L)))       // rank 1 in lex only
+    assert(out(2L) === ((rrf(2, 1), 2L)))    // rank 2 lex + rank 1 dense
+    assert(out(3L) === ((rrf(2), 1L)))       // rank 2 in dense only
+    assert(out(2L)._1 > out(1L)._1)          // fusion rewards agreement
+    // ties in score break by id: swap scores to force a tie
+    val tied = Seq((5L, 0.5), (4L, 0.5)).toDF("id", "score")
+    val t = Retrieval.rrfFuse(Seq(tied), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t(4L) > t(5L))
+  }
+
+  test("hardNegatives excludes self and same-label, ranks by cosine, handles null labels") {
+    val data = Seq(
+      (0L, Array(1f, 0f, 0f), Option(0)),   // anchor
+      (1L, Array(0.99f, 0.1f, 0f), Option(0)),  // same label: excluded
+      (2L, Array(0.9f, 0.4f, 0f), Option(1)),   // best negative
+      (3L, Array(0.5f, 0.8f, 0f), Option(1)),   // second
+      (4L, Array(0f, 0f, 1f), Option(2)),       // orthogonal
+      (5L, Array(0.95f, 0.3f, 0f), None))       // null label: counts as negative
+      .toDF("vec_id", "embedding", "label")
+    val anchors = data.filter($"vec_id" === 0L)
+    val out = graft.textops.Similarity
+      .hardNegatives(data, "vec_id", "embedding", "label", anchors, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 5L), (2L, 2L), (3L, 3L))) // rank → negative_id
+    // brute-force agreement on random vectors (window formulation)
+    val rnd = new scala.util.Random(11)
+    val big = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), Option((i % 4).toInt)))
+      .toDF("vec_id", "embedding", "label")
+    val anchors2 = big.filter($"vec_id" % 20 === 0)
+    val got = graft.textops.Similarity
+      .hardNegatives(big, "vec_id", "embedding", "label", anchors2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val a2 = anchors2.select($"vec_id".as("aid"), $"embedding".as("av"),
+      $"label".as("albl"))
+    val brute = big.crossJoin(a2)
+      .filter($"vec_id" =!= $"aid" && $"label" =!= $"albl")
+      .withColumn("cs", round(
+        graft.textops.Similarity.cosine($"embedding", $"av"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"aid").orderBy(desc("cs"), asc("vec_id"))))
+      .filter($"rn" <= 4)
+      .select($"aid", $"rn".cast("long"), $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+  }
+
   test("simhash of identical docs is identical; near docs within small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
