@@ -46,6 +46,60 @@ object Anomaly {
       .drop("_gn", "_gsum", "_gsumsq", "_gmean", "_gvar")
   }
 
+  /** Per-group distribution-shape profile: mean, population standard
+    * deviation, skewness and excess kurtosis from the first four raw
+    * moments — ONE aggregation pass (the same Σxᵏ discipline as
+    * [[zFlag]], extended to k = 3, 4). Skew/kurtosis are the profile
+    * columns that catch what mean/stddev monitoring can't: a metric
+    * whose average is stable while its tail silently grows.
+    *
+    * Engine portability: per-row powers evaluate in double
+    * (deterministic IEEE, identical association both engines:
+    * `((x·x)·x)·x`), each power DECIMAL-cast before its SUM so the
+    * across-row reduction is order-independent, and the central-moment
+    * combination runs in double with a FIXED expression tree mirrored
+    * token-for-token in the oracle SQL. Groups smaller than 3 rows or
+    * with zero variance produce null skew/kurtosis (no 0/0). Nulls in
+    * the value column are excluded from n and every moment.
+    */
+  def momentsProfile(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 8)
+    val dec4 = DecimalType(38, 4)
+    val x = col(valueCol).cast("double")
+    val rows = df.where(col(valueCol).isNotNull)
+    val agg = rows.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).cast("double").as("_s1"),
+      sum((x * x).cast(dec)).cast("double").as("_s2"),
+      sum(((x * x) * x).cast(dec4)).cast("double").as("_s3"),
+      sum((((x * x) * x) * x).cast(dec4)).cast("double").as("_s4"))
+    agg
+      .withColumn("_mu", col("_s1") / col("n"))
+      .withColumn("_m2",
+        col("_s2") / col("n") - col("_mu") * col("_mu"))
+      .withColumn("_m3",
+        col("_s3") / col("n")
+          - lit(3.0) * col("_mu") * (col("_s2") / col("n"))
+          + lit(2.0) * col("_mu") * col("_mu") * col("_mu"))
+      .withColumn("_m4",
+        col("_s4") / col("n")
+          - lit(4.0) * col("_mu") * (col("_s3") / col("n"))
+          + lit(6.0) * col("_mu") * col("_mu") * (col("_s2") / col("n"))
+          - lit(3.0) * col("_mu") * col("_mu") * col("_mu") * col("_mu"))
+      .withColumn("mean", round(col("_mu"), 6))
+      // cancellation can push a constant group's m2 a hair below zero;
+      // clamp (mirrored in the oracle) so sqrt never sees a negative
+      .withColumn("stddev_pop", round(sqrt(greatest(col("_m2"), lit(0.0))), 6))
+      .withColumn("skewness",
+        when(col("n") >= 3 && col("_m2") > 0,
+          round(col("_m3") / pow(col("_m2"), 1.5), 6)))
+      .withColumn("excess_kurtosis",
+        when(col("n") >= 3 && col("_m2") > 0,
+          round(col("_m4") / (col("_m2") * col("_m2")) - lit(3.0), 6)))
+      .select(col(keyCol), col("n"), col("mean"), col("stddev_pop"),
+        col("skewness"), col("excess_kurtosis"))
+  }
+
   /** Per-group winsorization: values clip to their group's
     * [loPct, hiPct] exact interpolated percentiles (percentile_cont
     * semantics — the same engine-portable form as `q_a17_quantiles`).

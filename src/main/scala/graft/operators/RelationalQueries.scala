@@ -419,6 +419,15 @@ object RelationalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // A23 (extension): distribution-shape profile — mean/stddev/skew/
+    // excess kurtosis from the first four DECIMAL-exact raw moments in
+    // ONE aggregation pass; the drift signal mean/stddev monitoring
+    // misses (tails growing under a stable average).
+    "q_a23_moments" -> ((s, dir) =>
+      graft.analytics.Anomaly.momentsProfile(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")),
+
     // G3 (extension): exact triangle counting over the part
     // co-occurrence graph (parts sharing an URGENT order) — the
     // clustering-coefficient ingredient for community structure the
@@ -730,6 +739,34 @@ object RelationalQueries extends QueryPack {
         |  FROM c2) WHERE rn = 1)
         |SELECT label, COUNT(*) AS n_members
         |FROM a2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // Raw moments DECIMAL-summed with the engine's exact per-row
+    // power association ((x*x)*x)*x; the central-moment combination
+    // mirrors the engine's double expression tree token-for-token.
+    "q_a23_moments" ->
+      """WITH m AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST((o_totalprice * o_totalprice) * o_totalprice
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(((o_totalprice * o_totalprice) * o_totalprice) * o_totalprice
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS s4
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT o_orderpriority, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM m)
+        |SELECT o_orderpriority, n, ROUND(mu, 6) AS mean,
+        |  ROUND(SQRT(GREATEST(m2, 0.0)), 6) AS stddev_pop,
+        |  CASE WHEN n >= 3 AND m2 > 0
+        |    THEN ROUND(m3 / POWER(m2, 1.5), 6) END AS skewness,
+        |  CASE WHEN n >= 3 AND m2 > 0
+        |    THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
 
     // Triangles are orientation-independent, so the oracle uses the
     // simpler id-ordering (a<b<c once per triangle) instead of the

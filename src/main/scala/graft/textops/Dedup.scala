@@ -174,6 +174,46 @@ object Dedup {
     * [[contaminatedDocs]]). Compose before near-dedup in a full
     * curation pipeline: decontaminate → near-dedup → gates.
     */
+  /** Graded decontamination: per-document n-gram NOVELTY against a
+    * reference corpus — the fraction of the document's distinct
+    * n-gram shingles the reference has never seen. Where
+    * [[contaminatedDocs]] answers the binary eval-set question ("does
+    * this doc overlap the benchmark at all?"), novelty is the
+    * continuous curation signal: ~0 for reprints and boilerplate the
+    * corpus already covers, ~1 for genuinely new material — the
+    * ranking key for "what does this crawl actually add?".
+    *
+    * Scale shape: the reference collapses to ONE global
+    * distinct-shingle relation (constant-id shingleTable — one
+    * shuffle, no per-doc identity); membership is a left-semi hash
+    * join on the shingle key; both counts aggregate per document.
+    * Nothing is quadratic and nothing depends on layout — shingle
+    * hashes, counts, and the 6 dp ratio replay identically in any
+    * engine (Md5Portable), with collisions shared bit-for-bit by
+    * construction. Documents with fewer than `n` tokens have no
+    * shingles and are absent from the output (no 0/0 row).
+    *
+    * Returns (idCol, n_shingles, n_novel, novelty).
+    */
+  def noveltyScores(corpus: DataFrame, idCol: String, textCol: String,
+                    reference: DataFrame, refTextCol: String, n: Int = 3,
+                    family: HashFamily = HashFamily.Xx64): DataFrame = {
+    val cs = TextFunctions.shingleTable(corpus, idCol, textCol, n, family)
+    val rs = TextFunctions
+      .shingleTable(reference.select(lit(0L).as("_rid"), col(refTextCol)),
+        "_rid", refTextCol, n, family)
+      .select("shingle")
+    val seen = cs.join(rs, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_seen"))
+    cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(seen, Seq(idCol), "left")
+      .withColumn("n_novel",
+        col("n_shingles") - coalesce(col("_seen"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .select(col(idCol), col("n_shingles"), col("n_novel"), col("novelty"))
+  }
+
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int, minShared: Long = 1L): DataFrame =

@@ -577,6 +577,19 @@ object TextQueries extends QueryPack {
           Seq("hash", "join", "scan"), topK = 10)
         .orderBy(desc("bm25"), asc("doc_id"))),
 
+    // Per-doc n-gram novelty vs the md5-split "already crawled" half
+    // (bucket < 50, the same portable split as the quality gate) —
+    // the graded curation signal decontam's binary overlap can't
+    // rank by. Md5Portable so the oracle replays the shingle hashes.
+    "q_t_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.where(
+        graft.operators.Sampling.hashBucket(col("doc_id")) < 50)
+      Dedup.noveltyScores(docs, "doc_id", "text", ref, "text", n = 3,
+          family = HashFamily.Md5Portable)
+        .orderBy("doc_id")
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
     // the dense cosine top-20 (same query constant as q_t_bm25, same
     // query vector as q_t_cosine_topk). Rank-only fusion — no score
@@ -1762,6 +1775,25 @@ object TextQueries extends QueryPack {
         |SELECT doc_id,
         |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Shingle-hash replay (same md5 15-hex form as the sketch
+    // oracles), reference = bucket<50 docs' distinct hashes, LEFT
+    // JOIN membership, per-doc distinct counts, 6 dp ratio.
+    "q_t_novelty" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs
+         |  FROM sh),
+         |ref AS (SELECT DISTINCT hs FROM h
+         |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 100 < 50),
+         |sn AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n_shingles,
+         |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS n_seen
+         |  FROM h LEFT JOIN ref r ON h.hs = r.hs
+         |  GROUP BY h.doc_id)
+         |SELECT doc_id, n_shingles, n_shingles - n_seen AS n_novel,
+         |  ROUND(CAST(n_shingles - n_seen AS DOUBLE) / n_shingles, 6) AS novelty
+         |FROM sn ORDER BY doc_id""".stripMargin,
 
     // BM25 top-20 and cosine top-20 replayed, then rank-fused:
     // contributions 1/(60+rank) under the same (score DESC, id ASC)

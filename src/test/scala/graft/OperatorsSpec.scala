@@ -312,6 +312,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).forall(!_._3))
   }
 
+  test("momentsProfile: hand-checked moments, degenerate groups go null, nulls excluded") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(5.0)), ("a", None),  // null excluded from n
+      ("b", Some(7.0)), ("b", Some(7.0)),               // zero variance
+      ("c", Some(9.0)))                                 // n < 3
+      .toDF("k", "v")
+    val out = graft.analytics.Anomaly.momentsProfile(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    // group a: mean 3, m2 = 2, m3 = 0, m4 = 6.8 → skew 0, kurt -1.3
+    assert(out("a")._1 === 5L)
+    assert(out("a")._2 === 3.0)
+    assert(out("a")._3 === math.rint(math.sqrt(2.0) * 1e6) / 1e6)
+    assert(out("a")._4 === Some(0.0))
+    assert(out("a")._5 === Some(-1.3))
+    assert(out("b") === ((2L, 7.0, 0.0, None, None)))   // zero variance
+    assert(out("c") === ((1L, 9.0, 0.0, None, None)))   // n < 3
+  }
+
   test("pageRank concentrates rank on the hub and conserves total mass") {
     // star: center x linked to a, b, c (symmetrized by the operator)
     val edges = Seq(("x", "a"), ("x", "b"), ("x", "c")).toDF("s", "d")

@@ -421,6 +421,27 @@ class TextOpsSpec extends SparkSpec {
     assert(kept3.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("noveltyScores grades seen/unseen shingle overlap, skips shingle-less docs") {
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"),      // all 3 shingles seen → 0.0
+      (2L, "x y z w v"),      // disjoint → 1.0
+      (3L, "a b c q r s"),    // 1 of 4 seen → 0.75
+      (4L, "a b"))            // < 3 tokens: no shingles, absent
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(corpus, "doc_id", "text", ref, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 0L, 0.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((4L, 3L, 0.75))))
+    // portable family computes the same grades
+    val md5 = Dedup.noveltyScores(corpus, "doc_id", "text", ref, "text", n = 3,
+        family = HashFamily.Md5Portable)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(md5 === out)
+  }
+
   test("repetition stats quantify degenerate and healthy documents") {
     val df = Seq(
       (1L, "spam spam spam spam"),
