@@ -78,13 +78,21 @@ object ScaleBench {
         .as("o_totalprice"),
       element_at(array(lit("O"), lit("O"), lit("F"), lit("F"), lit("P")),
         (pmod(xxhash64(col("id"), lit(37)), lit(5)) + 1).cast("int"))
-        .as("o_orderstatus"))
+        .as("o_orderstatus"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (pmod(xxhash64(col("id"), lit(41)), lit(5)) + 1).cast("int"))
+        .as("o_orderpriority"))
 
   def lineitem(spark: SparkSession, nOrders: Long): DataFrame =
     spark.range(nOrders * 4).select(
       (col("id") / 4 + 1).cast("long").as("l_orderkey"),
       (pmod(xxhash64(col("id"), lit(23)), lit(math.max(nOrders / 100, 1))) + 1)
-        .as("l_suppkey"))
+        .as("l_suppkey"),
+      // part domain nOrders/50: sparse co-occurrence graph at M/L for
+      // the triangle growth row (S is small enough to run dense)
+      (pmod(xxhash64(col("id"), lit(47)), lit(math.max(nOrders / 50, 1))) + 1)
+        .as("l_partkey"))
 
   /** customer dimension sized to the o_custkey range (nOrders/10 keys),
     * for the snapshot-group fact⋈dim row.
@@ -128,7 +136,18 @@ object ScaleBench {
     // round-10: cross-table snapshot — two member publishes + the
     // manifest commit + the pinned join read-back; ~linear in rows
     // (manifest work is O(tables) driver-side FS calls)
-    "q_l_snapshot_join")
+    "q_l_snapshot_join",
+    // round-11: degree-ordered triangle counting — wedge work is
+    // O(m^1.5) worst case but tracks m·avg_outdeg on these sparse
+    // co-occurrence graphs, so the curve should sit near-linear in
+    // edges (edge count itself grows ~linearly with orders here)
+    "q_g3_triangles",
+    // round-11: LSH candidates + levenshtein verify — candidate count
+    // scales with the twin density (linear), each verify is O(len²)
+    // on ~constant-length docs, so ~linear overall
+    "q_t_edit_verify",
+    // round-11: novelty — shingle explode + one semi join, linear
+    "q_t_novelty")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -145,10 +164,13 @@ object ScaleBench {
     for ((name, nDoc, nEmb, nOrd) <- wanted) {
       val dir = s"/tmp/graft_scale/$name"
       // regenerate when absent OR when a cached corpus predates a
-      // generator schema change (orders gained price/status columns)
+      // generator schema change (orders gained price/status/priority,
+      // lineitem gained l_partkey)
       val ordersStale = new java.io.File(s"$dir/orders.parquet").exists() && {
         try !spark.read.parquet(s"$dir/orders.parquet").columns
-          .contains("o_totalprice")
+            .contains("o_orderpriority") ||
+          !spark.read.parquet(s"$dir/lineitem.parquet").columns
+            .contains("l_partkey")
         catch { case _: Throwable => true }
       }
       if (!new java.io.File(s"$dir/documents.parquet").exists() || ordersStale) {
@@ -256,9 +278,41 @@ object ScaleBench {
       }
     }
 
+    // Hard negatives under the operator's contract: a FIXED 32-anchor
+    // training batch over a growing corpus — candidate work is
+    // |anchors|·n, so with anchors constant the curve must be linear
+    // in corpus size. (The oracle query's anchors grow with the
+    // corpus, which would read as quadratic here — that shape is the
+    // oracle's fixture, not the operator's contract.)
+    val hnSizes = Seq(("S", 500L), ("M", 2000L), ("L", 20000L))
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    for ((name, _) <- hnSizes) {
+      val dir = s"/tmp/graft_scale/$name"
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val anchors = emb.filter(col("vec_id") < 32)
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.textops.Similarity
+            .hardNegatives(emb, "vec_id", "embedding", "label", anchors, k = 5)
+            .count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name/q_hardneg_batch failed: ${e.getMessage}")
+          None
+        }
+      }
+      if (times.nonEmpty) {
+        results((name, "q_hardneg_batch")) = times.min
+        println(f"""{"size":"$name","query":"q_hardneg_batch","sec":${times.min}%.3f}""")
+      } else {
+        println(s"""{"size":"$name","query":"q_hardneg_batch","sec":null,"failed":true}""")
+      }
+    }
+
     // growth summary: seconds ratio per 10× data step
     println("query,S_sec,M_sec,L_sec,M_over_S,L_over_M")
-    for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read") {
+    for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read" :+ "q_hardneg_batch") {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
       def ratio(a: Option[Double], b: Option[Double]) = (a, b) match {

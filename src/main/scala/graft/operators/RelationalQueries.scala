@@ -428,6 +428,16 @@ object RelationalQueries extends QueryPack {
           Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")),
 
+    // A24 (extension): engine-portable approximate distinct counting —
+    // KMV sketch over the md5 uniform, k=256 (~6% error), k-bounded
+    // exchange instead of COUNT(DISTINCT)'s full value shuffle. The
+    // 2000-part groups exceed k, so this exercises the ESTIMATE path,
+    // not the exact small-group fallback.
+    "q_a24_kmv_distinct" -> ((s, dir) =>
+      graft.analytics.Sketches.approxDistinctKmv(
+          Tables.lineitem(s, dir), "l_returnflag", "l_partkey", k = 256)
+        .orderBy("l_returnflag")),
+
     // G3 (extension): exact triangle counting over the part
     // co-occurrence graph (parts sharing an URGENT order) — the
     // clustering-coefficient ingredient for community structure the
@@ -739,6 +749,22 @@ object RelationalQueries extends QueryPack {
         |  FROM c2) WHERE rn = 1)
         |SELECT label, COUNT(*) AS n_members
         |FROM a2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // Window replay of the KMV sketch: distinct md5 uniforms per
+    // group, the k-th smallest selects the estimate, groups under the
+    // bound fall back to their exact distinct-hash count.
+    "q_a24_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS g,
+        |    (CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS BIGINT) + 1.0) / 4503599627370497.0 AS u
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |r AS (SELECT g, u, ROW_NUMBER() OVER (PARTITION BY g ORDER BY u) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS nd FROM h)
+        |SELECT g AS l_returnflag,
+        |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |       ELSE ROUND(255.0 / u, 6) END AS est_distinct
+        |FROM r WHERE rn = LEAST(nd, 256)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Raw moments DECIMAL-summed with the engine's exact per-row
     // power association ((x*x)*x)*x; the central-moment combination

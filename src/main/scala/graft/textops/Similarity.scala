@@ -455,6 +455,34 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Two-stage ANN: ADC shortlist → exact re-rank — the standard
+    * accuracy recovery for product quantization (Jégou et al., "PQ
+    * for nearest neighbor search", TPAMI 2011 §V: compressed-domain
+    * scan, then re-rank the shortlist on original vectors). The ADC
+    * stage scans CODES ONLY (4 table lookups + a sum per vector); the
+    * original vectors are touched for just the `shortlist` survivors,
+    * which arrive as a k-row broadcast semi-join that prunes the
+    * corpus scan — exact-cosine work is O(shortlist·d), never O(n·d).
+    * Recall dominates raw [[pqSearch]] at the same topK because
+    * quantization error decides only which ~shortlist candidates are
+    * SEEN, not their final order (spec'd).
+    */
+  def pqSearchRefined(encoded: DataFrame, idCol: String, codebook: DataFrame,
+                      db: DataFrame, vecCol: String,
+                      queryDf: DataFrame, queryVecCol: String,
+                      dim: Int, m: Int, shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist ($shortlist) must be at least topK ($topK)")
+    val cand = pqSearch(encoded, idCol, codebook, queryDf, queryVecCol,
+      dim, m, topK = shortlist).select(col(idCol))
+    val pruned = db.join(broadcast(cand), Seq(idCol), "left_semi")
+    graft.operators.Joins.withScalar(pruned, queryDf)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(topK)
+  }
+
   /** Exact O(n²) near-neighbour pairs — the correctness oracle for the
     * bucketed variant in tests; usable only at small n.
     */

@@ -227,6 +227,20 @@ object TextQueries extends QueryPack {
         dim = 64, m = 4, topK = 10)
     }),
 
+    // Two-stage ANN: the same ADC scan shortlists 50, originals
+    // re-rank the survivors with exact cosine — compressed-domain
+    // candidate generation, exact-order answers.
+    "q_t_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        dim = 64, m = 4)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+      Similarity.pqSearchRefined(enc, "vec_id", cb, emb, "embedding",
+        q, "_qv", dim = 64, m = 4, shortlist = 50, topK = 10)
+    }),
+
     // Multi-probe IVF search: the query scans its 2 nearest trained
     // buckets' inverted lists with exact cosine verification — the
     // standard recall knob (nProbe/k of the corpus per query).
@@ -1331,6 +1345,27 @@ object TextQueries extends QueryPack {
     "q_t_pq_codes" ->
       s"""WITH $pqCte
          |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC shortlist-50 replay, then exact cosine over the survivors
+    // (list_inner_product form, as q_t_cosine_bucketed).
+    "q_t_pq_rerank" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |qsub AS (SELECT CAST(j AS INTEGER) AS sub,
+         |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
+         |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |      + list_inner_product(cb.centroid, cb.centroid)
+         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |  FROM cb JOIN qsub qs ON cb.sub = qs.sub),
+         |cand AS (SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |  FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+         |  GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 50)
+         |SELECT e.vec_id,
+         |  ROUND(list_cosine_similarity(e.v, (SELECT v FROM q)), 6) AS cos_sim
+         |FROM e JOIN cand c ON e.vec_id = c.vec_id
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "q_t_pq_search" ->
       s"""WITH $pqCte,

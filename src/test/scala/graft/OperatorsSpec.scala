@@ -312,6 +312,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).forall(!_._3))
   }
 
+  test("KMV distinct: exact under the bound, ~1/sqrt(k) above it, duplicate/layout-invariant") {
+    import graft.analytics.Sketches
+    val small = (1 to 10).flatMap(v => Seq(("a", v), ("a", v))) // dups absorbed
+      .toDF("g", "v")
+    val s = Sketches.approxDistinctKmv(small, "g", "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("a") === 10.0) // below the bound → exact
+    val big = spark.range(5000).selectExpr("'b' AS g", "id * 7919 AS v")
+    val est = Sketches.approxDistinctKmv(big.toDF("g", "v"), "g", "v", k = 256)
+      .collect().head.getDouble(1)
+    assert(math.abs(est / 5000.0 - 1.0) < 0.2, s"estimate $est off by >20%")
+    // same estimate from any layout and with every row duplicated
+    val est2 = Sketches.approxDistinctKmv(
+        big.unionAll(big).repartition(13).toDF("g", "v"), "g", "v", k = 256)
+      .collect().head.getDouble(1)
+    assert(est2 === est)
+  }
+
   test("momentsProfile: hand-checked moments, degenerate groups go null, nulls excluded") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),

@@ -87,6 +87,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("triangle counting: wedge and closing joins are hash joins, never nested loops") {
+    val p = plan("q_g3_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject")) // top-20, no global sort
+  }
+
+  test("edit-verify tier: candidates from hash joins; levenshtein never cross-joins") {
+    val p = plan("q_t_edit_verify")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("hard negatives broadcast the anchor batch; corpus side never shuffles for candidates") {
+    val p = plan("q_t_hard_negatives")
+    // the anchor product is the ONE deliberate broadcast nested-loop
+    // (tiny broadcast side, label-inequality predicate); the corpus
+    // must not hash-exchange before it
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ObjectHashAggregate")) // k-bounded top-k, no window sort
+    assert(!p.contains("Window"))
+  }
+
+  test("rrf fusion windows run over top-k relations only — no corpus-wide sort") {
+    val df = queries("q_t_rrf")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // both retrieval lists end in TakeOrdered BEFORE the rank windows
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("novelty scoring joins shingles by hash — reference side is one distinct relation") {
+    val p = plan("q_t_novelty")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("frequency table does partial (map-side) aggregation before the shuffle") {
     val p = plan("q_a3_value_counts")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))

@@ -597,6 +597,37 @@ class TextOpsSpec extends SparkSpec {
     assert(all === 10) // probing every bucket IS the exact search
   }
 
+  test("PQ re-rank recall dominates raw ADC order at the same codebook") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
+    // exact cosine top-10 — the re-rank must reproduce any of these it
+    // shortlists, in exact order
+    val exact = graft.operators.Joins.withScalar(emb, q)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("_qv")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 4, 4, 1)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 64, 4)
+    val raw = Similarity.pqSearch(enc, "vec_id", cb, q, "_qv", 64, 4, 10)
+      .collect().map(_.getLong(0))
+    val refined = Similarity.pqSearchRefined(enc, "vec_id", cb, emb,
+        "embedding", q, "_qv", 64, 4, shortlist = 50, topK = 10)
+      .collect().map(_.getLong(0))
+    val exactSet = exact.toSet
+    assert(refined.count(exactSet) >= raw.count(exactSet),
+      s"re-rank recall ${refined.count(exactSet)} < raw ${raw.count(exactSet)}")
+    // survivors appear in the exact ranking's relative order
+    val pos = exact.zipWithIndex.toMap
+    val surv = refined.filter(exactSet)
+    assert(surv === surv.sortBy(pos), "re-ranked survivors out of exact order")
+    // a full-corpus shortlist IS the exact answer
+    val full = Similarity.pqSearchRefined(enc, "vec_id", cb, emb,
+        "embedding", q, "_qv", 64, 4, shortlist = 500, topK = 10)
+      .collect().map(_.getLong(0))
+    assert(full.toSeq === exact.toSeq)
+  }
+
   test("PQ recall@10 improves with codebook resolution") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qv"))
