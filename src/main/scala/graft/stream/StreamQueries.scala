@@ -102,6 +102,36 @@ object StreamQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Incremental novelty gate, two-batch fold: evens admit into an
+    // empty store (everything is novel), odds score against the
+    // admitted evens' shingles and gate at novelty ≥ 0.5 — near-dup
+    // twins of admitted content are refused, fresh material passes.
+    // 5-gram shingles: the corpus generator's trigram space saturates
+    // at sf0.1 (2500 refs cover every template trigram → all-zero
+    // novelty), while 5-grams keep the twin/fresh separation sharp at
+    // every SF (~0.95 mean novelty, twins near 0).
+    // Batch-atomic snapshot semantics and Md5Portable hashes make the
+    // fold a pure function DuckDB replays.
+    "q_s_novelty_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"novstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      Streaming.noveltyGateBatchStep(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", "ts",
+        store, minNovelty = 0.5, retention = "10 days", shingleN = 5,
+        family = graft.textops.HashFamily.Md5Portable)
+      Streaming.noveltyGateBatchStep(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", "ts",
+        store, minNovelty = 0.5, retention = "10 days", shingleN = 5,
+        family = graft.textops.HashFamily.Md5Portable)
+        .select("doc_id", "novelty")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -258,6 +288,38 @@ object StreamQueries extends QueryPack {
         |  MIN(value) AS min_metric, MAX(value) AS max_metric,
         |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // Mirrors the novelty-gate fold: reference = admitted evens'
+    // distinct shingle hashes (everything admits into an empty store),
+    // odds gate on the ROUNDED score; shingle-less odds admit with
+    // NULL novelty.
+    "q_s_novelty_step" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    word || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS s FROM (
+        |  SELECT doc_id, word,
+        |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+        |    LEAD(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3,
+        |    LEAD(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS l4 FROM tok)
+        |  WHERE l4 IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh),
+        |ref AS (SELECT DISTINCT hs FROM h WHERE doc_id % 2 = 0),
+        |sc AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref r ON h.hs = r.hs
+        |  WHERE h.doc_id % 2 = 1 GROUP BY h.doc_id),
+        |gated AS (SELECT doc_id, ROUND(CAST(n - seen AS DOUBLE) / n, 6) AS novelty
+        |  FROM sc),
+        |shless AS (SELECT d.doc_id, CAST(NULL AS DOUBLE) AS novelty
+        |  FROM documents d
+        |  WHERE d.doc_id % 2 = 1
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM h))
+        |SELECT doc_id, novelty FROM gated WHERE novelty >= 0.5
+        |UNION ALL SELECT doc_id, novelty FROM shless
+        |ORDER BY doc_id""".stripMargin,
 
     // Mirrors the two-batch fold: bucket assignment is the
     // q_t_semantic_dedup argmax convention; batch-1 survivors (even

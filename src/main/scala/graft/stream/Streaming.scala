@@ -320,6 +320,88 @@ object Streaming {
     (survivors, liveStore.unionByName(survBands))
   }
 
+  /** One micro-batch step of incremental NOVELTY GATING — the streaming
+    * form of [[graft.textops.Dedup.noveltyScores]]: state is the
+    * persisted distinct-shingle relation of previously-ADMITTED
+    * documents at `storePath` (one (shingle, _ts) row per live
+    * shingle); each batch scores every document's novelty against the
+    * retention-pruned store, admits documents whose novelty is at
+    * least `minNovelty`, and folds the admitted documents' shingles
+    * back into the store — "only ingest what the corpus doesn't
+    * already say", incrementally.
+    *
+    * Semantics are BATCH-ATOMIC (micro-batch snapshot): every document
+    * scores against the PRIOR store only, so in-batch duplicates both
+    * admit — compose with [[nearDedupBatchStep]] upstream when
+    * intra-batch dedup is needed; the two stores are independent.
+    * Documents with fewer than `shingleN` tokens have undefined
+    * novelty (null) and ADMIT — an empty document says nothing the
+    * corpus already says, and the gate's job is repetition, not
+    * length (the quality gate owns length policy).
+    *
+    * State is bounded the same way as the dedup stores: distinct
+    * shingles of admitted content within the retention horizon, each
+    * kept at its NEWEST admission timestamp (re-admission of expired
+    * content refreshes the shingle's clock). Expiry happens BEFORE
+    * scoring against the batch's own max event time; an empty batch
+    * leaves the store untouched. Every stage is an equi-join or
+    * aggregation on the 8-byte shingle hash; the 1-row horizon
+    * aggregate rides a broadcast join. Returns the admitted rows with
+    * a `novelty` column; the new store version publishes via the same
+    * manifest-versioned atomic marker as the dedup stores.
+    */
+  def noveltyGateBatchStep(batch: DataFrame, idCol: String, textCol: String,
+                           tsCol: String, storePath: String,
+                           minNovelty: Double, retention: String = "1 hour",
+                           shingleN: Int = 3,
+                           family: graft.textops.HashFamily =
+                             graft.textops.HashFamily.Xx64): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(minNovelty >= 0 && minNovelty <= 1,
+      s"minNovelty must be in [0,1], got $minNovelty")
+    val spark = batch.sparkSession
+    val store =
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
+      else {
+        // loud on a legacy plain-parquet store (see nearDedup twin)
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("shingle", LongType),
+            StructField("_ts", TimestampType))))
+      }
+    // batch-sized; computed ONCE — three consumers (store probe,
+    // per-doc totals, admitted-shingle extraction)
+    val sh = graft.textops.TextFunctions.shingleTable(
+        batch.select(col(idCol), col(textCol)), idCol, textCol,
+        shingleN, family)
+      .localCheckpoint()
+    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
+    val liveStore = store.crossJoin(broadcast(batchMax))
+      .filter(col("_mx").isNull ||
+        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+      .select("shingle", "_ts")
+    val seen = sh.join(liveStore.select("shingle"), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_seen"))
+    val scored = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_nsh"))
+      .join(seen, Seq(idCol), "left")
+      .withColumn("novelty",
+        round((col("_nsh") - coalesce(col("_seen"), lit(0L))).cast("double")
+          / col("_nsh"), 6))
+      .select(col(idCol), col("novelty"))
+    val admitted = batch.join(scored, Seq(idCol), "left")
+      .where(col("novelty").isNull || col("novelty") >= minNovelty)
+      .localCheckpoint()
+    val admittedShingles = sh
+      .join(admitted.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
+      .select("shingle", "_ts")
+    val newStore = liveStore.unionByName(admittedShingles)
+      .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    admitted
+  }
+
   /** `foreachBatch` streaming near-dedup, crash-consistent end to end:
     * per batch, survivors are UPSERTED by key into a
     * [[graft.lake.VersionedTable]] at `survivorsPath` FIRST, and the

@@ -139,6 +139,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("novelty gate admits fresh content, refuses repeats, re-admits after expiry") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_novgate").toString
+    val store = dir + "/store"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 1: empty store — everything admits at novelty 1.0
+    val b1 = Streaming.noveltyGateBatchStep(
+      batch((1L, base, "2024-01-01 10:00:00")),
+      "doc_id", "text", "ts", store, minNovelty = 0.5, retention = "1 hour")
+    assert(b1.select("doc_id", "novelty").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1L, 1.0)))
+    // batch 2: a near-verbatim repeat refuses, fresh content admits,
+    // a shingle-less doc admits with null novelty
+    val b2 = Streaming.noveltyGateBatchStep(
+      batch(
+        (2L, base.replace("kappa", "lambda"), "2024-01-01 10:10:00"),
+        (3L, "totally different words about rivers mountains valleys forests", "2024-01-01 10:11:00"),
+        (4L, "tiny doc", "2024-01-01 10:12:00")),
+      "doc_id", "text", "ts", store, minNovelty = 0.5, retention = "1 hour")
+      .select("doc_id", "novelty").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(b2.keySet === Set(3L, 4L))
+    assert(b2(4L).isEmpty)
+    // batch 3 beyond retention: the expired shingles no longer refuse
+    val b3 = Streaming.noveltyGateBatchStep(
+      batch((5L, base.replace("kappa", "mu"), "2024-01-01 12:30:00")),
+      "doc_id", "text", "ts", store, minNovelty = 0.5, retention = "1 hour")
+      .select("doc_id").as[Long].collect()
+    assert(b3.toSeq === Seq(5L))
+    // store is bounded to the live horizon: only batch-3 shingles remain
+    val ts = graft.lake.VersionedTable.readCurrent(spark, store)
+      .select("_ts").distinct().as[Timestamp].collect()
+    assert(ts.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
+  }
+
   test("near-dedup writer converges when a crash lands between sink commit and state publish") {
     // The middle crash case of nearDedupWriter's three-way argument:
     // batch 1 commits its survivors to the sink but DIES before the
