@@ -136,8 +136,14 @@ object Graph {
     * endpoints up front; parallel edges collapse via the canonical
     * distinct.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
+  /** Canonical simple-graph edge relation: null endpoints and
+    * self-loops out, parallel/reversed duplicates collapsed,
+    * checkpointed once (shared by the triangle family's multiple
+    * consumers).
+    */
+  private def simpleCanon(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(
@@ -145,9 +151,18 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .localCheckpoint()
-    val deg = canon.select(col("a").as("node"))
+
+  /** Distinct-neighbour degree over a canonical edge relation. */
+  private def simpleDegrees(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("_d"))
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCore(simpleCanon(edges, srcCol, dstCol))
+
+  private def triangleCore(canon: DataFrame): DataFrame = {
+    val deg = simpleDegrees(canon)
     // decorate both endpoints with their (deg, id) order key, then
     // orient low → high under that key
     val withKeys = canon
@@ -172,6 +187,31 @@ object Graph {
     tris
       .select(explode(array(col("_as"), col("_lo"), col("_hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * — the fraction of a node's neighbour pairs that are themselves
+    * connected (Watts & Strogatz, Nature 1998), the standard
+    * community-cohesion score on top of [[triangleCounts]]. Every node
+    * of the simple graph appears: triangle-free nodes score 0.0;
+    * degree-1 nodes have no neighbour pair and score null. One extra
+    * broadcast-joinable |V|-row join over the triangle plan; the
+    * double division + 6 dp round is engine-exact (T and deg are
+    * integers).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val canon = simpleCanon(edges, srcCol, dstCol)
+    val tris = triangleCore(canon)
+    simpleDegrees(canon)
+      .join(tris, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering_coef",
+        when(col("_d") >= 2,
+          round(lit(2.0) * col("triangles")
+            / (col("_d") * (col("_d") - lit(1))), 6)))
+      .select(col("node"), col("_d").as("degree"), col("triangles"),
+        col("clustering_coef"))
   }
 
   /** Synchronous label propagation (community detection), fixed

@@ -37,6 +37,45 @@ object Privacy {
     }.drop("_qi_n")
   }
 
+  /** Distinct l-diversity suppression (Machanavajjhala et al., "l-
+    * diversity: privacy beyond k-anonymity", TKDE 2007): k-anonymity
+    * alone fails the HOMOGENEITY attack — a size-k QI group whose
+    * SENSITIVE value is uniform discloses that value for every member
+    * without any linkage. Here a QI group must also contain at least
+    * `l` distinct sensitive values or its QI columns suppress to `"*"`
+    * (the sensitive column itself is never rewritten — it is the
+    * payload being protected, not the identifier).
+    *
+    * Plan shape: one aggregation on the QI key — count + distinct
+    * sensitive count in the same pass (null sensitive values don't
+    * count toward diversity) — then a broadcast-joinable |groups|-row
+    * relation back onto the table; no window over the full table and
+    * no second shuffle. Suppression fires when EITHER bar fails
+    * (size < k or diversity < l), so the released table is k-anonymous
+    * AND l-diverse in its unsuppressed groups.
+    */
+  def lDiversify(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 k: Int, l: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(l > 0, s"l must be positive, got $l")
+    require(qiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    val clash = df.columns.filter(Set("_qi_n", "_qi_l").contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with lDiversify's " +
+        "working names (_qi_n, _qi_l) — rename them first")
+    val stats = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_qi_n"),
+        countDistinct(col(sensitiveCol)).as("_qi_l"))
+    val joined = df.join(broadcast(stats), qiCols)
+    qiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("_qi_n") < k || col("_qi_l") < l, lit("*"))
+          .otherwise(col(c).cast("string")))
+    }.drop("_qi_n", "_qi_l")
+  }
+
   /** Post-release audit: group sizes of the RELEASED table's QI
     * combinations — k-anonymity holds iff the minimum is ≥ k. Run it
     * on [[kAnonymize]]'s output, not its input: suppression merges all

@@ -460,6 +460,26 @@ object RelationalQueries extends QueryPack {
         .limit(20)
     }),
 
+    // G4 (extension): local clustering coefficient over the same
+    // co-occurrence graph — 2T/(d(d−1)), the Watts–Strogatz cohesion
+    // score; top 20 of the degree-≥2 nodes.
+    "q_g4_clustering_coef" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val sup = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_partkey").as("nk"))
+        .distinct()
+      val edges = sup.select(col("ok"), col("nk").as("src"))
+        .join(sup.select(col("ok"), col("nk").as("dst")), "ok")
+        .where(col("src") < col("dst"))
+        .select("src", "dst")
+      Graph.clusteringCoefficients(edges, "src", "dst")
+        .where(col("clustering_coef").isNotNull)
+        .orderBy(desc("clustering_coef"), asc("node"))
+        .limit(20)
+    }),
+
     // P12 (extension): k-anonymity suppression — quasi-identifier
     // combinations rarer than k collapse to '*' before release; one
     // window shuffle on the QI key. k=7 genuinely suppresses groups
@@ -469,6 +489,18 @@ object RelationalQueries extends QueryPack {
           Tables.customer(s, dir)
             .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
           Seq("c_mktsegment", "c_nationkey"), k = 7)
+        .orderBy("c_custkey")),
+
+    // P13 (extension): distinct l-diversity — suppress QI groups that
+    // are too small (k) OR whose sensitive balance-bucket is too
+    // uniform (l): at sf0.01, 6 of 125 groups pass k=7 yet fail l=4 —
+    // the homogeneity attack k-anonymity alone releases.
+    "q_p13_ldiversity" -> ((s, dir) =>
+      Privacy.lDiversify(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+              floor(col("c_acctbal") / 2000).cast("int").as("bal_bucket")),
+          Seq("c_mktsegment", "c_nationkey"), "bal_bucket", k = 7, l = 4)
         .orderBy("c_custkey")),
 
     // A18 (extension): declarative data-quality expectations — five
@@ -809,6 +841,42 @@ object RelationalQueries extends QueryPack {
         |n AS (SELECT UNNEST([x, y, z]) AS node FROM t)
         |SELECT node, COUNT(*) AS triangles FROM n GROUP BY node
         |ORDER BY triangles DESC, node LIMIT 20""".stripMargin,
+
+    "q_p13_ldiversity" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket FROM customer),
+        |g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |    COUNT(DISTINCT bal_bucket) AS ld FROM t GROUP BY 1, 2)
+        |SELECT t.c_custkey,
+        |  CASE WHEN g.n < 7 OR g.ld < 4 THEN '*'
+        |       ELSE CAST(t.c_mktsegment AS VARCHAR) END AS c_mktsegment,
+        |  CASE WHEN g.n < 7 OR g.ld < 4 THEN '*'
+        |       ELSE CAST(t.c_nationkey AS VARCHAR) END AS c_nationkey,
+        |  t.bal_bucket
+        |FROM t JOIN g USING (c_mktsegment, c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_g4_clustering_coef" ->
+      """WITH sup AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS nk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.nk AS a, b.nk AS b
+        |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.nk < b.nk),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY node),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT node, COUNT(*) AS triangles FROM (
+        |  SELECT UNNEST([x, y, z]) AS node FROM t) GROUP BY node)
+        |SELECT deg.node, deg.d AS degree,
+        |  COALESCE(n.triangles, 0) AS triangles,
+        |  ROUND(2.0 * COALESCE(n.triangles, 0) / (deg.d * (deg.d - 1)), 6)
+        |    AS clustering_coef
+        |FROM deg LEFT JOIN n ON deg.node = n.node
+        |WHERE deg.d >= 2
+        |ORDER BY clustering_coef DESC, deg.node LIMIT 20""".stripMargin,
 
     "q_g1_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -405,6 +405,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expect.toMap)
   }
 
+  test("clusteringCoefficients: closed triangle scores 1, open wedge 0, pendant null") {
+    // triangle {1,2,3} + pendant 4 off node 3; node 5-6-7 open path
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val out = graft.operators.Graph.clusteringCoefficients(edges, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString.toDouble))).toMap
+    assert(out(1L) === ((2L, 1L, Some(1.0))))
+    assert(out(2L) === ((2L, 1L, Some(1.0))))
+    assert(out(3L) === ((3L, 1L, Some(0.333333))))  // 1 of 3 pairs, 6 dp
+    assert(out(4L) === ((1L, 0L, None)))           // degree 1: undefined
+    assert(out(6L) === ((2L, 0L, Some(0.0))))      // open wedge
+  }
+
+  test("lDiversify suppresses low-diversity groups k-anonymity would release") {
+    val df = Seq(
+      // group (A,1): size 3, sensitive uniform — k ok (k=3), l fails
+      ("A", 1, 101L, "flu"), ("A", 1, 102L, "flu"), ("A", 1, 103L, "flu"),
+      // group (B,2): size 3, 3 distinct sensitives — both pass
+      ("B", 2, 201L, "flu"), ("B", 2, 202L, "cold"), ("B", 2, 203L, "cut"),
+      // group (C,3): size 2 — k fails even though diverse
+      ("C", 3, 301L, "flu"), ("C", 3, 302L, "cold"))
+      .toDF("seg", "nat", "id", "diag")
+    val out = graft.operators.Privacy
+      .lDiversify(df, Seq("seg", "nat"), "diag", k = 3, l = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("seg"), r.getAs[String]("nat"), r.getAs[String]("diag")))
+      .toMap
+    assert(out(101L)._1 === "*" && out(101L)._2 === "*")  // homogeneous
+    assert(out(101L)._3 === "flu")                        // payload intact
+    assert(out(201L) === (("B", "2", "flu")))             // released
+    assert(out(301L)._1 === "*")                          // too small
+  }
+
   test("gapFillDaily densifies each key's own span and carries values forward") {
     import java.sql.Date
     val df = Seq(
