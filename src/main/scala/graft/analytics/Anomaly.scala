@@ -100,6 +100,45 @@ object Anomaly {
         col("skewness"), col("excess_kurtosis"))
   }
 
+  /** Robust per-group outlier flags via the modified z-score
+    * (Iglewicz & Hoaglin 1993): M = 0.6745·(x − median)/MAD, flag
+    * |M| > `cutoff` (3.5 by default). Where [[zFlag]]'s mean/stddev
+    * are themselves dragged by the outliers they hunt (masking), the
+    * median and MAD have a 50% breakdown point — the estimator the
+    * anomaly is hunting can't corrupt.
+    *
+    * Two aggregation passes over the group key (median, then median
+    * absolute deviation around it — MAD is not algebraic, it needs
+    * the median first), each producing a broadcast-joinable
+    * |groups|-row relation; the flag is map-side arithmetic. Exact
+    * interpolated percentiles (the q_a17/winsorize discipline) keep
+    * it engine-portable. Zero-MAD groups (≥half the values identical)
+    * yield null robust_z and flag only values strictly off the
+    * median — the standard convention. Adds `robust_z` (6 dp) and
+    * `is_outlier`.
+    */
+  def madFlag(df: DataFrame, keyCol: String, valueCol: String,
+              cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"cutoff must be positive, got $cutoff")
+    val clash = df.columns.filter(Set("_med", "_mad").contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with madFlag's " +
+        "working names (_med, _mad) — rename them first")
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
+    val withMed = df.join(broadcast(med), Seq(keyCol))
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5D)").as("_mad"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_z",
+        when(col("_mad") > 0,
+          round(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > cutoff,
+          col("_mad") === 0 && col(valueCol) =!= col("_med"), lit(false)))
+      .drop("_med", "_mad")
+  }
+
   /** Per-group winsorization: values clip to their group's
     * [loPct, hiPct] exact interpolated percentiles (percentile_cont
     * semantics — the same engine-portable form as `q_a17_quantiles`).

@@ -428,6 +428,18 @@ object RelationalQueries extends QueryPack {
           Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")),
 
+    // A25 (extension): robust outliers via the modified z-score —
+    // median/MAD have a 50% breakdown point, so the estimator can't
+    // be dragged by the outliers it hunts (zFlag's masking problem).
+    "q_a25_mad" -> ((s, dir) =>
+      graft.analytics.Anomaly.madFlag(
+          Tables.events(s, dir), "user_id", "value", cutoff = 3.5)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(max(abs(col("robust_z"))), 6).as("max_abs_z"))
+        .orderBy("user_id")),
+
     // A24 (extension): engine-portable approximate distinct counting —
     // KMV sketch over the md5 uniform, k=256 (~6% error), k-bounded
     // exchange instead of COUNT(DISTINCT)'s full value shuffle. The
@@ -781,6 +793,25 @@ object RelationalQueries extends QueryPack {
         |  FROM c2) WHERE rn = 1)
         |SELECT label, COUNT(*) AS n_members
         |FROM a2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // Median then MAD around it (quantile_cont = Spark's exact
+    // interpolated percentile); null robust_z rows resolve the
+    // three-valued OR exactly as the engine's coalesce does.
+    "q_a25_mad" ->
+      """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.user_id,
+        |    quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (user_id) GROUP BY e.user_id),
+        |f AS (SELECT e.user_id, e.value, m.med, d.mad,
+        |    CASE WHEN d.mad > 0
+        |      THEN ROUND(0.6745 * (e.value - m.med) / d.mad, 6) END AS rz
+        |  FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id))
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN (ABS(rz) > 3.5) OR (mad = 0 AND value <> med)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(MAX(ABS(rz)), 6) AS max_abs_z
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Window replay of the KMV sketch: distinct md5 uniforms per
     // group, the k-th smallest selects the estimate, groups under the

@@ -49,6 +49,45 @@ object TimeSeries {
     * per-day-distinct relation — linear in the window, never quadratic
     * in days. Output: (dateCol, n_distinct), observed days only.
     */
+  /** Recursive exponentially-weighted moving average of each key's
+    * event sequence — the classic monitoring smoother
+    * (ewmaₜ = (1−α)·ewmaₜ₋₁ + α·xₜ, seeded with the first value),
+    * bounded to the last `lookback` rows so the window frame, the
+    * state, and the weight tail are all finite.
+    *
+    * A recursion looks engine-hostile, but a BOUNDED fold is exactly
+    * what both Spark and SQL evaluate deterministically: the ordered
+    * window frame collects ≤`lookback` values and a left HOF fold
+    * (`aggregate`; `list_reduce` in the oracle) replays the recursion
+    * with an IDENTICAL operation order — same doubles, same bits, no
+    * rounding discipline needed beyond the final 6 dp. Cost: one
+    * window shuffle on the key, O(lookback) state per row, no
+    * self-join and no per-row re-scan (the repeated-substring
+    * contrast: DuckDB re-folds per window where Spark streams — here
+    * both fold per row, the frame is small by contract).
+    *
+    * `orderCols` must be a deterministic total order within each key
+    * (include a unique tiebreaker). Null values poison the windows
+    * that contain them (null ewma) — filter upstream if nulls are
+    * expected; silently skipping them would shift everyone's weights.
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alpha: Double, lookback: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    require(!df.columns.contains("_w"),
+      "input already has a _w column — rename it first")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(lookback - 1), 0)
+    df.withColumn("_w", collect_list(col(valueCol).cast("double")).over(win))
+      .withColumn("ewma", expr(
+        s"round(aggregate(slice(_w, 2, size(_w) - 1), element_at(_w, 1), " +
+          s"(acc, x) -> acc * ${1 - alpha}D + x * ${alpha}D), 6)"))
+      .drop("_w")
+  }
+
   def rollingDistinct(df: DataFrame, tsCol: String, idCol: String,
                       windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")

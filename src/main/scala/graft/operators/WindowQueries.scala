@@ -199,6 +199,21 @@ object WindowQueries extends QueryPack {
         .withColumnRenamed("ts_window_end", "win_day")
         .orderBy("win_day")),
 
+    // W14 (extension): recursive EWMA smoothing — the bounded HOF fold
+    // replays the recursion with identical op order in both engines;
+    // per user, the LAST smoothed level (depends on the final
+    // 10-value fold exactly).
+    "q_w14_ewma" -> ((s, dir) => {
+      val sm = graft.operators.TimeSeries.ewma(Tables.events(s, dir),
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.2, lookback = 10)
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      sm.withColumn("_rn", row_number().over(w2))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("ewma").as("last_ewma"))
+        .orderBy("user_id")
+    }),
+
     "q_w9_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id"))
@@ -292,6 +307,22 @@ object WindowQueries extends QueryPack {
         |  FROM orders)
         |SELECT o_orderpriority, rk, o_orderkey, o_totalprice
         |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    // list() over the same ordered frame, list_reduce folds left with
+    // the first element as seed — the exact aggregate() replay.
+    "q_w14_ewma" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS w
+        |  FROM events),
+        |e AS (SELECT user_id, ts, event_id,
+        |    ROUND(list_reduce(w, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+        |  FROM l),
+        |r AS (SELECT user_id, ewma, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, ewma AS last_ewma FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "q_w9_moving_avg" ->
       """WITH m AS (SELECT user_id,

@@ -330,6 +330,41 @@ class OperatorsSpec extends SparkSpec {
     assert(est2 === est)
   }
 
+  test("ewma: hand-checked recursive fold, lookback bounds the memory, layout-invariant") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 40.0), (2L, 1, 5.0))
+      .toDF("k", "seq", "v")
+    val out = graft.operators.TimeSeries
+      .ewma(df, "k", Seq("seq"), "v", alpha = 0.5, lookback = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 1)) === 10.0)   // frame [10] → seed
+    assert(out((1L, 2)) === 15.0)   // 10·½ + 20·½
+    assert(out((1L, 3)) === 30.0)   // frame [20,40]: the 10 aged out
+    assert(out((2L, 1)) === 5.0)    // keys independent
+    val out2 = graft.operators.TimeSeries
+      .ewma(df.repartition(7), "k", Seq("seq"), "v", alpha = 0.5, lookback = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out2 === out)
+  }
+
+  test("madFlag: zero-MAD groups flag only off-median values; robust to the outlier itself") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)),
+      ("a", Some(100.0)),                       // mad 0: only this flags
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(3.0)), ("b", Some(4.0)),
+      ("b", Some(100.0)),                       // mad 1: z = 65.4 flags
+      ("b", None))                              // null: never flags
+      .toDF("k", "v")
+    val out = graft.analytics.Anomaly.madFlag(df, "k", "v", cutoff = 3.5)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toDouble)) ->
+        (Option(r.get(2)).map(_.toString.toDouble), r.getBoolean(3))).toMap
+    assert(out(("a", Some(100.0))) === ((None, true)))   // zero MAD, off median
+    assert(out(("a", Some(1.0))) === ((None, false)))
+    assert(out(("b", Some(100.0)))._2 === true)
+    assert(math.abs(out(("b", Some(100.0)))._1.get - 0.6745 * 97) < 0.01)
+    assert(out(("b", Some(1.0)))._2 === false)           // median can't be dragged
+    assert(out(("b", None)) === ((None, false)))
+  }
+
   test("momentsProfile: hand-checked moments, degenerate groups go null, nulls excluded") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
