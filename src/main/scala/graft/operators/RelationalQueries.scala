@@ -402,6 +402,30 @@ object RelationalQueries extends QueryPack {
         .orderBy("label")
     }),
 
+    // G5 (extension): personalized PageRank — restart mass confined
+    // to the five lowest-keyed customers, so rank = proximity to THOSE
+    // (seed-based corpus expansion), not global centrality. The rank
+    // relation only ever holds reached nodes — the sparsity that
+    // makes 3-hop PPR frontier-bounded at 100 TB. Top 10.
+    "q_g5_ppr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_custkey") < 5)
+        .select((col("c_custkey") * 2).as("seed"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
+          damping = 0.85, iters = 3)
+        .select(when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+          .as("node"), col("rank"))
+        .orderBy(desc("rank"), asc("node"))
+        .limit(10)
+    }),
+
     "q_g1_pagerank" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -908,6 +932,45 @@ object RelationalQueries extends QueryPack {
         |FROM deg LEFT JOIN n ON deg.node = n.node
         |WHERE deg.d >= 2
         |ORDER BY clustering_coef DESC, deg.node LIMIT 20""".stripMargin,
+
+    // PPR replay: teleport base 0.15/5 on the seeds only, walk starts
+    // at the personalization vector, FULL OUTER per iteration keeps
+    // isolated seeds' restart mass; same DECIMAL/rounding discipline
+    // as q_g1_pagerank.
+    "q_g5_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS dg FROM und GROUP BY 1),
+        |sd AS (SELECT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 5),
+        |sb AS (SELECT node, ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 5, 10) AS b FROM sd),
+        |r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / 5, 10) AS rank FROM sd),
+        |a1 AS (SELECT u.dst AS node,
+        |    CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE) AS m
+        |  FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst),
+        |r1 AS (SELECT COALESCE(a.node, b.node) AS node,
+        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |  FROM a1 a FULL OUTER JOIN sb b ON a.node = b.node),
+        |a2 AS (SELECT u.dst AS node,
+        |    CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE) AS m
+        |  FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst),
+        |r2 AS (SELECT COALESCE(a.node, b.node) AS node,
+        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |  FROM a2 a FULL OUTER JOIN sb b ON a.node = b.node),
+        |a3 AS (SELECT u.dst AS node,
+        |    CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE) AS m
+        |  FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |  GROUP BY u.dst),
+        |r3 AS (SELECT COALESCE(a.node, b.node) AS node,
+        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |  FROM a3 a FULL OUTER JOIN sb b ON a.node = b.node)
+        |SELECT node, ROUND(rank, 6) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
     "q_g1_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -401,6 +401,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pr2 === pr)
   }
 
+  test("personalizedPageRank: rank tracks seed proximity, frontier stays sparse, isolated seeds restart") {
+    // path a-b-c-d-e, seed a: rank decays with distance; e is beyond
+    // the 2-hop frontier of 2 iterations and must be ABSENT (sparsity)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("s", "d")
+    val seedA = Seq("a").toDF("seed")
+    val pr2 = graft.operators.Graph
+      .personalizedPageRank(path, "s", "d", seedA, "seed", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!pr2.contains("e"))
+    val pr3 = graft.operators.Graph
+      .personalizedPageRank(path, "s", "d", seedA, "seed", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr3("b") > pr3("d"), s"proximity ordering violated: $pr3")
+    // an isolated seed never joins the walk but keeps its restart mass
+    val seeds2 = Seq("a", "z").toDF("seed")
+    val prIso = graft.operators.Graph
+      .personalizedPageRank(path, "s", "d", seeds2, "seed", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prIso("z") === 0.075) // (1 − 0.85) / 2 seeds
+    // layout invariance
+    val pr3b = graft.operators.Graph
+      .personalizedPageRank(path.repartition(7), "s", "d", seedA, "seed", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr3b === pr3)
+  }
+
   test("triangleCounts: hand-checked counts, and junk edges don't distort them") {
     // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3;
     // a pendant path 4-5-6 adds no triangle; self-loop, duplicate,
