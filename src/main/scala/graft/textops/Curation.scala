@@ -75,6 +75,46 @@ object Curation {
     * invariant); the cluster pass adds the pair-generation + CC cost,
     * which a pipeline doing near-dedup anyway already paid.
     */
+  /** Near-duplicate removal with a QUALITY-AWARE survivor rule: each
+    * transitive cluster keeps its highest-`priorityCol` member
+    * (ties → smallest id) instead of [[dropNearDuplicates]]'s
+    * smallest-id convention. This is what production curation
+    * actually wants — when a cleaned reprint and a boilerplate-ridden
+    * original are near-dups, the dedup pass should keep the BEST
+    * copy, not the earliest-crawled one.
+    *
+    * Same pair generation and O(log n)-round clustering as the
+    * id-rule form; survivor selection is one aggregation over the
+    * (cluster, member) relation — `min(struct(−priority, id))` picks
+    * (max priority, min id) per cluster in a single k-bounded pass,
+    * no window sort over members. Null priorities coalesce to −∞
+    * (a null-scored doc survives only alone). Rows outside any
+    * cluster pass through untouched.
+    */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+                           priorityCol: String, shingleN: Int = 3,
+                           threshold: Double = 0.5,
+                           pairStrategy: String = "auto"): DataFrame = {
+    val pairs = pairStrategy match {
+      case "auto" => Dedup.jaccardPairsAuto(df, idCol, textCol, shingleN, threshold)
+      case "prefix" => Dedup.jaccardPairsPrefix(df, idCol, textCol, shingleN, threshold)
+      case "full" => Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+      case other => throw new IllegalArgumentException(
+        s"pairStrategy must be auto|full|prefix, got '$other'")
+    }
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val members = comp.join(
+      df.select(col(idCol).as("node"),
+        coalesce(col(priorityCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("_pr")), "node")
+    val winners = members.groupBy("label")
+      .agg(min(struct((-col("_pr")).as("_np"), col("node").as("_n"))).as("_w"))
+      .select(col("_w._n").as(idCol))
+    val losers = comp.select(col("node").as(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5,
                        testPct: Int = 10): DataFrame = {

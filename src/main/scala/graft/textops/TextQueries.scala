@@ -104,6 +104,21 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
         .orderBy("source")),
 
+    // Quality-aware survivor rule: each near-dup cluster keeps its
+    // highest-quality member (ties → smallest id) instead of the
+    // smallest id — keep the BEST copy, not the earliest-crawled.
+    "q_t_curate_best" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Curation.dropNearDuplicatesBy(scored, "doc_id", "text",
+          "quality_score", shingleN = 3, threshold = 0.4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"),
+          round(sum(col("quality_score").cast(dec)).cast("double"), 6)
+            .as("sum_quality"))
+        .orderBy("source")
+    }),
+
     // MinHash + LSH near-dup pairs (candidates via banded signatures,
     // verified with exact Jaccard). Runs the Md5Portable hash family so
     // the DuckDB oracle replays the ENTIRE sketch pipeline — 64
@@ -1126,6 +1141,47 @@ object TextQueries extends QueryPack {
          |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
          |SELECT cluster_id, COUNT(*) AS n_members FROM cc
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // Same cluster replay as q_t_near_dedup, but the survivor window
+    // orders by quality DESC, id — the engine's min(struct(−q, id)).
+    "q_t_curate_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b
+         |  FROM p JOIN sizes sa ON doc_a = sa.doc_id
+         |         JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION SELECT doc_b, doc_a FROM jp),
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM gnodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |qb AS (SELECT doc_id, source,
+         |    len(string_split(trim(text), ' ')) AS n_toks,
+         |    LENGTH(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |      - len(string_split(trim(text), ' ')) AS n_punct,
+         |    len(list_filter(string_split(trim(lower(text)), ' '),
+         |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS stop_hits
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, ROUND(
+         |    LEAST(CAST(n_toks AS DOUBLE) * 0.2, 4.0)
+         |  + LEAST(CAST(stop_hits AS DOUBLE) / n_toks * 10.0, 4.0)
+         |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
+         |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS qs
+         |  FROM qb),
+         |wn AS (SELECT cc.node, ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+         |    ORDER BY q.qs DESC, cc.node) AS rn
+         |  FROM cc JOIN q ON q.doc_id = cc.node),
+         |losers AS (SELECT node FROM wn WHERE rn > 1)
+         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id,
+         |  ROUND(CAST(SUM(CAST(qs AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_quality
+         |FROM q WHERE doc_id NOT IN (SELECT node FROM losers)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_t_near_dedup" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -247,6 +247,33 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dropNearDuplicatesBy keeps the highest-priority cluster member, not the min id") {
+    val df = Seq(
+      (1L, "a b c d e f g h", 0.3),   // cluster {1,2,3}: 2 wins on quality
+      (2L, "a b c d e f g h", 0.9),
+      (3L, "a b c d e f g x", 0.9),   // tie with 2 → smaller id 2 wins
+      (4L, "q r s t u v w z", 0.1))   // singleton survives regardless
+      .toDF("doc_id", "text", "q")
+    val kept = Curation.dropNearDuplicatesBy(df, "doc_id", "text", "q",
+        shingleN = 3, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+    // the id rule would have kept 1 — the two rules genuinely differ
+    val keptById = Curation.dropNearDuplicates(df, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptById.toSeq === Seq(1L, 4L))
+    // null priority loses to any scored member
+    val withNull = Seq(
+      (1L, "a b c d e f g h", Option.empty[Double]),
+      (2L, "a b c d e f g h", Some(0.1)))
+      .toDF("doc_id", "text", "q")
+    val keptNull = Curation.dropNearDuplicatesBy(withNull, "doc_id", "text", "q",
+        shingleN = 3, threshold = 0.4)
+      .select("doc_id").as[Long].collect()
+    assert(keptNull.toSeq === Seq(2L))
+  }
+
   test("dropNearDuplicates returns the corpus unchanged when no near-dups exist") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", "s1"),
