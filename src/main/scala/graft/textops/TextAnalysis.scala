@@ -68,6 +68,32 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Per-document top-k keyword extraction: the k highest-TF-IDF terms
+    * of each document (ties → lexicographically first term) — the
+    * tagging/routing primitive on top of [[tfidf]] (auto-labeling
+    * corpus slices, building sparse retrieval keys).
+    *
+    * Scale shape: no corpus-wide window — the per-document term list
+    * is bounded by the document's own vocabulary, so the
+    * collect+sort_array+slice runs in per-group memory proportional
+    * to ONE document, and the shuffle is the tfidf relation it
+    * already consumes. Ordering is normalized by `sort_array` (the
+    * collected order never matters). Returns (idCol, rank, term,
+    * tfidf), rank 1-based.
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, s"keyword count must be positive, got $k")
+    tfidf(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(
+          struct((-col("tfidf")).as("nt"), col("term").as("t")))), 1, k)
+        .as("_top"))
+      .select(col(idCol), posexplode(col("_top")).as(Seq("_p", "_e")))
+      .select(col(idCol), (col("_p") + 1).cast("long").as("rank"),
+        col("_e.t").as("term"), round(-col("_e.nt"), 6).as("tfidf"))
+  }
+
   /** Token statistics: whitespace tokens vs regex (BPE-ish) tokens. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_ws_tokens", size(TextFunctions.tokens(col(textCol))))

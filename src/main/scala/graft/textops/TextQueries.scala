@@ -73,6 +73,14 @@ object TextQueries extends QueryPack {
 
     // TF-IDF keyword extraction: top-3 terms per document (first 10
     // docs) with global document frequencies.
+    // Keyword extraction over the WHOLE corpus — the no-window scale
+    // path for the q_t_tfidf shape: per-doc sort is bounded by the
+    // doc's own vocabulary, nothing partitions a corpus-wide window.
+    "q_t_keywords" -> ((s, dir) =>
+      TextAnalysis.topKeywords(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rank")),
+
     "q_t_tfidf" -> ((s, dir) => {
       val scored = TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text")
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
@@ -1216,6 +1224,23 @@ object TextQueries extends QueryPack {
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Window replay of the bounded per-doc top-k (tfidf DESC, term).
+    "q_t_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    UNNEST(string_split(trim(lower(text)), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS "rank"
+        |  FROM scored)
+        |SELECT doc_id, "rank", term, tfidf FROM r WHERE "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
 
     "q_t_tfidf" ->
       """WITH toks AS (SELECT doc_id,

@@ -82,6 +82,32 @@ class TextOpsSpec extends SparkSpec {
     assert(md5 === pairs)
   }
 
+  test("topKeywords matches the window formulation; ties break lexicographically") {
+    val df = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "beta beta beta delta"),
+      (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topKeywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    val expect = TextAnalysis.tfidf(df, "doc_id", "text")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("doc_id", "rank", "term", "tfidf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got === expect)
+    // doc 3: alpha/delta/gamma tie on tfidf (df=2 each) and order
+    // lexicographically; beta (in every doc, idf=0) ranks last
+    val d3 = TextAnalysis.topKeywords(df, "doc_id", "text", k = 4)
+      .filter(col("doc_id") === 3L).orderBy("rank")
+      .collect().map(_.getString(2))
+    assert(d3.toSeq === Seq("alpha", "delta", "gamma", "beta"))
+  }
+
   test("rrfFuse: rank arithmetic exact, both-list docs beat single-list docs") {
     import graft.textops.Retrieval
     val lex = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
