@@ -128,6 +128,38 @@ object VersionedTable {
         s"no published version at $root")
     }
 
+  /** Constraint-gated publish: evaluate declarative
+    * [[graft.ingest.Expectations]] constraints over the batch and
+    * commit ONLY when every one passes — the write-audit-publish
+    * pattern with the audit INSIDE the commit protocol, so a bad
+    * batch can never become the current version (readers keep the
+    * last good version; nothing to roll back).
+    *
+    * The constraint scan runs over the batch BEFORE any files are
+    * written (one aggregation pass — the single-pass violations
+    * relation); on failure the table is untouched and the violation
+    * counts ride the exception message. The alternative ordering
+    * (write files, check, skip the marker) would leave orphan
+    * directories for vacuum — checking first costs one extra scan of
+    * the batch and leaves no garbage.
+    */
+  def publishChecked(df: DataFrame, root: String,
+                     constraints: Seq[graft.ingest.Expectations.Constraint],
+                     keepVersions: Int = 3,
+                     statsColumns: Seq[String] = Nil,
+                     bloomColumns: Seq[String] = Nil): String = {
+    val bad = graft.ingest.Expectations.violations(df, constraints)
+      .filter(col("violations") > 0)
+      .collect() // audit verdict: |constraints|-row planning relation
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"publishChecked refused $root: constraint violations [$detail]")
+    }
+    publish(df, root, keepVersions, statsColumns, bloomColumns)
+  }
+
   /** Time travel: read a specific PUBLISHED version (a name from
     * [[listVersions]]). Versions are immutable, so the read is
     * reproducible for as long as retention keeps the version alive —

@@ -33,6 +33,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.listVersions(spark, root).length === 2)
   }
 
+  test("publishChecked commits only clean batches; a bad batch leaves the table untouched") {
+    import graft.ingest.Expectations._
+    val root = tmpRoot("checked")
+    val rules = Seq(NotNull("v"), Unique(Seq("k")),
+      InRange("n", 0.0, 100.0))
+    // clean batch commits
+    VersionedTable.publishChecked(
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "v", "n"), root, rules)
+    assert(VersionedTable.readCurrent(spark, root).count() === 2)
+    // bad batch (null v, duplicate k, out-of-range n) refuses BEFORE
+    // any files are written: same version count, same current data
+    val before = VersionedTable.listVersions(spark, root)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.publishChecked(
+        Seq((1, null, 10.0), (1, "b", 500.0)).toDF("k", "v", "n"), root, rules)
+    }
+    assert(e.getMessage.contains("not_null(v)")
+      && e.getMessage.contains("unique(k)")
+      && e.getMessage.contains("in_range(n,0.0,100.0)"),
+      s"violation detail missing from: ${e.getMessage}")
+    assert(VersionedTable.listVersions(spark, root) === before)
+    assert(VersionedTable.readCurrent(spark, root)
+      .as[(Int, String, Double)].collect().toSet ===
+      Set((1, "a", 10.0), (2, "b", 20.0)))
+  }
+
   test("readCurrent on an unpublished root fails like an absent dataset") {
     intercept[IllegalStateException] {
       VersionedTable.readCurrent(spark, tmpRoot("absent"))
