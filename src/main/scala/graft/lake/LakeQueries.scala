@@ -26,6 +26,22 @@ object LakeQueries extends QueryPack {
   }
 
   override def queries: Map[String, Q] = Map(
+    // Generic relational keyed diff (the snapshotDiff idea without a
+    // text fingerprint): null-safe struct comparison classifies every
+    // order key across two deterministic snapshot variants.
+    "q_l_keyed_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val oldDf = o.where(col("o_orderkey") % 10 =!= 0)
+      val newDf = o.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      LakeStorage.keyedDiff(oldDf, newDf, Seq("o_orderkey"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+        .orderBy("status")
+    }),
+
     // Data-skipping scan: orders Z-ordered on (o_custkey, o_totalprice)
     // with per-file stats, then a 2-D range read that prunes files on
     // BOTH dimensions before re-applying the exact predicate. The
@@ -242,6 +258,28 @@ object LakeQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // IS NOT DISTINCT FROM per column = the engine's null-safe struct
+    // equality.
+    "q_l_keyed_diff" ->
+      """WITH o1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |o2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (a.o_custkey IS NOT DISTINCT FROM b.o_custkey)
+        |          AND (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus)
+        |          AND (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice)
+        |          AND (a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate)
+        |          AND (a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+        |         THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM o1 a FULL OUTER JOIN o2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, COUNT(*) AS n, MIN(k) AS min_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
     "q_l_skip_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

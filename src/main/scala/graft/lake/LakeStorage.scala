@@ -193,6 +193,41 @@ object LakeStorage {
           .otherwise("changed"))
   }
 
+  /** Generic keyed diff between two RELATIONAL snapshots — the
+    * [[snapshotDiff]] idea (which fingerprints a text column) applied
+    * to arbitrary rows: a key is added/removed/changed/unchanged by
+    * NULL-SAFE comparison of every non-key column (a value moving to
+    * or from NULL is a change, not a match — `<=>` semantics, the
+    * same contract SQL's IS NOT DISTINCT FROM replays).
+    *
+    * One full-outer hash join on the key; the non-key columns ride as
+    * a single struct so the comparison is one codegen'd expression,
+    * not |columns| join conditions. Both sides must share a schema
+    * and be key-unique (a duplicated key would cross-multiply in the
+    * join — enforce upstream with Expectations.Unique). Returns
+    * (keys…, status).
+    */
+  def keyedDiff(oldDf: DataFrame, newDf: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"schemas differ: [${oldDf.columns.sorted.mkString(",")}] vs " +
+        s"[${newDf.columns.sorted.mkString(",")}]")
+    val valCols = oldDf.columns.filterNot(keyCols.contains).sorted
+    require(valCols.nonEmpty, "need at least one non-key column to compare")
+    def pack(df: DataFrame, v: String, e: String) =
+      df.select(keyCols.map(col) :+
+        struct(valCols.map(col).toIndexedSeq: _*).as(v) :+ lit(true).as(e): _*)
+    pack(oldDf, "_ov", "_oe")
+      .join(pack(newDf, "_nv", "_ne"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("_oe").isNull, "added")
+          .when(col("_ne").isNull, "removed")
+          .when(col("_ov") <=> col("_nv"), "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
+
   /** CDC change feed between two snapshots — the replayable form of
     * [[snapshotDiff]]: full NEW-side rows for added/changed keys (op =
     * 'added'/'changed') plus bare key rows for removals (op =

@@ -174,6 +174,26 @@ class IngestLakeSpec extends SparkSpec {
     assert(d2 === Map(2L -> "unchanged", 3L -> "unchanged"))
   }
 
+  test("keyedDiff compares every non-key column null-safely") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), None), (5L, None, Some(5.0)))
+      .toDF("k", "s", "v")
+    val nw = Seq((2L, Some("b"), Some(2.0)),   // identical → unchanged
+      (3L, Some("c"), Some(3.0)),              // null → value: changed
+      (4L, Some("d"), Some(4.0)),              // new key: added
+      (5L, None, Some(5.0)))                   // null == null: unchanged
+      .toDF("k", "s", "v")
+    val d = LakeStorage.keyedDiff(old, nw, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "unchanged"))
+    // schema mismatch is refused loudly
+    intercept[IllegalArgumentException] {
+      LakeStorage.keyedDiff(old, nw.drop("v"), Seq("k"))
+    }
+  }
+
   test("changeFeed is churn-only and applyChanges round-trips to the new snapshot") {
     import spark.implicits._
     val old = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
