@@ -121,6 +121,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("KMV distinct aggregates k-bounded partials — no value-wide distinct exchange") {
+    val p = plan("q_a24_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate")) // bounded typed buffer
+    assert(!p.contains("Window"))
+  }
+
+  test("keyword extraction runs without any window partition") {
+    val p = plan("q_t_keywords")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quality-aware survivor selection never window-sorts cluster members") {
+    val p = plan("q_t_curate_best")
+    assert(!p.contains("Window"))
+  }
+
+  test("personalized PageRank joins stay hash/broadcast — no nested loops") {
+    val p = plan("q_g5_ppr")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("frequency table does partial (map-side) aggregation before the shuffle") {
     val p = plan("q_a3_value_counts")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
