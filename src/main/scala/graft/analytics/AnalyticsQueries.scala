@@ -112,6 +112,14 @@ object AnalyticsQueries extends QueryPack {
     "q_a12_gini" -> ((s, dir) =>
       Demographics.giniSimpson(Tables.customer(s, dir), "c_mktsegment")),
 
+    // A26 (extension): mutual information between segment and nation
+    // — the dependence audit marginal entropy/Gini can't see ("is
+    // this attribute leaking that one?"). Exact-integer log terms,
+    // one division at the end.
+    "q_a26_mutual_info" -> ((s, dir) =>
+      Demographics.mutualInformation(Tables.customer(s, dir),
+        "c_mktsegment", "c_nationkey")),
+
     // A13/F4/F5: token mining — explode + count + top-k.
     "q_a13_tokens" -> ((s, dir) =>
       Demographics.tokenTopK(Tables.documents(s, dir), "text", 20)),
@@ -231,6 +239,22 @@ object AnalyticsQueries extends QueryPack {
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
         |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy
         |FROM g""".stripMargin,
+
+    // Joint/marginal integer counts, per-cell DECIMAL-cast log terms,
+    // one division + round at the end (the entropy discipline in 2-D).
+    "q_a26_mutual_info" ->
+      """WITH j AS (SELECT c_mktsegment AS x, c_nationkey AS y, COUNT(*) AS c
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT SUM(c) AS n FROM j),
+        |mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY 1),
+        |my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY 1)
+        |SELECT ROUND(CAST(SUM(CAST(CAST(j.c AS DOUBLE) *
+        |      (LOG2(j.c) + LOG2(nn.n) - LOG2(mx.cx) - LOG2(my.cy))
+        |    AS DECIMAL(38,16))) AS DOUBLE) / ANY_VALUE(nn.n), 6) AS mi_bits,
+        |  CAST(ANY_VALUE(nn.n) AS BIGINT) AS n
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn""".stripMargin,
 
     "q_a12_gini" ->
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer

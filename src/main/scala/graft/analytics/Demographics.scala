@@ -89,6 +89,43 @@ object Demographics {
               $("tot").as("n"))
   }
 
+  /** Mutual information between two categorical columns in bits —
+    * the dependence measure the marginal diversity stats
+    * ([[shannonEntropy]], [[giniSimpson]]) can't see: MI(X;Y) = 0 iff
+    * the columns are independent, and MI = H(X) when one determines
+    * the other. The dataset-audit question it answers: "is this
+    * attribute leaking that one?" (e.g. does `source` predict `lang`
+    * — a mixing-skew alarm).
+    *
+    * Same exact-integer discipline as [[shannonEntropy]]: the joint
+    * and both marginals are integer counts; each cell contributes
+    * c·(log2 c + log2 n − log2 cx − log2 cy), DECIMAL-cast so the
+    * across-cell sum is order-independent; ONE division and rounding
+    * at the end. The joint relation is |X|·|Y| cells — categorical by
+    * contract — so the marginal joins broadcast and the only
+    * corpus-sized work is the first aggregation. Null in either
+    * column drops the row (matching the entropy convention).
+    * Returns 1 row: (mi_bits, n).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    val j = df
+      .where(expr(s"`$xCol`").isNotNull && expr(s"`$yCol`").isNotNull)
+      .groupBy(expr(s"`$xCol`").as("_x"), expr(s"`$yCol`").as("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val n = j.agg(sum($("_c")).as("_n"))
+    val mx = j.groupBy("_x").agg(sum($("_c")).as("_cx"))
+    val my = j.groupBy("_y").agg(sum($("_c")).as("_cy"))
+    graft.operators.Joins.withScalar(
+        j.join(broadcast(mx), "_x").join(broadcast(my), "_y"), n)
+      .select(($("_c").cast("double") *
+          (log2($("_c")) + log2($("_n")) - log2($("_cx")) - log2($("_cy"))))
+        .cast(dec).as("_t"), $("_n"))
+      .groupBy("_n")
+      .agg(round(sum($("_t")).cast("double") / $("_n"), 6).as("mi_bits"))
+      .select($("mi_bits"), $("_n").as("n"))
+  }
+
   /** Gini–Simpson diversity 1 − Σ p² (`demographics_analyzer.py:211-215`). */
   def giniSimpson(df: DataFrame, col: String): DataFrame = {
     val counts = df.filter(expr(s"`$col`").isNotNull)

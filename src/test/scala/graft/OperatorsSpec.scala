@@ -312,6 +312,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).forall(!_._3))
   }
 
+  test("mutualInformation: zero for independence, H(X) for determinism, null rows dropped") {
+    import graft.analytics.Demographics
+    // independent: every (x, y) combination equally frequent → MI 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq(1, 2); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val mi0 = Demographics.mutualInformation(indep, "x", "y")
+      .collect().head
+    assert(mi0.getDouble(0) === 0.0 && mi0.getLong(1) === 20L)
+    // y = f(x), uniform x over 4 values → MI = H(X) = 2 bits
+    val det = (for { x <- 0 until 4; _ <- 1 to 3 } yield (s"k$x", x))
+      .toDF("x", "y")
+    val mi2 = Demographics.mutualInformation(det, "x", "y")
+      .collect().head.getDouble(0)
+    assert(mi2 === 2.0)
+    // a null in either column drops the row from n
+    val withNull = indep.unionByName(
+      Seq((null.asInstanceOf[String], 1)).toDF("x", "y"))
+    assert(Demographics.mutualInformation(withNull, "x", "y")
+      .collect().head.getLong(1) === 20L)
+  }
+
   test("KMV distinct: exact under the bound, ~1/sqrt(k) above it, duplicate/layout-invariant") {
     import graft.analytics.Sketches
     val small = (1 to 10).flatMap(v => Seq(("a", v), ("a", v))) // dups absorbed
