@@ -68,6 +68,54 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Jensen–Shannon divergence (in bits) between the token
+    * distributions of two corpus slices — the symmetric, bounded
+    * [0, 1] drift measure for mixing audits: "does the new crawl's
+    * vocabulary match the training mix?", "did the validation slice
+    * drift from train?". KL is undefined the moment either side has
+    * a token the other lacks; JSD's mixture midpoint makes missing
+    * tokens contribute their ½·p·log2 2 = p/2 mass instead of ∞.
+    *
+    * Shape: one tokenize pass over the two slices together, a count
+    * aggregation per (slice, token), a full-outer self-alignment on
+    * the token (missing side = 0), and a DECIMAL-summed per-token
+    * term — nothing corpus-quadratic, and the alignment relation is
+    * vocabulary-sized. Probabilities are double divisions of exact
+    * integer counts; each term's expression tree is mirrored
+    * token-for-token in the oracle; final 6 dp round. Returns 1 row:
+    * (jsd_bits, n_a, n_b) — token occurrence totals per slice.
+    */
+  def jensenShannon(df: DataFrame, sliceCol: String, textCol: String,
+                    sliceA: String, sliceB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    val toks = df
+      .where(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("_s"),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as("_tok"))
+      .where(length(col("_tok")) > 0)
+      .groupBy("_s", "_tok").agg(count(lit(1)).as("_c"))
+    val a = toks.where(col("_s") === sliceA).select(col("_tok"), col("_c").as("_ca"))
+    val b = toks.where(col("_s") === sliceB).select(col("_tok"), col("_c").as("_cb"))
+    val totals = toks.groupBy()
+      .agg(sum(when(col("_s") === sliceA, col("_c"))).as("_na"),
+        sum(when(col("_s") === sliceB, col("_c"))).as("_nb"))
+    val aligned = graft.operators.Joins.withScalar(
+      a.join(b, Seq("_tok"), "full_outer")
+        .select(coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb")), totals)
+    val p = col("_ca").cast("double") / col("_na")
+    val q = col("_cb").cast("double") / col("_nb")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("_ca") > 0, p / lit(2.0) * log2(p / m)).otherwise(lit(0.0)) +
+        when(col("_cb") > 0, q / lit(2.0) * log2(q / m)).otherwise(lit(0.0))
+    aligned
+      .groupBy(col("_na"), col("_nb"))
+      .agg(round(sum(term.cast(dec)).cast("double"), 6).as("jsd_bits"))
+      .select(col("jsd_bits"), col("_na").as("n_a"), col("_nb").as("n_b"))
+  }
+
   /** Per-document top-k keyword extraction: the k highest-TF-IDF terms
     * of each document (ties → lexicographically first term) — the
     * tagging/routing primitive on top of [[tfidf]] (auto-labeling

@@ -73,6 +73,13 @@ object TextQueries extends QueryPack {
 
     // TF-IDF keyword extraction: top-3 terms per document (first 10
     // docs) with global document frequencies.
+    // Vocabulary drift between the English and German slices —
+    // bounded symmetric divergence; KL would be ∞ on any
+    // one-side-only token.
+    "q_t_jsd" -> ((s, dir) =>
+      TextAnalysis.jensenShannon(Tables.documents(s, dir), "lang", "text",
+        "en", "de")),
+
     // Keyword extraction over the WHOLE corpus — the no-window scale
     // path for the q_t_tfidf shape: per-doc sort is bounded by the
     // doc's own vocabulary, nothing partitions a corpus-wide window.
@@ -1224,6 +1231,30 @@ object TextQueries extends QueryPack {
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Slice token counts, full-outer alignment, per-token mixture
+    // term with the engine's exact expression tree, DECIMAL-summed.
+    "q_t_jsd" ->
+      """WITH t AS (SELECT lang AS s, UNNEST(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |c AS (SELECT s, tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT tok, c AS ca FROM c WHERE s = 'en'),
+        |b AS (SELECT tok, c AS cb FROM c WHERE s = 'de'),
+        |nn AS (SELECT SUM(CASE WHEN s = 'en' THEN c END) AS na,
+        |    SUM(CASE WHEN s = 'de' THEN c END) AS nb FROM c),
+        |al AS (SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+        |tm AS (SELECT ca, cb,
+        |    CAST(ca AS DOUBLE) / nn.na AS p, CAST(cb AS DOUBLE) / nn.nb AS q
+        |  FROM al CROSS JOIN nn)
+        |SELECT ROUND(CAST(SUM(CAST(
+        |    (CASE WHEN ca > 0 THEN p / 2.0 * LOG2(p / ((p + q) / 2.0)) ELSE 0.0 END)
+        |  + (CASE WHEN cb > 0 THEN q / 2.0 * LOG2(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |    AS DECIMAL(38,16))) AS DOUBLE), 6) AS jsd_bits,
+        |  (SELECT CAST(na AS BIGINT) FROM nn) AS n_a,
+        |  (SELECT CAST(nb AS BIGINT) FROM nn) AS n_b
+        |FROM tm""".stripMargin,
 
     // Window replay of the bounded per-doc top-k (tfidf DESC, term).
     "q_t_keywords" ->

@@ -82,6 +82,25 @@ class TextOpsSpec extends SparkSpec {
     assert(md5 === pairs)
   }
 
+  test("jensenShannon: 0 for identical slices, 1 bit for disjoint vocabularies") {
+    val df = Seq(
+      ("p", "alpha beta gamma alpha"),
+      ("q", "alpha beta gamma alpha"),   // identical distribution → 0
+      ("r", "delta epsilon zeta eta"))   // disjoint from p → 1 bit
+      .toDF("slice", "text")
+    val same = TextAnalysis.jensenShannon(df, "slice", "text", "p", "q")
+      .collect().head
+    assert(same.getDouble(0) === 0.0)
+    assert(same.getLong(1) === 4L && same.getLong(2) === 4L)
+    val disjoint = TextAnalysis.jensenShannon(df, "slice", "text", "p", "r")
+      .collect().head.getDouble(0)
+    assert(disjoint === 1.0)  // JSD's upper bound in bits
+    // symmetric by construction
+    val flipped = TextAnalysis.jensenShannon(df, "slice", "text", "r", "p")
+      .collect().head.getDouble(0)
+    assert(flipped === disjoint)
+  }
+
   test("topKeywords matches the window formulation; ties break lexicographically") {
     val df = Seq(
       (1L, "alpha alpha beta gamma"),
