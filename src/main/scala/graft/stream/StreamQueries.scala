@@ -132,6 +132,23 @@ object StreamQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Streaming drift monitor, two-batch fold: the English slice
+    // seeds the reference distribution, the German batch then reports
+    // its JSD against it — the same divergence q_t_jsd computes in
+    // batch, here produced through the persisted reference store.
+    "q_s_drift_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"driftstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      Streaming.driftMonitorBatchStep(
+        docs.where(col("lang") === "en"), "text", store)
+      Streaming.driftMonitorBatchStep(
+        docs.where(col("lang") === "de"), "text", store)
+    }),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -288,6 +305,30 @@ object StreamQueries extends QueryPack {
         |  MIN(value) AS min_metric, MAX(value) AS max_metric,
         |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // The q_t_jsd arithmetic with the batch (de) on the a-side and
+    // the accumulated reference (en) on the b-side.
+    "q_s_drift_step" ->
+      """WITH t AS (SELECT lang AS s, UNNEST(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |c AS (SELECT s, tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT tok, c AS ca FROM c WHERE s = 'de'),
+        |b AS (SELECT tok, c AS cb FROM c WHERE s = 'en'),
+        |nn AS (SELECT SUM(CASE WHEN s = 'de' THEN c END) AS na,
+        |    SUM(CASE WHEN s = 'en' THEN c END) AS nb FROM c),
+        |al AS (SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+        |tm AS (SELECT ca, cb,
+        |    CAST(ca AS DOUBLE) / nn.na AS p, CAST(cb AS DOUBLE) / nn.nb AS q
+        |  FROM al CROSS JOIN nn)
+        |SELECT ROUND(CAST(SUM(CAST(
+        |    (CASE WHEN ca > 0 THEN p / 2.0 * LOG2(p / ((p + q) / 2.0)) ELSE 0.0 END)
+        |  + (CASE WHEN cb > 0 THEN q / 2.0 * LOG2(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |    AS DECIMAL(38,16))) AS DOUBLE), 6) AS jsd_bits,
+        |  (SELECT CAST(na AS BIGINT) FROM nn) AS n_a,
+        |  (SELECT CAST(nb AS BIGINT) FROM nn) AS n_b
+        |FROM tm""".stripMargin,
 
     // Mirrors the novelty-gate fold: reference = admitted evens'
     // distinct shingle hashes (everything admits into an empty store),

@@ -320,6 +320,57 @@ object Streaming {
     (survivors, liveStore.unionByName(survBands))
   }
 
+  /** One micro-batch step of VOCABULARY-DRIFT MONITORING — the
+    * streaming form of [[graft.textops.TextAnalysis.jensenShannon]]:
+    * state is the accumulated (token, count) distribution of every
+    * batch seen so far at `storePath`; each step reports the
+    * Jensen–Shannon divergence (bits) between THIS batch's token
+    * distribution and the reference BEFORE folding the batch in — the
+    * alarm that fires when a new crawl's vocabulary stops looking
+    * like the corpus it feeds (alert on jsd_bits > threshold in the
+    * caller's foreachBatch, the [[alerts]] convention).
+    *
+    * The first batch has no reference and reports a null jsd_bits
+    * with n_ref = 0. State is vocabulary-sized (one (token, count)
+    * row per distinct token — NOT corpus-sized), accumulated exactly;
+    * to rebase the reference window, point at a fresh `storePath`.
+    * Every stage is a count aggregation or a vocabulary-sized
+    * full-outer alignment; the store publishes through the same
+    * manifest-versioned atomic marker as the dedup/novelty stores.
+    * Returns 1 row: (jsd_bits, n_a = batch tokens, n_b = reference
+    * tokens).
+    */
+  def driftMonitorBatchStep(batch: DataFrame, textCol: String,
+                            storePath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val store =
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
+      else {
+        // loud on a legacy plain-parquet store (see nearDedup twin)
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("_tok", StringType),
+            StructField("_c", LongType))))
+      }
+    val counts = batch
+      .select(explode(graft.textops.TextFunctions.tokens(
+        graft.textops.TextFunctions.normalized(col(textCol)))).as("_tok"))
+      .where(length(col("_tok")) > 0)
+      .groupBy("_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val verdict = graft.textops.TextAnalysis.jsdFromCounts(
+        counts.select(col("_tok"), col("_c").as("_ca")),
+        store.select(col("_tok"), col("_c").as("_cb")))
+      .localCheckpoint() // decided against the store version read above
+    val newStore = store.unionByName(counts)
+      .groupBy("_tok").agg(sum(col("_c")).as("_c"))
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    verdict
+  }
+
   /** One micro-batch step of incremental NOVELTY GATING — the streaming
     * form of [[graft.textops.Dedup.noveltyScores]]: state is the
     * persisted distinct-shingle relation of previously-ADMITTED

@@ -87,7 +87,6 @@ object TextAnalysis {
     */
   def jensenShannon(df: DataFrame, sliceCol: String, textCol: String,
                     sliceA: String, sliceB: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     val toks = df
       .where(col(sliceCol).isin(sliceA, sliceB))
       .select(col(sliceCol).as("_s"),
@@ -95,25 +94,49 @@ object TextAnalysis {
           TextFunctions.normalized(col(textCol)))).as("_tok"))
       .where(length(col("_tok")) > 0)
       .groupBy("_s", "_tok").agg(count(lit(1)).as("_c"))
-    val a = toks.where(col("_s") === sliceA).select(col("_tok"), col("_c").as("_ca"))
-    val b = toks.where(col("_s") === sliceB).select(col("_tok"), col("_c").as("_cb"))
-    val totals = toks.groupBy()
-      .agg(sum(when(col("_s") === sliceA, col("_c"))).as("_na"),
-        sum(when(col("_s") === sliceB, col("_c"))).as("_nb"))
+    jsdFromCounts(
+      toks.where(col("_s") === sliceA).select(col("_tok"), col("_c").as("_ca")),
+      toks.where(col("_s") === sliceB).select(col("_tok"), col("_c").as("_cb")))
+  }
+
+  /** JSD core over two (token, count) relations — shared by the batch
+    * form above and the streaming drift monitor
+    * ([[graft.stream.Streaming.driftMonitorBatchStep]]). An EMPTY
+    * side yields a null jsd_bits (nothing to compare yet) rather than
+    * a 0/0.
+    */
+  private[graft] def jsdFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    val totals = a.agg(coalesce(sum(col("_ca")), lit(0L)).as("_na"))
+      .crossJoin(b.agg(coalesce(sum(col("_cb")), lit(0L)).as("_nb")))
     val aligned = graft.operators.Joins.withScalar(
       a.join(b, Seq("_tok"), "full_outer")
         .select(coalesce(col("_ca"), lit(0L)).as("_ca"),
           coalesce(col("_cb"), lit(0L)).as("_cb")), totals)
-    val p = col("_ca").cast("double") / col("_na")
-    val q = col("_cb").cast("double") / col("_nb")
+    // zero-total sides guard their division (ANSI mode): an empty side
+    // has only zero counts, so its probability is exactly 0 — the
+    // expression never changes a both-sides-live result
+    val p = when(col("_na") > 0,
+      col("_ca").cast("double") / col("_na")).otherwise(lit(0.0))
+    val q = when(col("_nb") > 0,
+      col("_cb").cast("double") / col("_nb")).otherwise(lit(0.0))
     val m = (p + q) / lit(2.0)
     val term =
       when(col("_ca") > 0, p / lit(2.0) * log2(p / m)).otherwise(lit(0.0)) +
         when(col("_cb") > 0, q / lit(2.0) * log2(q / m)).otherwise(lit(0.0))
-    aligned
+    val summed = aligned
       .groupBy(col("_na"), col("_nb"))
-      .agg(round(sum(term.cast(dec)).cast("double"), 6).as("jsd_bits"))
-      .select(col("jsd_bits"), col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(round(sum(term.cast(dec)).cast("double"), 6).as("_j"))
+      .select(
+        when(col("_na") > 0 && col("_nb") > 0, col("_j")).as("jsd_bits"),
+        col("_na").as("n_a"), col("_nb").as("n_b"))
+    // BOTH sides empty → no aligned rows at all — surface the one-row
+    // null verdict instead of an empty frame (one empty side still
+    // aligns against the other and flows through the null-guard above)
+    val fallback = totals.select(lit(null).cast("double").as("jsd_bits"),
+      col("_na").as("n_a"), col("_nb").as("n_b"))
+      .where(col("n_a") === 0 && col("n_b") === 0)
+    summed.unionByName(fallback)
   }
 
   /** Per-document top-k keyword extraction: the k highest-TF-IDF terms

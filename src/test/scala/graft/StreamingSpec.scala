@@ -177,6 +177,27 @@ class StreamingSpec extends SparkSpec {
     assert(ts.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
   }
 
+  test("drift monitor: null verdict on first batch, then divergence vs the accumulated reference") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val store = dir + "/store"
+    def docs(t: String*) = t.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    // first batch: no reference yet
+    val b1 = Streaming.driftMonitorBatchStep(
+      docs("alpha beta gamma", "alpha beta"), "text", store).collect().head
+    assert(b1.isNullAt(0) && b1.getLong(2) === 0L)
+    // identical distribution → 0 bits
+    val b2 = Streaming.driftMonitorBatchStep(
+      docs("alpha beta gamma", "alpha beta"), "text", store).collect().head
+    assert(b2.getDouble(0) === 0.0)
+    assert(b2.getLong(1) === 5L && b2.getLong(2) === 5L)
+    // disjoint vocabulary vs the accumulated reference → 1 bit
+    val b3 = Streaming.driftMonitorBatchStep(
+      docs("delta epsilon zeta"), "text", store).collect().head
+    assert(b3.getDouble(0) === 1.0)
+    assert(b3.getLong(2) === 10L) // reference accumulated both batches
+  }
+
   test("near-dedup writer converges when a crash lands between sink commit and state publish") {
     // The middle crash case of nearDedupWriter's three-way argument:
     // batch 1 commits its survivors to the sink but DIES before the
