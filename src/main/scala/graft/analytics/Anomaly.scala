@@ -109,8 +109,13 @@ object Anomaly {
     *
     * Two aggregation passes over the group key (median, then median
     * absolute deviation around it — MAD is not algebraic, it needs
-    * the median first), each producing a broadcast-joinable
-    * |groups|-row relation; the flag is map-side arithmetic. Exact
+    * the median first), each producing a |groups|-row stats relation
+    * re-attached WITHOUT a broadcast hint: group cardinality is
+    * caller-data-shaped (q_a25 groups by user id), and at 100 TB a
+    * high-cardinality key would blow a forced broadcast past the 8 GB
+    * ceiling and fail the job — AQE picks broadcast when the relation
+    * fits and a shuffle hash join when it doesn't. The flag is
+    * map-side arithmetic either way. Exact
     * interpolated percentiles (the q_a17/winsorize discipline) keep
     * it engine-portable. Zero-MAD groups (≥half the values identical)
     * yield null robust_z and flag only values strictly off the
@@ -126,10 +131,10 @@ object Anomaly {
         "working names (_med, _mad) — rename them first")
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
-    val withMed = df.join(broadcast(med), Seq(keyCol))
+    val withMed = df.join(med, Seq(keyCol))
     val mad = withMed.groupBy(col(keyCol))
       .agg(expr(s"percentile(abs($valueCol - _med), 0.5D)").as("_mad"))
-    withMed.join(broadcast(mad), Seq(keyCol))
+    withMed.join(mad, Seq(keyCol))
       .withColumn("robust_z",
         when(col("_mad") > 0,
           round(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))
@@ -145,7 +150,8 @@ object Anomaly {
     * Clipping (not dropping) is the standard robust-cleaning move when
     * downstream wants every row but not the tail's leverage. The
     * percentile bounds are one aggregation into a |groups|-row
-    * relation, broadcast back; the clip is a map-side
+    * relation joined back (no broadcast hint — AQE sizes it, same
+    * rationale as [[madFlag]]); the clip is a map-side
     * least/greatest — the data never shuffles. Adds
     * `<valueCol>_winsor` (double, 6 dp) and `was_clipped`; null
     * values pass through unclipped, and so do rows with a NULL group
@@ -159,7 +165,7 @@ object Anomaly {
     val bounds = df.groupBy(col(keyCol)).agg(
       expr(s"percentile($valueCol, ${loPct}D)").as("_lo"),
       expr(s"percentile($valueCol, ${hiPct}D)").as("_hi"))
-    df.join(broadcast(bounds), Seq(keyCol), "left")
+    df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
         round(least(greatest(col(valueCol).cast("double"), col("_lo")),
           col("_hi")), 6))

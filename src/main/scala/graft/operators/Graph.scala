@@ -107,35 +107,6 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
-  /** Per-node triangle participation counts via degree-ordered edge
-    * orientation (the compact-forward / node-iterator++ algorithm the
-    * MapReduce triangle literature settled on — Suri & Vassilvitskii's
-    * "Counting Triangles and the Curse of the Last Reducer", WWW'11).
-    *
-    * Why orientation matters at 100 TB: the naive wedge join (edges ⋈
-    * edges on the shared endpoint) generates Σ deg(v)² candidates — a
-    * single celebrity node with 10M neighbors yields 10¹⁴ wedges on
-    * one reducer. Orienting every edge from its (degree, id)-smaller
-    * endpoint to its larger one makes each triangle countable exactly
-    * once from its lowest-ordered corner, and bounds every node's
-    * OUT-degree by O(√m) regardless of its raw degree, so total wedge
-    * work is O(m^1.5) — the best achievable for exact counting — and
-    * no reducer sees a hot key. The composite (deg, id) order compares
-    * as a struct, so node ids never need re-encoding.
-    *
-    * Plan shape: distinct canonical edges checkpoint once; one
-    * aggregation for degrees; two hash joins to decorate endpoints;
-    * the wedge self-join and the closing join are both equi hash joins
-    * on edge keys (no cartesian, plan-asserted in GraphSpec). Output
-    * is (node, triangles) — each triangle credits all three corners,
-    * so counts are orientation-independent and any engine reproduces
-    * them bit-for-bit (pure integer arithmetic). Nodes in no triangle
-    * are absent (left-join degrees back if zeros are needed).
-    *
-    * Self-loops cannot form triangles and are dropped with null
-    * endpoints up front; parallel edges collapse via the canonical
-    * distinct.
-    */
   /** Personalized PageRank (random walk with restart to a SEED set —
     * Jeh & Widom, "Scaling personalized web search", WWW 2003): the
     * teleport mass (1−d) flows only to the seeds, so rank measures
@@ -231,6 +202,35 @@ object Graph {
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("_d"))
 
+  /** Per-node triangle participation counts via degree-ordered edge
+    * orientation (the compact-forward / node-iterator++ algorithm the
+    * MapReduce triangle literature settled on — Suri & Vassilvitskii's
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+    *
+    * Why orientation matters at 100 TB: the naive wedge join (edges ⋈
+    * edges on the shared endpoint) generates Σ deg(v)² candidates — a
+    * single celebrity node with 10M neighbors yields 10¹⁴ wedges on
+    * one reducer. Orienting every edge from its (degree, id)-smaller
+    * endpoint to its larger one makes each triangle countable exactly
+    * once from its lowest-ordered corner, and bounds every node's
+    * OUT-degree by O(√m) regardless of its raw degree, so total wedge
+    * work is O(m^1.5) — the best achievable for exact counting — and
+    * no reducer sees a hot key. The composite (deg, id) order compares
+    * as a struct, so node ids never need re-encoding.
+    *
+    * Plan shape: distinct canonical edges checkpoint once; one
+    * aggregation for degrees; two hash joins to decorate endpoints;
+    * the wedge self-join and the closing join are both equi hash joins
+    * on edge keys (no cartesian, plan-asserted in GraphSpec). Output
+    * is (node, triangles) — each triangle credits all three corners,
+    * so counts are orientation-independent and any engine reproduces
+    * them bit-for-bit (pure integer arithmetic). Nodes in no triangle
+    * are absent (left-join degrees back if zeros are needed).
+    *
+    * Self-loops cannot form triangles and are dropped with null
+    * endpoints up front; parallel edges collapse via the canonical
+    * distinct.
+    */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     triangleCore(simpleCanon(edges, srcCol, dstCol))
 

@@ -48,11 +48,17 @@ object Privacy {
     *
     * Plan shape: one aggregation on the QI key — count + distinct
     * sensitive count in the same pass (null sensitive values don't
-    * count toward diversity) — then a broadcast-joinable |groups|-row
-    * relation back onto the table; no window over the full table and
-    * no second shuffle. Suppression fires when EITHER bar fails
-    * (size < k or diversity < l), so the released table is k-anonymous
-    * AND l-diverse in its unsuppressed groups.
+    * count toward diversity) — then the |groups|-row relation joins
+    * back onto the table with NULL-SAFE equality (`<=>` per QI
+    * column): groupBy keeps null groups, and a plain equi-join would
+    * never match them, silently dropping every row with a NULL
+    * quasi-identifier — the null-safe join retains them, matching
+    * [[kAnonymize]]'s window form, and still plans as a hash join.
+    * No broadcast hint: at 100 TB-scale QI cardinality the stats
+    * relation can exceed the broadcast ceiling, so AQE chooses
+    * (broadcasting whenever it fits). Suppression fires when EITHER
+    * bar fails (size < k or diversity < l), so the released table is
+    * k-anonymous AND l-diverse in its unsuppressed groups.
     */
   def lDiversify(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
                  k: Int, l: Int): DataFrame = {
@@ -68,7 +74,13 @@ object Privacy {
     val stats = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("_qi_n"),
         countDistinct(col(sensitiveCol)).as("_qi_l"))
-    val joined = df.join(broadcast(stats), qiCols)
+    val t = df.as("_ldiv_t")
+    val s = stats.as("_ldiv_s")
+    val cond = qiCols.map(c => col(s"_ldiv_t.$c") <=> col(s"_ldiv_s.$c"))
+      .reduce(_ && _)
+    val joined = t.join(s, cond)
+      .select(col("_ldiv_t.*"),
+        col("_ldiv_s._qi_n").as("_qi_n"), col("_ldiv_s._qi_l").as("_qi_l"))
     qiCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c,
         when(col("_qi_n") < k || col("_qi_l") < l, lit("*"))

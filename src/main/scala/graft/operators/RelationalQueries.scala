@@ -908,7 +908,8 @@ object RelationalQueries extends QueryPack {
         |  CASE WHEN g.n < 7 OR g.ld < 4 THEN '*'
         |       ELSE CAST(t.c_nationkey AS VARCHAR) END AS c_nationkey,
         |  t.bal_bucket
-        |FROM t JOIN g USING (c_mktsegment, c_nationkey)
+        |FROM t JOIN g ON t.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+        |  AND t.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
         |ORDER BY c_custkey""".stripMargin,
 
     "q_g4_clustering_coef" ->
@@ -933,8 +934,11 @@ object RelationalQueries extends QueryPack {
         |WHERE deg.d >= 2
         |ORDER BY clustering_coef DESC, deg.node LIMIT 20""".stripMargin,
 
-    // PPR replay: teleport base 0.15/5 on the seeds only, walk starts
-    // at the personalization vector, FULL OUTER per iteration keeps
+    // PPR replay: teleport base (1-d)/|seeds| on the seeds only, with
+    // |seeds| DERIVED from the seed CTE (the engine computes it via
+    // seedNodes.count(), so a literal here would silently desync if
+    // the data regenerated with different key ranges); walk starts at
+    // the personalization vector, FULL OUTER per iteration keeps
     // isolated seeds' restart mass; same DECIMAL/rounding discipline
     // as q_g1_pagerank.
     "q_g5_ppr" ->
@@ -943,8 +947,9 @@ object RelationalQueries extends QueryPack {
         |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
         |deg AS (SELECT src, COUNT(*) AS dg FROM und GROUP BY 1),
         |sd AS (SELECT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 5),
-        |sb AS (SELECT node, ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 5, 10) AS b FROM sd),
-        |r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / 5, 10) AS rank FROM sd),
+        |sn AS (SELECT COUNT(*) AS ns FROM sd),
+        |sb AS (SELECT node, ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns, 10) AS b FROM sd CROSS JOIN sn),
+        |r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / ns, 10) AS rank FROM sd CROSS JOIN sn),
         |a1 AS (SELECT u.dst AS node,
         |    CAST(0.85 AS DOUBLE) *
         |      CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE) AS m

@@ -70,6 +70,12 @@ object TimeSeries {
     * (include a unique tiebreaker). Null values poison the windows
     * that contain them (null ewma) — filter upstream if nulls are
     * expected; silently skipping them would shift everyone's weights.
+    * To make that contract hold, the frame collects STRUCT-wrapped
+    * values (`collect_list` drops bare nulls, which would silently
+    * shrink the frame and re-weight every row instead): the struct is
+    * never null, the null rides inside as a field, and the fold's
+    * `acc·(1−α) + null·α` propagates null exactly as the oracle's
+    * `list()`/`list_reduce` does.
     */
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
            valueCol: String, alpha: Double, lookback: Int): DataFrame = {
@@ -81,10 +87,11 @@ object TimeSeries {
       .partitionBy(col(keyCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(lookback - 1), 0)
-    df.withColumn("_w", collect_list(col(valueCol).cast("double")).over(win))
+    df.withColumn("_w",
+        collect_list(struct(col(valueCol).cast("double").as("v"))).over(win))
       .withColumn("ewma", expr(
-        s"round(aggregate(slice(_w, 2, size(_w) - 1), element_at(_w, 1), " +
-          s"(acc, x) -> acc * ${1 - alpha}D + x * ${alpha}D), 6)"))
+        s"round(aggregate(slice(_w, 2, size(_w) - 1), element_at(_w, 1).v, " +
+          s"(acc, x) -> acc * ${1 - alpha}D + x.v * ${alpha}D), 6)"))
       .drop("_w")
   }
 

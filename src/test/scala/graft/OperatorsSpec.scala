@@ -367,6 +367,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("ewma: a null value poisons exactly the windows that contain it") {
+    // collect_list drops bare nulls — the struct wrap must carry them
+    // through so the documented poison contract (and the oracle's
+    // list()/list_reduce behavior) holds instead of silently
+    // shrinking the frame and re-weighting every row.
+    val df = Seq((1L, 1, Some(10.0)), (1L, 2, None: Option[Double]),
+      (1L, 3, Some(40.0)), (1L, 4, Some(8.0)))
+      .toDF("k", "seq", "v")
+    val out = graft.operators.TimeSeries
+      .ewma(df, "k", Seq("seq"), "v", alpha = 0.5, lookback = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        Option(r.get(3)).map(_.toString.toDouble)).toMap
+    assert(out((1L, 1)) === Some(10.0))  // before the null: untouched
+    assert(out((1L, 2)) === None)        // null value itself
+    assert(out((1L, 3)) === None)        // frame [null, 40] → poisoned
+    assert(out((1L, 4)) === Some(24.0))  // null aged out: 40·½ + 8·½
+  }
+
   test("madFlag: zero-MAD groups flag only off-median values; robust to the outlier itself") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)),
@@ -520,6 +538,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out(101L)._3 === "flu")                        // payload intact
     assert(out(201L) === (("B", "2", "flu")))             // released
     assert(out(301L)._1 === "*")                          // too small
+  }
+
+  test("lDiversify retains rows with NULL quasi-identifiers (null-safe stats join)") {
+    // groupBy keeps null groups but a plain equi-join never matches
+    // them — the <=> join must keep these rows (suppressed or
+    // released by the same k/l bars), matching kAnonymize's window
+    // form instead of silently dropping them from the release.
+    val df = Seq(
+      (Some("A"), 101L, "flu"), (Some("A"), 102L, "cold"),
+      (Some("A"), 103L, "cut"),
+      (None: Option[String], 901L, "flu"),
+      (None: Option[String], 902L, "cold"),
+      (None: Option[String], 903L, "cut"),
+      (None: Option[String], 904L, "flu"))
+      .toDF("seg", "id", "diag")
+    val out = graft.operators.Privacy
+      .lDiversify(df, Seq("seg"), "diag", k = 3, l = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("seg"), r.getAs[String]("diag"))).toMap
+    assert(out.size === 7)                     // no row vanished
+    assert(out(101L) === (("A", "flu")))       // released
+    // the NULL group (size 4, 3 distinct sensitives) passes both bars:
+    // its QI value stays as-is (null, cast to string stays null)
+    assert(out(901L)._1 === null && out(901L)._2 === "flu")
+    // and under a stricter bar the null group suppresses, not drops
+    val strict = graft.operators.Privacy
+      .lDiversify(df, Seq("seg"), "diag", k = 5, l = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("seg")).toMap
+    assert(strict.size === 7)
+    assert(strict(901L) === "*")
   }
 
   test("gapFillDaily densifies each key's own span and carries values forward") {
