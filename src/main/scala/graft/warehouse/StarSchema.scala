@@ -280,6 +280,117 @@ object StarSchema {
       .toDF("orphaned_business_fk", "orphaned_owner_fk", "passed")
   }
 
+  /** Register the reference's three reporting views
+    * (`schema.sql:233-282` — `v_business_ownership_summary`,
+    * `v_owner_demographics`, `v_role_distribution`) as named SQL
+    * surfaces over a warehouse load: after `registerViews(spark,
+    * loadAll(spark, cleaned))`, `spark.sql("SELECT * FROM
+    * v_role_distribution")` works exactly as it does against the
+    * reference's Postgres.
+    *
+    * `tables` is a [[loadAll]]-shaped map; only `dim_business`,
+    * `dim_owner`, `dim_role`, `fact_business_ownership` and
+    * `fact_owner_demographics` are read (the base tables also register
+    * as temp views under those names). SCD columns the reference's
+    * fact carries but ours derives per-load get faithful defaults when
+    * absent: `is_current` defaults to TRUE (a single-load fact is all
+    * current; pass a fact WITH an `is_current` column to exercise the
+    * views' current-rows-only filter — stale rows drop out of every
+    * view, and like the reference's `LEFT JOIN … WHERE is_current`,
+    * entities with NO current fact row drop too), and `created_at`
+    * defaults to `loadTs` (the reference stamps load time; a parameter
+    * keeps results reproducible — TIMESTAMP_NTZ, so the value is
+    * wall-clock-literal on any engine and session timezone).
+    *
+    * Deviations from the reference text, both schema-shaped: the role
+    * join runs on `title` (the seed's natural key — our fact carries
+    * no surrogate `role_id`; unseeded titles get NULL role flags,
+    * which count exactly like the reference's OTHER fallback), and
+    * `complexity_score` computes the reference's length-bucket CASE
+    * (`pipeline.py:459-464`) inline over `name_length` instead of
+    * reading a stored column.
+    *
+    * Scale shape: views are logical — Catalyst inlines them into each
+    * consumer, so the `is_current` filter pushes into the fact scan
+    * and unused view columns prune away. The only global window
+    * (`v_role_distribution`'s percent-of-total) runs over the ≤|roles|
+    * aggregate relation, never the fact.
+    */
+  def registerViews(spark: SparkSession, tables: Map[String, DataFrame],
+                    loadTs: String = "2024-01-01 00:00:00"): Unit = {
+    val fact0 = tables("fact_business_ownership")
+    val fact1 =
+      if (fact0.columns.contains("is_current")) fact0
+      else fact0.withColumn("is_current", lit(true))
+    val fact =
+      if (fact1.columns.contains("created_at")) fact1
+      else fact1.withColumn("created_at", to_timestamp_ntz(lit(loadTs)))
+    tables("dim_business").createOrReplaceTempView("dim_business")
+    tables("dim_owner").createOrReplaceTempView("dim_owner")
+    tables("dim_role").createOrReplaceTempView("dim_role")
+    fact.createOrReplaceTempView("fact_business_ownership")
+    tables("fact_owner_demographics")
+      .createOrReplaceTempView("fact_owner_demographics")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW v_business_ownership_summary AS
+        |SELECT
+        |  b.account_number,
+        |  b.legal_name,
+        |  b.business_type,
+        |  COUNT(DISTINCT o.owner_id) AS total_owners,
+        |  COUNT(DISTINCT CASE WHEN o.is_individual THEN o.owner_id END)
+        |    AS individual_owners,
+        |  COUNT(DISTINCT CASE WHEN NOT o.is_individual THEN o.owner_id END)
+        |    AS corporate_owners,
+        |  COUNT(DISTINCT CASE WHEN r.is_leadership THEN o.owner_id END)
+        |    AS leadership_owners,
+        |  MAX(f.created_at) AS last_updated
+        |FROM dim_business b
+        |LEFT JOIN fact_business_ownership f ON b.business_id = f.business_id
+        |LEFT JOIN dim_owner o ON f.owner_id = o.owner_id
+        |LEFT JOIN dim_role r ON f.title = r.title
+        |WHERE f.is_current = TRUE
+        |GROUP BY b.business_id, b.account_number, b.legal_name,
+        |  b.business_type""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW v_owner_demographics AS
+        |SELECT
+        |  o.owner_id,
+        |  o.full_name,
+        |  o.first_name,
+        |  o.last_name,
+        |  o.is_individual,
+        |  o.owner_type,
+        |  COUNT(DISTINCT f.business_id) AS businesses_owned,
+        |  COUNT(DISTINCT f.title) AS unique_roles,
+        |  MAX(d.name_length) AS name_length,
+        |  MAX(CAST(CASE WHEN d.name_length > 20 THEN 0.8
+        |               WHEN d.name_length > 10 THEN 0.6
+        |               ELSE 0.4 END AS DOUBLE)) AS complexity_score
+        |FROM dim_owner o
+        |LEFT JOIN fact_business_ownership f ON o.owner_id = f.owner_id
+        |LEFT JOIN fact_owner_demographics d ON o.owner_id = d.owner_id
+        |WHERE f.is_current = TRUE
+        |GROUP BY o.owner_id, o.full_name, o.first_name, o.last_name,
+        |  o.is_individual, o.owner_type""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW v_role_distribution AS
+        |SELECT
+        |  r.title,
+        |  r.role_category,
+        |  r.is_leadership,
+        |  r.is_ownership,
+        |  COUNT(DISTINCT f.owner_id) AS total_owners,
+        |  COUNT(DISTINCT f.business_id) AS total_businesses,
+        |  ROUND(CAST(COUNT(DISTINCT f.owner_id) AS DOUBLE) * 100.0
+        |    / SUM(COUNT(DISTINCT f.owner_id)) OVER (), 2) AS percentage
+        |FROM dim_role r
+        |LEFT JOIN fact_business_ownership f ON r.title = f.title
+        |WHERE f.is_current = TRUE
+        |GROUP BY r.title, r.role_category, r.is_leadership,
+        |  r.is_ownership""".stripMargin)
+  }
+
   /** Full warehouse load over a cleaned staging table — every table the
     * reference load populates (`create_dimensions` → `create_facts` →
     * `create_aggregations` → validation). `dateId` stamps the daily

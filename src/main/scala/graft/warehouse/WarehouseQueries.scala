@@ -97,7 +97,68 @@ object WarehouseQueries extends QueryPack {
         dayAgg(col("o_orderkey") % 3 === 1, "2024-06-02"), // corrected re-run
       )).orderBy("date_id")
     }),
+
+    // The reference's three reporting views (`schema.sql:233-282`)
+    // registered via StarSchema.registerViews and consumed through
+    // spark.sql — the named SQL surface a warehouse user actually
+    // queries. The fact gets a deterministic is_current column
+    // (businesses with acct % 10 == 0 are stale) so the views'
+    // current-rows-only filter is exercised: like the reference's
+    // LEFT JOIN … WHERE is_current, entities with no current fact row
+    // drop out entirely. Surrogate ids (owner_id/business_id are
+    // xxhash64) are projected OUT of the compared result — the DuckDB
+    // replay identifies owners by their (full_name, entity) natural
+    // pair, which the surrogate is injective on.
+    "q_v_ownership_summary" -> ((s, dir) => {
+      registerReportingViews(s, dir)
+      s.sql(
+        """SELECT account_number, legal_name, business_type, total_owners,
+          |  individual_owners, corporate_owners, leadership_owners,
+          |  last_updated
+          |FROM v_business_ownership_summary
+          |ORDER BY account_number""".stripMargin)
+    }),
+
+    "q_v_owner_demographics" -> ((s, dir) => {
+      registerReportingViews(s, dir)
+      s.sql(
+        """SELECT full_name, first_name, last_name, is_individual,
+          |  owner_type, businesses_owned, unique_roles, name_length,
+          |  complexity_score
+          |FROM v_owner_demographics
+          |ORDER BY owner_type, full_name""".stripMargin)
+    }),
+
+    "q_v_role_distribution" -> ((s, dir) => {
+      registerReportingViews(s, dir)
+      s.sql(
+        """SELECT title, role_category, is_leadership, is_ownership,
+          |  total_owners, total_businesses, percentage
+          |FROM v_role_distribution
+          |ORDER BY title""".stripMargin)
+    }),
   )
+
+  /** Build the warehouse tables the views read and register the view
+    * surface: staging → dims → fact (with the deterministic stale
+    * marker), demographics — no metrics/aggregates/integrity (the
+    * views don't read them).
+    */
+  private def registerReportingViews(s: SparkSession, dir: String): Unit = {
+    val st = staging(s, dir)
+    val dimB = StarSchema.dimBusiness(st)
+    val dimO = StarSchema.dimOwner(st)
+    val dimR = StarSchema.dimRole(s)
+    val fact = StarSchema.factOwnership(st, dimB, dimO, dimR)
+      .withColumn("is_current", col("account_number") % 10 =!= 0)
+    StarSchema.registerViews(s, Map(
+      "dim_business" -> dimB,
+      "dim_owner" -> dimO,
+      "dim_role" -> dimR,
+      "fact_business_ownership" -> fact,
+      "fact_owner_demographics" -> StarSchema.factOwnerDemographics(dimO)),
+      loadTs = "2024-06-01 00:00:00")
+  }
 
   // Shared oracle CTEs: the staging projection, and the fact as the
   // distinct (account, owner, title) relation — the disjunctive owner
@@ -142,7 +203,87 @@ object WarehouseQueries extends QueryPack {
        |  ROUND(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners), 2) AS avg_owners_per_business
        |FROM m$i m""".stripMargin
 
+  // Shared CTEs for the reporting-view oracles: the staging
+  // projection plus the CURRENT fact (the acct % 10 stale rule applied
+  // — it's a function of the business key, so filtering before or
+  // after the distinct is equivalent).
+  private val viewCtes =
+    """stage AS (SELECT o_custkey AS acct,
+      |    CASE WHEN o_orderkey % 2 = 0
+      |      THEN 'OWNER ' || CAST(o_orderkey % 97 AS VARCHAR) END AS full_name,
+      |    CASE WHEN o_orderkey % 2 = 1
+      |      THEN 'OWNER ' || CAST(o_orderkey % 97 AS VARCHAR) || ' HOLDINGS' END AS entity,
+      |    CASE o_orderpriority WHEN '1-URGENT' THEN 'CEO'
+      |      WHEN '2-HIGH' THEN 'MANAGER' WHEN '3-MEDIUM' THEN 'OWNER'
+      |      WHEN '4-NOT SPECIFIED' THEN 'MEMBER' ELSE 'WIZARD' END AS title
+      |  FROM orders),
+      |f AS (SELECT DISTINCT acct, title,
+      |    coalesce(full_name, '') || '|' || coalesce(entity, '') AS owner_key,
+      |    full_name IS NOT NULL AS is_ind
+      |  FROM stage WHERE acct % 10 <> 0)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_v_ownership_summary" ->
+      s"""WITH $viewCtes,
+         |biz AS (SELECT DISTINCT acct,
+         |    'BUSINESS ' || CAST(acct AS VARCHAR) AS legal_name FROM stage)
+         |SELECT b.acct AS account_number, b.legal_name,
+         |  CASE WHEN b.legal_name LIKE '%LLC%' THEN 'LLC'
+         |       WHEN b.legal_name LIKE '%INC%' OR b.legal_name LIKE '%CORP%'
+         |         THEN 'Corporation'
+         |       WHEN b.legal_name LIKE '%LTD%' THEN 'Limited'
+         |       ELSE 'Other' END AS business_type,
+         |  COUNT(DISTINCT f.owner_key) AS total_owners,
+         |  COUNT(DISTINCT CASE WHEN f.is_ind THEN f.owner_key END)
+         |    AS individual_owners,
+         |  COUNT(DISTINCT CASE WHEN NOT f.is_ind THEN f.owner_key END)
+         |    AS corporate_owners,
+         |  COUNT(DISTINCT CASE WHEN f.title IN ('CEO','PRESIDENT',
+         |    'MANAGING MEMBER','MANAGER','DIRECTOR') THEN f.owner_key END)
+         |    AS leadership_owners,
+         |  TIMESTAMP '2024-06-01 00:00:00' AS last_updated
+         |FROM biz b JOIN f ON b.acct = f.acct
+         |GROUP BY b.acct, b.legal_name
+         |ORDER BY account_number""".stripMargin,
+
+    "q_v_owner_demographics" ->
+      s"""WITH $viewCtes,
+         |owners AS (SELECT DISTINCT full_name, entity,
+         |    full_name IS NOT NULL AS is_ind,
+         |    coalesce(full_name, '') || '|' || coalesce(entity, '') AS owner_key
+         |  FROM stage)
+         |SELECT o.full_name,
+         |  CASE WHEN o.is_ind THEN 'O' END AS first_name,
+         |  o.full_name AS last_name,
+         |  o.is_ind AS is_individual,
+         |  CASE WHEN o.is_ind THEN 'Individual' ELSE 'Corporate' END AS owner_type,
+         |  COUNT(DISTINCT f.acct) AS businesses_owned,
+         |  COUNT(DISTINCT f.title) AS unique_roles,
+         |  CAST(MAX(LENGTH(o.full_name)) AS INTEGER) AS name_length,
+         |  MAX(CAST(CASE WHEN LENGTH(o.full_name) > 20 THEN 0.8
+         |       WHEN LENGTH(o.full_name) > 10 THEN 0.6
+         |       ELSE 0.4 END AS DOUBLE)) AS complexity_score
+         |FROM owners o JOIN f ON o.owner_key = f.owner_key
+         |GROUP BY o.owner_key, o.full_name, o.is_ind
+         |ORDER BY owner_type, full_name""".stripMargin,
+
+    "q_v_role_distribution" ->
+      s"""WITH $viewCtes,
+         |r(title, role_category, is_leadership, is_ownership) AS (VALUES
+         |  ('CEO','Executive',TRUE,FALSE), ('PRESIDENT','Executive',TRUE,FALSE),
+         |  ('MANAGING MEMBER','Management',TRUE,TRUE),
+         |  ('MANAGER','Management',TRUE,FALSE),
+         |  ('DIRECTOR','Management',TRUE,FALSE), ('OWNER','Ownership',FALSE,TRUE),
+         |  ('SHAREHOLDER','Ownership',FALSE,TRUE), ('PARTNER','Ownership',FALSE,TRUE),
+         |  ('MEMBER','Ownership',FALSE,TRUE), ('OTHER','Other',FALSE,FALSE))
+         |SELECT r.title, r.role_category, r.is_leadership, r.is_ownership,
+         |  COUNT(DISTINCT f.owner_key) AS total_owners,
+         |  COUNT(DISTINCT f.acct) AS total_businesses,
+         |  ROUND(CAST(COUNT(DISTINCT f.owner_key) AS DOUBLE) * 100.0
+         |    / SUM(COUNT(DISTINCT f.owner_key)) OVER (), 2) AS percentage
+         |FROM r JOIN f ON r.title = f.title
+         |GROUP BY r.title, r.role_category, r.is_leadership, r.is_ownership
+         |ORDER BY r.title""".stripMargin,
     "q_agg_daily_business" ->
       s"""WITH $stageCte,
          |m AS (SELECT acct, COUNT(DISTINCT owner_key) AS total_owners

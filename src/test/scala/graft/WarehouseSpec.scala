@@ -58,6 +58,47 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(pct - 100.0) < 0.5)
   }
 
+  test("reporting views: one-call named SQL surface; is_current filter drops stale entities") {
+    // Mark one business's fact rows stale: every view must drop the
+    // affected entities entirely (the reference's LEFT JOIN … WHERE
+    // is_current inner-izes), not zero them.
+    val fact = wh("fact_business_ownership")
+      .withColumn("is_current", col("account_number") =!= 600100L)
+    StarSchema.registerViews(spark, wh + ("fact_business_ownership" -> fact),
+      loadTs = "2024-06-01 00:00:00")
+    val summary = spark.sql("SELECT * FROM v_business_ownership_summary")
+      .collect().map(r => r.getAs[Long]("account_number") -> r).toMap
+    assert(summary.size === 3 && !summary.contains(600100L))
+    assert(summary(85613L).getAs[Long]("total_owners") === 2)
+    assert(summary(85613L).getAs[Long]("individual_owners") === 2)
+    assert(summary(85613L).getAs[Long]("leadership_owners") === 1) // CEO, not OTHER
+    assert(summary(85613L).getAs[java.time.LocalDateTime]("last_updated")
+      .toString.startsWith("2024-06-01"))
+
+    // the corporate owner's only business is the stale one → gone
+    assert(spark.sql(
+      "SELECT * FROM v_owner_demographics WHERE full_name IS NULL").count() === 0)
+    val ann = spark.sql(
+      "SELECT * FROM v_owner_demographics WHERE full_name = 'ANN LEE'")
+      .collect().head
+    assert(ann.getAs[Long]("businesses_owned") === 1)
+    assert(ann.getAs[Long]("unique_roles") === 1)
+    assert(ann.getAs[Int]("name_length") === 7)
+    assert(ann.getAs[Double]("complexity_score") === 0.4)
+
+    val roles = spark.sql("SELECT * FROM v_role_distribution")
+      .collect().map(r => r.getAs[String]("title") -> r).toMap
+    assert(roles.contains("CEO") && roles.contains("MANAGING MEMBER"))
+    assert(!roles.contains("OWNER"))  // held only at the stale business
+    assert(!roles.contains("WIZARD")) // unseeded: dim_role drives the view
+    assert(math.abs(
+      roles.values.map(_.getAs[Double]("percentage")).sum - 100.0) < 0.5)
+
+    // without an is_current column the whole load is current by default
+    StarSchema.registerViews(spark, wh)
+    assert(spark.sql("SELECT * FROM v_business_ownership_summary").count() === 4)
+  }
+
   test("ownership joins degrade to shuffled joins when dims can't broadcast") {
     // Simulate "dimensions outgrew the broadcast threshold" (the 100 TB
     // failure mode a forced broadcast hint would hide): with broadcasts
