@@ -334,6 +334,16 @@ object Streaming {
     * with n_ref = 0. State is vocabulary-sized (one (token, count)
     * row per distinct token — NOT corpus-sized), accumulated exactly;
     * to rebase the reference window, point at a fresh `storePath`.
+    *
+    * LATE DATA: the step reads no event-time column and keeps no
+    * retention horizon — the reference is an exact count fold, so the
+    * STATE is arrival-order-invariant (union + re-sum is commutative:
+    * any permutation of the same batches publishes a bit-identical
+    * final store). Only the per-batch jsd verdict depends on arrival
+    * order, by design: each batch is judged against the reference as
+    * of its arrival — which is what a drift alarm means; a late batch
+    * is compared to the fuller reference, never to a reconstructed
+    * past.
     * Every stage is a count aggregation or a vocabulary-sized
     * full-outer alignment; the store publishes through the same
     * manifest-versioned atomic marker as the dedup/novelty stores.
@@ -395,7 +405,22 @@ object Streaming {
     * kept at its NEWEST admission timestamp (re-admission of expired
     * content refreshes the shingle's clock). Expiry happens BEFORE
     * scoring against the batch's own max event time; an empty batch
-    * leaves the store untouched. Every stage is an equi-join or
+    * leaves the store untouched.
+    *
+    * LATE DATA: the horizon derives from each batch's OWN max event
+    * time — processing-order micro-batch semantics with no watermark
+    * (mirroring the near-dedup store; contrast [[dedupeEvents]], which
+    * bounds lateness with a real watermark). A batch arriving AFTER
+    * newer batches (its max event time behind the store's clock) still
+    * scores against every currently-live shingle — including content
+    * admitted "in its future" — and CANNOT resurrect expired shingles:
+    * expiry is physical (pruned rows left the store at prior
+    * publishes), and the late batch's older horizon retains nothing
+    * beyond what already survived, so the store never re-grows. Its
+    * own admitted shingles enter at their old event times and fall out
+    * at the next fresh batch's prune; and because the fold keeps each
+    * shingle's NEWEST timestamp, a late duplicate never rewinds a live
+    * shingle's clock. Every stage is an equi-join or
     * aggregation on the 8-byte shingle hash; the 1-row horizon
     * aggregate rides a broadcast join. Returns the admitted rows with
     * a `novelty` column; the new store version publishes via the same

@@ -177,6 +177,61 @@ class StreamingSpec extends SparkSpec {
     assert(ts.toSeq === Seq(Timestamp.valueOf("2024-01-01 12:30:00")))
   }
 
+  test("novelty gate late batch: expired shingles stay dead, future admissions still refuse, store never re-grows") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_novlate").toString
+    val store = dir + "/store"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def step(b: org.apache.spark.sql.DataFrame) =
+      Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts", store,
+        minNovelty = 0.5, retention = "1 hour")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "rivers mountains valleys forests deserts plains islands caves cliffs dunes"
+    step(batch((1L, base, "2024-01-01 10:00:00")))
+    // 12:30 is beyond retention: doc 1's shingles physically expire here
+    step(batch((2L, other, "2024-01-01 12:30:00")))
+    // LATE batch (event time 10:05, behind the store's 12:30 clock):
+    // the repeat of EXPIRED content admits (expiry is physical — a
+    // late arrival cannot resurrect pruned shingles), while the repeat
+    // of content admitted "in its future" still refuses (live shingles
+    // are visible regardless of the late batch's own horizon).
+    val late = step(batch(
+        (6L, base.replace("kappa", "mu"), "2024-01-01 10:05:00"),
+        (7L, other.replace("dunes", "reefs"), "2024-01-01 10:05:00")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(late.toSeq === Seq(6L))
+    // the late batch's older horizon pruned nothing that had already
+    // survived: doc 2's newer shingles keep their 12:30 clock
+    val ts1 = graft.lake.VersionedTable.readCurrent(spark, store)
+      .select("_ts").distinct().as[Timestamp].collect().map(_.toString).sorted
+    assert(ts1.toSeq === Seq("2024-01-01 10:05:00.0", "2024-01-01 12:30:00.0"))
+    // the next FRESH batch prunes the late admission's old-stamped
+    // shingles right back out — the store is bounded by the live
+    // horizon, late data never re-grows it
+    step(batch((8L, "completely new subject matter entirely unrelated words", "2024-01-01 12:40:00")))
+    val ts2 = graft.lake.VersionedTable.readCurrent(spark, store)
+      .select("_ts").distinct().as[Timestamp].collect().map(_.toString).sorted
+    assert(ts2.toSeq === Seq("2024-01-01 12:30:00.0", "2024-01-01 12:40:00.0"))
+  }
+
+  test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftlate").toString
+    def docs(t: String*) = t.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val x = Seq("alpha beta gamma alpha", "beta beta")
+    val y = Seq("delta epsilon alpha")
+    // same two batches, opposite arrival orders, two stores
+    Streaming.driftMonitorBatchStep(docs(x: _*), "text", dir + "/a")
+    Streaming.driftMonitorBatchStep(docs(y: _*), "text", dir + "/a")
+    Streaming.driftMonitorBatchStep(docs(y: _*), "text", dir + "/b")
+    Streaming.driftMonitorBatchStep(docs(x: _*), "text", dir + "/b")
+    def dist(p: String) = graft.lake.VersionedTable.readCurrent(spark, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(dist(dir + "/a") === dist(dir + "/b")) // state: order-invariant
+  }
+
   test("drift monitor: null verdict on first batch, then divergence vs the accumulated reference") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
