@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 /** Empirical scaling harness: measure the heavy dedup/similarity/graph
   * family at three corpus sizes spanning 100× (S ≈ sf0.01, M ≈ sf0.1,
   * L ≈ sf1) and report per-query growth, the strongest sandbox proxy
-  * for "survives a 100× scale-up".
+  * for "survives a 100× scale-up". Two queries carry a fourth XL
+  * point (~10× L, 1000× overall): `q_chain_cc` (depth 1M — the
+  * O(log n) round bound) and `q_g3_triangles` (15M orders — the
+  * O(m^1.5) wedge bound); select it alone with `runMain
+  * graft.ScaleBench XL`.
   *
   * The three corpora are generated (once, cached under /tmp) by the
   * SAME expression-based deterministic recipe with only the row count
@@ -213,7 +217,13 @@ object ScaleBench {
     // star-contraction form must stay O(log n) rounds, so its time may
     // grow with rounds ≈ log(n) on top of per-round linear work — the
     // growth row proves the curve stays near-linear, not quadratic.
-    val chainSizes = Seq(("S", 1000L), ("M", 10000L), ("L", 100000L))
+    // XL (~10× L) rides the standard three sizes for the two round-11
+    // claims that earn a fourth point: depth 1M for the O(log n) CC
+    // round bound (one more doubling of log n over L, so near-flat
+    // per-node time), and — below — a 15M-order corpus for the
+    // O(m^1.5) triangle bound.
+    val chainSizes = Seq(("S", 1000L), ("M", 10000L), ("L", 100000L),
+        ("XL", 1000000L))
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     for ((name, n) <- chainSizes) {
       val chain = spark.range(n - 1)
@@ -310,8 +320,38 @@ object ScaleBench {
       }
     }
 
+    // Triangle XL: a 15M-order corpus (10× L's edge source) for a
+    // fourth point under the O(m^1.5) claim. Only the two tables the
+    // query reads are generated; the rest of the heavy list stays at
+    // its standard three sizes.
+    if (args.isEmpty || args.contains("XL")) {
+      val dir = "/tmp/graft_scale/XL"
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        orders(spark, 15000000L).write.mode("overwrite")
+          .parquet(s"$dir/orders.parquet")
+        lineitem(spark, 15000000L).write.mode("overwrite")
+          .parquet(s"$dir/lineitem.parquet")
+      }
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries("q_g3_triangles")(spark, dir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] XL/q_g3_triangles failed: ${e.getMessage}")
+          None
+        }
+      }
+      if (times.nonEmpty) {
+        results(("XL", "q_g3_triangles")) = times.min
+        println(f"""{"size":"XL","query":"q_g3_triangles","sec":${times.min}%.3f}""")
+      } else {
+        println(s"""{"size":"XL","query":"q_g3_triangles","sec":null,"failed":true}""")
+      }
+    }
+
     // growth summary: seconds ratio per 10× data step
-    println("query,S_sec,M_sec,L_sec,M_over_S,L_over_M")
+    println("query,S_sec,M_sec,L_sec,XL_sec,M_over_S,L_over_M,XL_over_L")
     for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read" :+ "q_hardneg_batch") {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
@@ -319,8 +359,8 @@ object ScaleBench {
         case (Some(x), Some(y)) if x > 0 => f"${y / x}%.1f"
         case _ => "-"
       }
-      println(s"$q,${fmt(g("S"))},${fmt(g("M"))},${fmt(g("L"))}," +
-        s"${ratio(g("S"), g("M"))},${ratio(g("M"), g("L"))}")
+      println(s"$q,${fmt(g("S"))},${fmt(g("M"))},${fmt(g("L"))},${fmt(g("XL"))}," +
+        s"${ratio(g("S"), g("M"))},${ratio(g("M"), g("L"))},${ratio(g("L"), g("XL"))}")
     }
     spark.stop()
   }

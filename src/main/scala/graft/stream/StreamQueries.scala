@@ -149,6 +149,23 @@ object StreamQueries extends QueryPack {
         docs.where(col("lang") === "de"), "text", store)
     }),
 
+    // Streaming KMV distinct, two-batch fold over the unique event ids
+    // (estimate regime at k=256): the k-min merge is exact, so the
+    // fold through the persisted store equals the one-shot sketch over
+    // the union — which is what DuckDB replays.
+    "q_s_kmv_step" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"kmvstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      Streaming.kmvDistinctBatchStep(
+        ev.where(col("event_id") % 2 === 0), "event_id", store, k = 256)
+      Streaming.kmvDistinctBatchStep(
+        ev.where(col("event_id") % 2 === 1), "event_id", store, k = 256)
+    }),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -329,6 +346,21 @@ object StreamQueries extends QueryPack {
         |  (SELECT CAST(na AS BIGINT) FROM nn) AS n_a,
         |  (SELECT CAST(nb AS BIGINT) FROM nn) AS n_b
         |FROM tm""".stripMargin,
+
+    // The KMV merge is exact, so the two-batch fold equals the
+    // one-shot sketch over all events — same md5-uniform derivation
+    // as q_a24_kmv_distinct.
+    "q_s_kmv_step" ->
+      """WITH h AS (SELECT DISTINCT
+        |    (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) + 1.0) / 4503599627370497.0 AS u
+        |  FROM events WHERE event_id IS NOT NULL),
+        |r AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
+        |    COUNT(*) OVER () AS nd FROM h)
+        |SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |       ELSE ROUND(255.0 / u, 6) END AS est_distinct,
+        |  CAST(LEAST(nd, 256) AS INTEGER) AS n_mins
+        |FROM r WHERE rn = LEAST(nd, 256)""".stripMargin,
 
     // Mirrors the novelty-gate fold: reference = admitted evens'
     // distinct shingle hashes (everything admits into an empty store),

@@ -381,6 +381,69 @@ object Streaming {
     verdict
   }
 
+  /** One micro-batch step of streaming DISTINCT-COUNT monitoring — the
+    * incremental form of
+    * [[graft.analytics.Sketches.approxDistinctKmv]]: state is the k
+    * smallest DISTINCT portable-md5 uniforms seen across every batch so
+    * far (≤ k rows at `storePath` — O(k) state at ANY stream
+    * cardinality); each step folds the batch's own k-minimum sketch in
+    * (union → distinct → re-min, the KMV merge) and reports the
+    * estimate from the new state: the EXACT running distinct count
+    * while fewer than k distinct values have been seen, (k−1)/u₍ₖ₎
+    * (~1/√k relative error) beyond it — the monitoring tier's
+    * distinct-rate metric (users, sessions, keys) with bounded state
+    * where exact streaming COUNT(DISTINCT) state grows with
+    * cardinality.
+    *
+    * LATE DATA: like [[driftMonitorBatchStep]], the step reads no
+    * event-time column and the fold is commutative-associative, so the
+    * STATE is arrival-order-invariant — any permutation of the same
+    * batches publishes a bit-identical sketch, and the fold result
+    * equals the one-shot batch sketch over the concatenated input
+    * (spec-pinned). This is lifetime distinct: to window it, rebase on
+    * a fresh `storePath` per window.
+    *
+    * The sketch hash is the engine-portable md5 uniform (the
+    * [[graft.analytics.Sketches]] derivation), so a DuckDB replay of
+    * the whole fold hash-matches exactly — the only approximate
+    * operator family with an exact oracle. Per batch: one k-bounded
+    * aggregation over the batch (KmvAggregator partials — the batch
+    * never shuffles more than k values per partition), then O(k)-row
+    * state maintenance; publishes via the same manifest-versioned
+    * atomic marker as the other stores. Returns 1 row:
+    * (est_distinct, n_mins) — n_mins < k means the exact regime.
+    */
+  def kmvDistinctBatchStep(batch: DataFrame, valueCol: String,
+                           storePath: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k >= 2, s"sketch size must be at least 2, got $k")
+    val spark = batch.sparkSession
+    val store =
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
+      else {
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("_u", DoubleType))))
+      }
+    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
+    val batchMins = batch.where(col(valueCol).isNotNull)
+      .agg(graft.functions.KmvAggregator.kmv(k, u).as("_kmv"))
+      .select(explode(col("_kmv")).as("_u"))
+    val newStore = store.unionByName(batchMins)
+      .distinct().orderBy(col("_u")).limit(k)
+      .localCheckpoint() // ≤ 2k rows in, ≤ k out — tiny, computed once
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    newStore.agg(sort_array(collect_list(col("_u"))).as("_kmv"))
+      .select(
+        when(size(col("_kmv")) < k, size(col("_kmv")).cast("double"))
+          .otherwise(round(lit(k - 1.0) / element_at(col("_kmv"), k), 6))
+          .as("est_distinct"),
+        size(col("_kmv")).as("n_mins"))
+  }
+
   /** One micro-batch step of incremental NOVELTY GATING — the streaming
     * form of [[graft.textops.Dedup.noveltyScores]]: state is the
     * persisted distinct-shingle relation of previously-ADMITTED

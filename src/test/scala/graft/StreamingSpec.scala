@@ -232,6 +232,34 @@ class StreamingSpec extends SparkSpec {
     assert(dist(dir + "/a") === dist(dir + "/b")) // state: order-invariant
   }
 
+  test("streaming KMV: fold equals the one-shot sketch, state bounded at k, exact below k") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val vals = spark.range(1000).select(col("id"), (col("id") * 7919).as("v"))
+    val store = dir + "/est"
+    Streaming.kmvDistinctBatchStep(vals.where(col("id") % 2 === 0), "v",
+      store, k = 64)
+    val out = Streaming.kmvDistinctBatchStep(vals.where(col("id") % 2 === 1),
+      "v", store, k = 64).collect().head
+    assert(out.getInt(1) === 64)
+    // the k-min merge is exact: the two-batch fold through the store
+    // equals the one-shot batch sketch over the concatenated input
+    val oneShot = graft.analytics.Sketches.approxDistinctKmv(
+        vals.withColumn("g", lit("a")), "g", "v", k = 64)
+      .collect().head.getDouble(1)
+    assert(out.getDouble(0) === oneShot)
+    assert(math.abs(out.getDouble(0) / 1000.0 - 1.0) < 0.3) // sane estimate
+    // state is k rows, not cardinality rows
+    assert(graft.lake.VersionedTable.readCurrent(spark, store).count() === 64)
+    // exact regime: 10 distinct values, re-delivered → exactly 10.0
+    val small = spark.range(10).select(col("id").as("v"))
+    val store2 = dir + "/exact"
+    Streaming.kmvDistinctBatchStep(small, "v", store2, k = 64)
+    val out2 = Streaming.kmvDistinctBatchStep(small, "v", store2, k = 64)
+      .collect().head
+    assert(out2.getDouble(0) === 10.0 && out2.getInt(1) === 10)
+  }
+
   test("drift monitor: null verdict on first batch, then divergence vs the accumulated reference") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
