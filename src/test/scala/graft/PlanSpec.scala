@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("reporting views inline into hash-join-only plans — no cartesian, no nested loop") {
+    // Catalyst resolves the temp views into each consumer's plan: the
+    // is_current filter and the view's aggregation must compose with
+    // the star chain's hash joins without any nested-loop fallback
+    // (the only broadcast hint in the chain is the 10-row role seed).
+    for (q <- Seq("q_v_ownership_summary", "q_v_owner_demographics",
+        "q_v_role_distribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("triangle counting: wedge and closing joins are hash joins, never nested loops") {
     val p = plan("q_g3_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
