@@ -182,7 +182,12 @@ object Ingestion {
     * observed values divided in double and rounded to 6 dp, so the
     * fill value is identical under any partitioning or engine. The
     * means relation is |groups| rows — aggregated map-side and joined
-    * back by broadcast; the data never shuffles.
+    * back WITHOUT a broadcast hint: group cardinality is
+    * caller-data-shaped (q_a21 groups by user id), so a forced
+    * broadcast could blow past the 8 GB ceiling at scale — AQE
+    * broadcasts whenever the relation fits, and the join degrades to
+    * a shuffle only beyond that (the [[graft.analytics.Anomaly]]
+    * stats-join rationale).
     */
   def imputeByGroupMean(df: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
@@ -190,7 +195,7 @@ object Ingestion {
     val means = df.groupBy(col(groupCol))
       .agg(round(sum(col(valueCol).cast(dec)).cast("double")
         / count(col(valueCol)), 6).as("_grp_mean"))
-    df.join(broadcast(means), Seq(groupCol), "left")
+    df.join(means, Seq(groupCol), "left")
       .withColumn(s"${valueCol}_imputed",
         coalesce(col(valueCol).cast("double"), col("_grp_mean")))
       .withColumn("was_imputed",
