@@ -166,6 +166,25 @@ object StreamQueries extends QueryPack {
         ev.where(col("event_id") % 2 === 1), "event_id", store, k = 256)
     }),
 
+    // Per-key streaming KMV: distinct users per event type, k=16 so
+    // the estimate regime fires at every SF (each type sees ~all 150
+    // users at sf0.01). Same exact-merge argument as q_s_kmv_step.
+    "q_s_kmv_group_step" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"kmvgstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      Streaming.kmvDistinctByKeyBatchStep(
+        ev.where(col("event_id") % 2 === 0), "event_type", "user_id",
+        store, k = 16)
+      Streaming.kmvDistinctByKeyBatchStep(
+        ev.where(col("event_id") % 2 === 1), "event_type", "user_id",
+        store, k = 16)
+        .orderBy("event_type")
+    }),
+
     // Multimodal metadata plumbing: binary payload + typed metadata.
     "q_m_binary" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -361,6 +380,21 @@ object StreamQueries extends QueryPack {
         |       ELSE ROUND(255.0 / u, 6) END AS est_distinct,
         |  CAST(LEAST(nd, 256) AS INTEGER) AS n_mins
         |FROM r WHERE rn = LEAST(nd, 256)""".stripMargin,
+
+    "q_s_kmv_group_step" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) + 1.0) / 4503599627370497.0 AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h)
+        |SELECT event_type,
+        |  CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |       ELSE ROUND(15.0 / u, 6) END AS est_distinct,
+        |  CAST(LEAST(nd, 16) AS INTEGER) AS n_mins
+        |FROM r WHERE rn = LEAST(nd, 16)
+        |ORDER BY event_type""".stripMargin,
 
     // Mirrors the novelty-gate fold: reference = admitted evens'
     // distinct shingle hashes (everything admits into an empty store),

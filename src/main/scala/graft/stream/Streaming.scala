@@ -444,6 +444,60 @@ object Streaming {
         size(col("_kmv")).as("n_mins"))
   }
 
+  /** Per-key form of [[kmvDistinctBatchStep]]: one KMV sketch per
+    * group (store: ≤ k `(key, u)` rows per live key — O(groups·k)
+    * state at any cardinality), estimating e.g. distinct users per
+    * event type across the whole stream. Same contract as the global
+    * form: exact below k per group, (k−1)/u₍ₖ₎ beyond,
+    * arrival-order-invariant state (the per-group k-min merge is
+    * commutative, so the fold equals the one-shot per-group sketch —
+    * which is what the DuckDB oracle replays).
+    *
+    * Plan shape per batch: one k-bounded grouped aggregation over the
+    * batch (map-side partials carry ≤ k values per group), then the
+    * store maintenance re-aggregates the ≤ 2k-per-group union with
+    * the same k-bounded aggregator — never a join, so null group
+    * keys need no null-safe handling (groupBy keeps them). Null
+    * values are excluded (COUNT DISTINCT semantics). Returns
+    * (keyCol, est_distinct, n_mins), one row per key ever seen.
+    */
+  def kmvDistinctByKeyBatchStep(batch: DataFrame, keyCol: String,
+                                valueCol: String, storePath: String,
+                                k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k >= 2, s"sketch size must be at least 2, got $k")
+    val spark = batch.sparkSession
+    val store =
+      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+        graft.lake.VersionedTable.readCurrent(spark, storePath)
+      else {
+        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("_k", batch.schema(keyCol).dataType),
+            StructField("_u", DoubleType))))
+      }
+    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
+    val batchMins = batch.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(graft.functions.KmvAggregator.kmv(k, u).as("_kmv"))
+      .select(col("_k"), explode(col("_kmv")).as("_u"))
+    val newStore = store.unionByName(batchMins)
+      .groupBy("_k")
+      .agg(graft.functions.KmvAggregator.kmv(k, col("_u")).as("_kmv"))
+      .select(col("_k"), explode(col("_kmv")).as("_u"))
+      .localCheckpoint()
+    graft.lake.VersionedTable.publish(newStore, storePath)
+    newStore.groupBy("_k")
+      .agg(sort_array(collect_list(col("_u"))).as("_kmv"))
+      .select(col("_k").as(keyCol),
+        when(size(col("_kmv")) < k, size(col("_kmv")).cast("double"))
+          .otherwise(round(lit(k - 1.0) / element_at(col("_kmv"), k), 6))
+          .as("est_distinct"),
+        size(col("_kmv")).as("n_mins"))
+  }
+
   /** One micro-batch step of incremental NOVELTY GATING — the streaming
     * form of [[graft.textops.Dedup.noveltyScores]]: state is the
     * persisted distinct-shingle relation of previously-ADMITTED

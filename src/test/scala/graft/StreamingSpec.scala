@@ -260,6 +260,30 @@ class StreamingSpec extends SparkSpec {
     assert(out2.getDouble(0) === 10.0 && out2.getInt(1) === 10)
   }
 
+  test("grouped streaming KMV: per-key fold equals the per-group batch sketch") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvg").toString
+    // group a: 500 distinct (estimate regime at k=32); group b: 5 (exact)
+    val df = spark.range(1000).select(col("id"),
+        when(col("id") < 500, lit("a")).otherwise(lit("b")).as("g"),
+        when(col("id") < 500, col("id") * 104729)
+          .otherwise(col("id") % 5).as("v"))
+    val store = dir + "/store"
+    Streaming.kmvDistinctByKeyBatchStep(df.where(col("id") % 3 =!= 0),
+      "g", "v", store, k = 32)
+    val out = Streaming.kmvDistinctByKeyBatchStep(df.where(col("id") % 3 === 0),
+      "g", "v", store, k = 32)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val batch = graft.analytics.Sketches.approxDistinctKmv(df, "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a")._1 === batch("a") && out("a")._2 === 32)
+    assert(out("b") === ((5.0, 5)))
+    // state bounded per group: ≤ k rows each
+    val st = graft.lake.VersionedTable.readCurrent(spark, store)
+      .groupBy("_k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("a") === 32 && st("b") === 5)
+  }
+
   test("drift monitor: null verdict on first batch, then divergence vs the accumulated reference") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
