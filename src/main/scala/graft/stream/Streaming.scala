@@ -21,6 +21,23 @@ import java.sql.Timestamp
   */
 object Streaming {
 
+  /** Read a monitor/dedup state store, or an empty relation of `schema`
+    * on first use. LOUD (`requireVersionedOrEmpty`) on a legacy
+    * plain-parquet store: silently treating one as empty would reset
+    * the state — re-admitting seen content, restarting a reference
+    * distribution or sketch from zero.
+    */
+  private def readStoreOrEmpty(spark: SparkSession, storePath: String,
+                               schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (graft.lake.VersionedTable.isVersioned(spark, storePath))
+      graft.lake.VersionedTable.readCurrent(spark, storePath)
+    else {
+      graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** Event envelope (T1, `streaming_processor.py:34-43`), aligned with
     * the driver's events table.
     */
@@ -275,17 +292,9 @@ object Streaming {
                                     bands: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        // loud on a legacy plain-parquet store: treating it as empty
-        // would reset the dedup state and re-admit seen content
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("band", IntegerType), StructField("key", LongType),
-          StructField("_ts", TimestampType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("key", LongType), StructField("_ts", TimestampType))))
     // batch-sized; computed ONCE — four consumers below (store probe,
     // both sides of the in-batch self-join, survivor band extraction)
     // would otherwise each recompute the minhash banding
@@ -354,17 +363,9 @@ object Streaming {
                             storePath: String): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        // loud on a legacy plain-parquet store (see nearDedup twin)
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("_tok", StringType),
-            StructField("_c", LongType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("_tok", StringType),
+        StructField("_c", LongType))))
     val counts = batch
       .select(explode(graft.textops.TextFunctions.tokens(
         graft.textops.TextFunctions.normalized(col(textCol)))).as("_tok"))
@@ -418,15 +419,8 @@ object Streaming {
     import org.apache.spark.sql.types._
     require(k >= 2, s"sketch size must be at least 2, got $k")
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("_u", DoubleType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("_u", DoubleType))))
     val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
       .cast("double") + lit(1.0)) / lit(4503599627370497.0)
     val batchMins = batch.where(col(valueCol).isNotNull)
@@ -467,16 +461,9 @@ object Streaming {
     import org.apache.spark.sql.types._
     require(k >= 2, s"sketch size must be at least 2, got $k")
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("_k", batch.schema(keyCol).dataType),
-            StructField("_u", DoubleType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("_k", batch.schema(keyCol).dataType),
+        StructField("_u", DoubleType))))
     val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
       .cast("double") + lit(1.0)) / lit(4503599627370497.0)
     val batchMins = batch.where(col(valueCol).isNotNull)
@@ -553,17 +540,9 @@ object Streaming {
     require(minNovelty >= 0 && minNovelty <= 1,
       s"minNovelty must be in [0,1], got $minNovelty")
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        // loud on a legacy plain-parquet store (see nearDedup twin)
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("shingle", LongType),
-            StructField("_ts", TimestampType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("shingle", LongType),
+        StructField("_ts", TimestampType))))
     // batch-sized; computed ONCE — three consumers (store probe,
     // per-doc totals, admitted-shingle extraction)
     val sh = graft.textops.TextFunctions.shingleTable(
@@ -815,19 +794,11 @@ object Streaming {
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val store =
-      if (graft.lake.VersionedTable.isVersioned(spark, storePath))
-        graft.lake.VersionedTable.readCurrent(spark, storePath)
-      else {
-        // loud on a legacy plain-parquet store (see nearDedup twin)
-        graft.lake.VersionedTable.requireVersionedOrEmpty(spark, storePath)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("bucket", LongType),
-            StructField("_sid", LongType),
-            StructField("_svec", ArrayType(DoubleType)),
-            StructField("_ts", TimestampType))))
-      }
+    val store = readStoreOrEmpty(spark, storePath,
+      StructType(Seq(StructField("bucket", LongType),
+        StructField("_sid", LongType),
+        StructField("_svec", ArrayType(DoubleType)),
+        StructField("_ts", TimestampType))))
     val assigned = graft.textops.Similarity.assignBuckets(
         batch.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, bucketCol, centroidVecCol)
