@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Empirical scaling harness: measure the heavy dedup/similarity/graph
   * family at three corpus sizes spanning 100× (S ≈ sf0.01, M ≈ sf0.1,
   * L ≈ sf1) and report per-query growth, the strongest sandbox proxy
-  * for "survives a 100× scale-up". Two queries carry a fourth XL
-  * point (~10× L, 1000× overall): `q_chain_cc` (depth 1M — the
-  * O(log n) round bound) and `q_g3_triangles` (15M orders — the
-  * O(m^1.5) wedge bound); select it alone with `runMain
+  * for "survives a 100× scale-up". A fourth XL point (~10× L, 1000×
+  * overall) covers the strongest claims: `q_chain_cc` (depth 1M — the
+  * O(log n) round bound), `q_g3_triangles` (15M orders — the O(m^1.5)
+  * wedge bound), and the flagship dedup tier at 500k docs (exact
+  * control + MinHash-LSH + full near-dedup — the banded path that IS
+  * the 100 TB plan); select it alone with `runMain
   * graft.ScaleBench XL`.
   *
   * The three corpora are generated (once, cached under /tmp) by the
@@ -38,9 +40,14 @@ object ScaleBench {
 
   /** documents-shaped corpus: `n` docs, deterministic, ~5% near-dup
     * twins of the previous doc id with 10% per-position mutation.
+    * `vocab` sizes the token space: the standard corpora fix it at
+    * 1500 (so growth curves compare like with like), and the
+    * vocab-scaled XL variant grows it with the corpus — the
+    * constant-bucket-density regime a real crawl approximates (10×
+    * more documents bring ~10× more vocabulary, not 10× denser
+    * shingle buckets).
     */
-  def docs(spark: SparkSession, n: Long): DataFrame = {
-    val vocab = 1500
+  def docs(spark: SparkSession, n: Long, vocab: Int = 1500): DataFrame = {
     spark.range(n)
       .withColumn("is_twin",
         col("id") > 0 && pmod(xxhash64(col("id"), lit(7)), lit(100)) < 5)
@@ -320,10 +327,12 @@ object ScaleBench {
       }
     }
 
-    // Triangle XL: a 15M-order corpus (10× L's edge source) for a
-    // fourth point under the O(m^1.5) claim. Only the two tables the
-    // query reads are generated; the rest of the heavy list stays at
-    // its standard three sizes.
+    // XL corpus (10× L): a 15M-order graph source for the O(m^1.5)
+    // triangle claim, and a 500k-doc corpus for the flagship dedup
+    // tier (the banded-LSH path IS the 100 TB plan — a fourth point
+    // on its curve is the strongest evidence the harness can give).
+    // Only the tables these queries read are generated; the rest of
+    // the heavy list stays at its standard three sizes.
     if (args.isEmpty || args.contains("XL")) {
       val dir = "/tmp/graft_scale/XL"
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
@@ -332,21 +341,57 @@ object ScaleBench {
         lineitem(spark, 15000000L).write.mode("overwrite")
           .parquet(s"$dir/lineitem.parquet")
       }
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries("q_g3_triangles")(spark, dir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[scale] XL/q_g3_triangles failed: ${e.getMessage}")
-          None
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        docs(spark, 500000L).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      for (q <- Seq("q_g3_triangles", "q_t_exact_dedup", "q_t_minhash_lsh",
+          "q_t_near_dedup")) {
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(q)(spark, dir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] XL/$q failed: ${e.getMessage}")
+            None
+          }
+        }
+        if (times.nonEmpty) {
+          results(("XL", q)) = times.min
+          println(f"""{"size":"XL","query":"$q","sec":${times.min}%.3f}""")
+        } else {
+          println(s"""{"size":"XL","query":"$q","sec":null,"failed":true}""")
         }
       }
-      if (times.nonEmpty) {
-        results(("XL", "q_g3_triangles")) = times.min
-        println(f"""{"size":"XL","query":"q_g3_triangles","sec":${times.min}%.3f}""")
-      } else {
-        println(s"""{"size":"XL","query":"q_g3_triangles","sec":null,"failed":true}""")
+    }
+    // Vocab-scaled twin of the dedup XL (selectable alone as "XLV"):
+    // same 500k docs, vocabulary grown 10× with the corpus (15000),
+    // isolating fixture densification (fixed token space →
+    // quadratically denser LSH buckets) from true plan growth. A real
+    // 10× crawl grows its vocabulary too — this is the regime the
+    // banded plan is for.
+    if (args.isEmpty || args.contains("XL") || args.contains("XLV")) {
+      val dirV = "/tmp/graft_scale/XLV"
+      if (!new java.io.File(s"$dirV/documents.parquet").exists())
+        docs(spark, 500000L, vocab = 15000).write.mode("overwrite")
+          .parquet(s"$dirV/documents.parquet")
+      for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup")) {
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(q)(spark, dirV).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] XLV/$q failed: ${e.getMessage}")
+            None
+          }
+        }
+        if (times.nonEmpty) {
+          results(("XLV", q)) = times.min
+          println(f"""{"size":"XLV","query":"$q","sec":${times.min}%.3f}""")
+        } else {
+          println(s"""{"size":"XLV","query":"$q","sec":null,"failed":true}""")
+        }
       }
     }
 
