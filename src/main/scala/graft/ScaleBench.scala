@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * O(log n) round bound), `q_g3_triangles` (15M orders — the O(m^1.5)
   * wedge bound), and the flagship dedup tier at 500k docs (exact
   * control + MinHash-LSH + full near-dedup — the banded path that IS
-  * the 100 TB plan); select it alone with `runMain
-  * graft.ScaleBench XL`.
+  * the 100 TB plan, plus a vocab-scaled XLV twin isolating fixture
+  * densification). The XL/XLV tier is OPT-IN (`runMain
+  * graft.ScaleBench XL`, or `XLV` for the twin alone) and needs
+  * `SPARK_DRIVER_MEM=48g` — the no-arg run keeps its S/M/L scope.
   *
   * The three corpora are generated (once, cached under /tmp) by the
   * SAME expression-based deterministic recipe with only the row count
@@ -231,7 +233,9 @@ object ScaleBench {
     // O(m^1.5) triangle bound.
     val chainSizes = Seq(("S", 1000L), ("M", 10000L), ("L", 100000L),
         ("XL", 1000000L))
-      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+      .filter { case (n, _) =>
+        if (n == "XL") args.contains("XL") // opt-in, like the XL corpus tier
+        else args.isEmpty || args.contains(n) }
     for ((name, n) <- chainSizes) {
       val chain = spark.range(n - 1)
         .select(col("id").as("a"), (col("id") + 1).as("b"))
@@ -332,16 +336,23 @@ object ScaleBench {
     // tier (the banded-LSH path IS the 100 TB plan — a fourth point
     // on its curve is the strongest evidence the harness can give).
     // Only the tables these queries read are generated; the rest of
-    // the heavy list stays at its standard three sizes.
-    if (args.isEmpty || args.contains("XL")) {
+    // the heavy list stays at its standard three sizes. OPT-IN ONLY
+    // (`runMain graft.ScaleBench XL`): the triangle XL needs
+    // SPARK_DRIVER_MEM=48g (the default 8 GB heap OOMs, SCALING.md),
+    // so the no-arg run keeps its historical S/M/L scope.
+    // Cache validity = the _SUCCESS marker of the LAST table written,
+    // not directory existence: a crashed partial write must
+    // regenerate, not silently feed truncated corpora into the
+    // growth numbers.
+    if (args.contains("XL")) {
       val dir = "/tmp/graft_scale/XL"
-      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+      if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
         orders(spark, 15000000L).write.mode("overwrite")
           .parquet(s"$dir/orders.parquet")
         lineitem(spark, 15000000L).write.mode("overwrite")
           .parquet(s"$dir/lineitem.parquet")
       }
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
         docs(spark, 500000L).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
       for (q <- Seq("q_g3_triangles", "q_t_exact_dedup", "q_t_minhash_lsh",
@@ -370,9 +381,9 @@ object ScaleBench {
     // quadratically denser LSH buckets) from true plan growth. A real
     // 10× crawl grows its vocabulary too — this is the regime the
     // banded plan is for.
-    if (args.isEmpty || args.contains("XL") || args.contains("XLV")) {
+    if (args.contains("XL") || args.contains("XLV")) {
       val dirV = "/tmp/graft_scale/XLV"
-      if (!new java.io.File(s"$dirV/documents.parquet").exists())
+      if (!new java.io.File(s"$dirV/documents.parquet/_SUCCESS").exists())
         docs(spark, 500000L, vocab = 15000).write.mode("overwrite")
           .parquet(s"$dirV/documents.parquet")
       for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup")) {
@@ -395,8 +406,9 @@ object ScaleBench {
       }
     }
 
-    // growth summary: seconds ratio per 10× data step
-    println("query,S_sec,M_sec,L_sec,XL_sec,M_over_S,L_over_M,XL_over_L")
+    // growth summary: seconds ratio per 10× data step (XLV = the
+    // vocab-scaled 500k-doc twin of XL, dedup queries only)
+    println("query,S_sec,M_sec,L_sec,XL_sec,XLV_sec,M_over_S,L_over_M,XL_over_L,XLV_over_L")
     for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read" :+ "q_hardneg_batch") {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
@@ -405,7 +417,8 @@ object ScaleBench {
         case _ => "-"
       }
       println(s"$q,${fmt(g("S"))},${fmt(g("M"))},${fmt(g("L"))},${fmt(g("XL"))}," +
-        s"${ratio(g("S"), g("M"))},${ratio(g("M"), g("L"))},${ratio(g("L"), g("XL"))}")
+        s"${fmt(g("XLV"))},${ratio(g("S"), g("M"))},${ratio(g("M"), g("L"))}," +
+        s"${ratio(g("L"), g("XL"))},${ratio(g("L"), g("XLV"))}")
     }
     spark.stop()
   }

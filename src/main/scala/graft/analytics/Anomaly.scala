@@ -114,8 +114,12 @@ object Anomaly {
     * caller-data-shaped (q_a25 groups by user id), and at 100 TB a
     * high-cardinality key would blow a forced broadcast past the 8 GB
     * ceiling and fail the job — AQE picks broadcast when the relation
-    * fits and a shuffle hash join when it doesn't. The flag is
-    * map-side arithmetic either way. Exact
+    * fits and a shuffle hash join when it doesn't. Both re-attaches
+    * are NULL-SAFE (`<=>`): groupBy keeps the null-key group, so rows
+    * with a NULL key flag against their own group's median/MAD
+    * instead of silently vanishing through a never-matching equi-join
+    * (the [[graft.operators.Privacy.lDiversify]] fix, applied here).
+    * The flag is map-side arithmetic either way. Exact
     * interpolated percentiles (the q_a17/winsorize discipline) keep
     * it engine-portable. Zero-MAD groups (≥half the values identical)
     * yield null robust_z and flag only values strictly off the
@@ -131,10 +135,16 @@ object Anomaly {
         "working names (_med, _mad) — rename them first")
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
-    val withMed = df.join(med, Seq(keyCol))
+    val withMed = df.as("_mf_t")
+      .join(med.as("_mf_m"),
+        col(s"_mf_t.$keyCol") <=> col(s"_mf_m.$keyCol"))
+      .select(col("_mf_t.*"), col("_mf_m._med").as("_med"))
     val mad = withMed.groupBy(col(keyCol))
       .agg(expr(s"percentile(abs($valueCol - _med), 0.5D)").as("_mad"))
-    withMed.join(mad, Seq(keyCol))
+    withMed.as("_mf_w")
+      .join(mad.as("_mf_s"),
+        col(s"_mf_w.$keyCol") <=> col(s"_mf_s.$keyCol"))
+      .select(col("_mf_w.*"), col("_mf_s._mad").as("_mad"))
       .withColumn("robust_z",
         when(col("_mad") > 0,
           round(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))

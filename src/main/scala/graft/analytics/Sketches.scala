@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Engine-portable uniform in (0, 1] from the md5 of a value's
+    * string form — 52 hash bits, the [[graft.operators.Sampling]]
+    * determinism discipline. ONE home for the derivation shared by
+    * the batch sketch and both streaming KMV monitors: the DuckDB
+    * oracles replay this expression literally, so a change here must
+    * change every KMV oracle in lockstep — keeping three Scala copies
+    * in sync was the riskier shape.
+    */
+  def md5Uniform(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(value.cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
+
+  /** KMV verdict over an ASCENDING k-min array: the exact distinct
+    * count below the `k` bound (the sketch saw every hash), the
+    * (k−1)/u₍ₖ₎ estimate (6 dp) at it.
+    */
+  def kmvEstimate(kmvArray: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    when(size(kmvArray) < k, size(kmvArray).cast("double"))
+      .otherwise(round(lit(k - 1.0) / element_at(kmvArray, k), 6))
+
   /** Approximate per-group distinct count via a k-minimum-values
     * sketch over the portable md5 uniform (same derivation as
     * [[graft.operators.Sampling]]'s splits): u = (h₅₂ + 1) / (2⁵² + 1)
@@ -37,14 +58,11 @@ object Sketches {
   def approxDistinctKmv(df: DataFrame, keyCol: String, valueCol: String,
                         k: Int = 256): DataFrame = {
     require(k >= 2, s"sketch size must be at least 2, got $k")
-    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
-      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
     df.where(col(valueCol).isNotNull)
       .groupBy(col(keyCol))
-      .agg(graft.functions.KmvAggregator.kmv(k, u).as("_kmv"))
-      .withColumn("est_distinct",
-        when(size(col("_kmv")) < k, size(col("_kmv")).cast("double"))
-          .otherwise(round(lit(k - 1.0) / element_at(col("_kmv"), k), 6)))
+      .agg(graft.functions.KmvAggregator.kmv(k, md5Uniform(col(valueCol)))
+        .as("_kmv"))
+      .withColumn("est_distinct", kmvEstimate(col("_kmv"), k))
       .select(col(keyCol), col("est_distinct"))
   }
 }

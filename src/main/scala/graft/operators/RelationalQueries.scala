@@ -821,16 +821,23 @@ object RelationalQueries extends QueryPack {
     // Median then MAD around it (quantile_cont = Spark's exact
     // interpolated percentile); null robust_z rows resolve the
     // three-valued OR exactly as the engine's coalesce does.
+    // Stats joins are null-safe (IS NOT DISTINCT FROM) to mirror the
+    // engine's <=> re-attach: rows with a NULL key flag within their
+    // own group rather than dropping.
     "q_a25_mad" ->
       """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),
         |mad AS (SELECT e.user_id,
         |    quantile_cont(ABS(e.value - m.med), 0.5) AS mad
-        |  FROM events e JOIN med m USING (user_id) GROUP BY e.user_id),
+        |  FROM events e JOIN med m
+        |    ON e.user_id IS NOT DISTINCT FROM m.user_id
+        |  GROUP BY e.user_id),
         |f AS (SELECT e.user_id, e.value, m.med, d.mad,
         |    CASE WHEN d.mad > 0
         |      THEN ROUND(0.6745 * (e.value - m.med) / d.mad, 6) END AS rz
-        |  FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id))
+        |  FROM events e JOIN med m
+        |    ON e.user_id IS NOT DISTINCT FROM m.user_id
+        |  JOIN mad d ON e.user_id IS NOT DISTINCT FROM d.user_id)
         |SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN (ABS(rz) > 3.5) OR (mad = 0 AND value <> med)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,

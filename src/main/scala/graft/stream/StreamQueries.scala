@@ -368,7 +368,9 @@ object StreamQueries extends QueryPack {
 
     // The KMV merge is exact, so the two-batch fold equals the
     // one-shot sketch over all events — same md5-uniform derivation
-    // as q_a24_kmv_distinct.
+    // as q_a24_kmv_distinct. The UNION ALL arm mirrors the engine's
+    // always-one-row contract on an empty input (the ungrouped agg
+    // yields (0.0, 0) where the windowed CTE would yield no rows).
     "q_s_kmv_step" ->
       """WITH h AS (SELECT DISTINCT
         |    (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 13))
@@ -379,7 +381,10 @@ object StreamQueries extends QueryPack {
         |SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
         |       ELSE ROUND(255.0 / u, 6) END AS est_distinct,
         |  CAST(LEAST(nd, 256) AS INTEGER) AS n_mins
-        |FROM r WHERE rn = LEAST(nd, 256)""".stripMargin,
+        |FROM r WHERE rn = LEAST(nd, 256)
+        |UNION ALL
+        |SELECT CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER)
+        |WHERE NOT EXISTS (SELECT 1 FROM h)""".stripMargin,
 
     "q_s_kmv_group_step" ->
       """WITH h AS (SELECT DISTINCT event_type,

@@ -421,10 +421,9 @@ object Streaming {
     val spark = batch.sparkSession
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_u", DoubleType))))
-    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
-      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
     val batchMins = batch.where(col(valueCol).isNotNull)
-      .agg(graft.functions.KmvAggregator.kmv(k, u).as("_kmv"))
+      .agg(graft.functions.KmvAggregator
+        .kmv(k, graft.analytics.Sketches.md5Uniform(col(valueCol))).as("_kmv"))
       .select(explode(col("_kmv")).as("_u"))
     val newStore = store.unionByName(batchMins)
       .distinct().orderBy(col("_u")).limit(k)
@@ -432,9 +431,7 @@ object Streaming {
     graft.lake.VersionedTable.publish(newStore, storePath)
     newStore.agg(sort_array(collect_list(col("_u"))).as("_kmv"))
       .select(
-        when(size(col("_kmv")) < k, size(col("_kmv")).cast("double"))
-          .otherwise(round(lit(k - 1.0) / element_at(col("_kmv"), k), 6))
-          .as("est_distinct"),
+        graft.analytics.Sketches.kmvEstimate(col("_kmv"), k).as("est_distinct"),
         size(col("_kmv")).as("n_mins"))
   }
 
@@ -464,11 +461,10 @@ object Streaming {
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_k", batch.schema(keyCol).dataType),
         StructField("_u", DoubleType))))
-    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
-      .cast("double") + lit(1.0)) / lit(4503599627370497.0)
     val batchMins = batch.where(col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("_k"))
-      .agg(graft.functions.KmvAggregator.kmv(k, u).as("_kmv"))
+      .agg(graft.functions.KmvAggregator
+        .kmv(k, graft.analytics.Sketches.md5Uniform(col(valueCol))).as("_kmv"))
       .select(col("_k"), explode(col("_kmv")).as("_u"))
     val newStore = store.unionByName(batchMins)
       .groupBy("_k")
@@ -479,9 +475,7 @@ object Streaming {
     newStore.groupBy("_k")
       .agg(sort_array(collect_list(col("_u"))).as("_kmv"))
       .select(col("_k").as(keyCol),
-        when(size(col("_kmv")) < k, size(col("_kmv")).cast("double"))
-          .otherwise(round(lit(k - 1.0) / element_at(col("_kmv"), k), 6))
-          .as("est_distinct"),
+        graft.analytics.Sketches.kmvEstimate(col("_kmv"), k).as("est_distinct"),
         size(col("_kmv")).as("n_mins"))
   }
 

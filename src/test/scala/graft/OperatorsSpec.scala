@@ -404,6 +404,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("b", None)) === ((None, false)))
   }
 
+  test("madFlag retains rows with a NULL group key (null-safe stats joins)") {
+    // groupBy keeps the null-key group; a plain equi-join would drop
+    // every such row from the output — they must instead flag against
+    // their OWN group's median/MAD, like any other group.
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None: Option[String], 1.0), (None: Option[String], 2.0),
+      (None: Option[String], 3.0), (None: Option[String], 4.0),
+      (None: Option[String], 100.0))  // null group's own outlier
+      .toDF("k", "v")
+    val out = graft.analytics.Anomaly.madFlag(df, "k", "v", cutoff = 3.5)
+      .collect().map(r =>
+        (Option(r.get(0)), r.getDouble(1)) -> r.getBoolean(3)).toMap
+    assert(out.size === 8)                    // no row vanished
+    assert(out((None, 100.0)) === true)       // flagged within the null group
+    assert(out((None, 2.0)) === false)
+    assert(out((Some("a"), 2.0)) === false)
+  }
+
   test("momentsProfile: hand-checked moments, degenerate groups go null, nulls excluded") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
