@@ -414,7 +414,12 @@ class OperatorsSpec extends SparkSpec {
       (None: Option[String], 3.0), (None: Option[String], 4.0),
       (None: Option[String], 100.0))  // null group's own outlier
       .toDF("k", "v")
-    val out = graft.analytics.Anomaly.madFlag(df, "k", "v", cutoff = 3.5)
+    val flagged = graft.analytics.Anomaly.madFlag(df, "k", "v", cutoff = 3.5)
+    // <=> keys still plan as hash joins — null-safety must not cost a
+    // nested loop
+    val p = flagged.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val out = flagged
       .collect().map(r =>
         (Option(r.get(0)), r.getDouble(1)) -> r.getBoolean(3)).toMap
     assert(out.size === 8)                    // no row vanished
