@@ -355,8 +355,8 @@ object ScaleBench {
       if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
         docs(spark, 500000L).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-      for (q <- Seq("q_g3_triangles", "q_t_exact_dedup", "q_t_minhash_lsh",
-          "q_t_near_dedup")) {
+      for (q <- Seq("q_g3_triangles", "q_g1_pagerank", "q_t_exact_dedup",
+          "q_t_minhash_lsh", "q_t_near_dedup")) {
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -386,7 +386,12 @@ object ScaleBench {
       if (!new java.io.File(s"$dirV/documents.parquet/_SUCCESS").exists())
         docs(spark, 500000L, vocab = 15000).write.mode("overwrite")
           .parquet(s"$dirV/documents.parquet")
-      for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup")) {
+      // jaccard_prefix runs on the vocab-scaled corpus only: prefix
+      // filtering's pruning power derives from shingle selectivity,
+      // which the fixed-vocab fixture deliberately destroys at XL —
+      // the densification regime is LSH's test, not AllPairs'.
+      for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup",
+          "q_t_jaccard_prefix")) {
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
