@@ -355,8 +355,8 @@ object ScaleBench {
       if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
         docs(spark, 500000L).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-      for (q <- Seq("q_g3_triangles", "q_g1_pagerank", "q_t_exact_dedup",
-          "q_t_minhash_lsh", "q_t_near_dedup")) {
+      for (q <- Seq("q_g3_triangles", "q_g1_pagerank", "q_g2_label_prop",
+          "q_t_exact_dedup", "q_t_minhash_lsh", "q_t_near_dedup")) {
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -391,7 +391,7 @@ object ScaleBench {
       // which the fixed-vocab fixture deliberately destroys at XL —
       // the densification regime is LSH's test, not AllPairs'.
       for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup",
-          "q_t_jaccard_prefix")) {
+          "q_t_jaccard_prefix", "q_t_cluster_split")) {
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
