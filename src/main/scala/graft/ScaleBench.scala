@@ -184,7 +184,7 @@ object ScaleBench {
             .contains("o_orderpriority") ||
           !spark.read.parquet(s"$dir/lineitem.parquet").columns
             .contains("l_partkey")
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
       }
       if (!new java.io.File(s"$dir/documents.parquet").exists() || ordersStale) {
         docs(spark, nDoc).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -200,13 +200,17 @@ object ScaleBench {
         if (!(q == "q_t_jaccard_pairs" && name == "L")) {
           // a failed attempt records NO time — feeding its elapsed
           // seconds into the growth summary would let a crash at L
-          // masquerade as a fast, sublinear curve
+          // masquerade as a fast, sublinear curve. Only NonFatal is
+          // caught (here and in every timing loop below): after a
+          // fatal error like a driver OOM the JVM is undefined, so
+          // subsequent timings would be garbage — an under-provisioned
+          // run must fail loudly, not publish partial growth rows.
           val times = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
             try {
               SparkEntry.queries(q)(spark, dir).count()
               Some((System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
+            } catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[scale] $name/$q failed: ${e.getMessage}")
               None
             }
@@ -245,7 +249,7 @@ object ScaleBench {
           graft.textops.Dedup.connectedComponents(chain, "a", "b", maxIter = 40)
             .count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale] $name/q_chain_cc failed: ${e.getMessage}")
           None
         }
@@ -286,7 +290,7 @@ object ScaleBench {
           graft.lake.VersionedTable.readCurrentMerged(spark, root, Seq("k"))
             .agg(count(lit(1)), sum(col("p"))).collect()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale] $name/q_mor_read failed: ${e.getMessage}")
           None
         }
@@ -318,7 +322,7 @@ object ScaleBench {
             .hardNegatives(emb, "vec_id", "embedding", "label", anchors, k = 5)
             .count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale] $name/q_hardneg_batch failed: ${e.getMessage}")
           None
         }
@@ -362,7 +366,7 @@ object ScaleBench {
           try {
             SparkEntry.queries(q)(spark, dir).count()
             Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scale] XL/$q failed: ${e.getMessage}")
             None
           }
@@ -397,7 +401,7 @@ object ScaleBench {
           try {
             SparkEntry.queries(q)(spark, dirV).count()
             Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scale] XLV/$q failed: ${e.getMessage}")
             None
           }

@@ -178,6 +178,13 @@ object Ingestion {
     * stay null (there is nothing defensible to fill with — gate them
     * with an [[Expectations.NotNull]] if that's an error).
     *
+    * NULL group keys are a group: the means relation is attached with
+    * a null-safe `<=>` join (the [[graft.analytics.Anomaly.madFlag]]
+    * fix class), so rows whose group key is NULL impute from the
+    * NULL-key group's own mean exactly like any other group —
+    * `groupBy` already computes that group, and a null-unsafe equi
+    * join would silently strand those rows unimputed.
+    *
     * Numerics + scale: the per-group mean is a DECIMAL-exact Σ over
     * observed values divided in double and rounded to 6 dp, so the
     * fill value is identical under any partitioning or engine. The
@@ -191,11 +198,17 @@ object Ingestion {
     */
   def imputeByGroupMean(df: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
+    require(!df.columns.contains("_grp_mean"),
+      "input column _grp_mean collides with imputeByGroupMean's " +
+        "working name — rename it first")
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val means = df.groupBy(col(groupCol))
       .agg(round(sum(col(valueCol).cast(dec)).cast("double")
         / count(col(valueCol)), 6).as("_grp_mean"))
-    df.join(means, Seq(groupCol), "left")
+    df.as("_im_t")
+      .join(means.as("_im_m"),
+        col(s"_im_t.$groupCol") <=> col(s"_im_m.$groupCol"), "left")
+      .select(col("_im_t.*"), col("_im_m._grp_mean").as("_grp_mean"))
       .withColumn(s"${valueCol}_imputed",
         coalesce(col(valueCol).cast("double"), col("_grp_mean")))
       .withColumn("was_imputed",

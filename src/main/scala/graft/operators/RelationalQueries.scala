@@ -317,19 +317,26 @@ object RelationalQueries extends QueryPack {
           round(element_at(col("qs"), 4), 6).as("p90"))),
 
     // A21 (extension): group-mean imputation — values nulled on a
-    // deterministic rule (event_id % 9), refilled with the per-user
-    // DECIMAL-exact mean, summarized per user.
+    // deterministic rule (event_id % 9), group keys nulled on another
+    // (event_id % 13, exercising the null-safe means join: the NULL
+    // key is its own group), refilled with the per-group DECIMAL-exact
+    // mean, summarized per group. The NULL group surfaces as user_key
+    // -1 so row order is engine-independent (user_id is positive).
     "q_a21_impute" -> ((s, dir) => {
       val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
       val ev = Tables.events(s, dir)
         .withColumn("value", when(col("event_id") % 9 === 0, lit(null))
           .otherwise(col("value")))
+        .withColumn("user_id", when(col("event_id") % 13 === 0, lit(null))
+          .otherwise(col("user_id")))
       graft.ingest.Ingestion.imputeByGroupMean(ev, "user_id", "value")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("was_imputed"), 1L).otherwise(0L)).as("n_imputed"),
           sum(col("value_imputed").cast(dec6)).cast("double").as("sum_imputed"))
-        .orderBy("user_id")
+        .select(coalesce(col("user_id"), lit(-1L)).as("user_key"),
+          col("n"), col("n_imputed"), col("sum_imputed"))
+        .orderBy("user_key")
     }),
 
     // A22 (extension): per-user winsorization — event values clipped
@@ -748,20 +755,21 @@ object RelationalQueries extends QueryPack {
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
 
     "q_a21_impute" ->
-      """WITH ev AS (SELECT user_id,
+      """WITH ev AS (SELECT
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS user_id,
         |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS v
         |  FROM events),
         |m AS (SELECT user_id,
         |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6)
         |      AS gm
         |  FROM ev GROUP BY 1)
-        |SELECT ev.user_id, COUNT(*) AS n,
+        |SELECT COALESCE(ev.user_id, -1) AS user_key, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN ev.v IS NULL AND m.gm IS NOT NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
         |  CAST(SUM(CAST(COALESCE(ev.v, m.gm) AS DECIMAL(38,6))) AS DOUBLE)
         |    AS sum_imputed
-        |FROM ev LEFT JOIN m USING (user_id)
-        |GROUP BY ev.user_id ORDER BY ev.user_id""".stripMargin,
+        |FROM ev LEFT JOIN m ON ev.user_id IS NOT DISTINCT FROM m.user_id
+        |GROUP BY ev.user_id ORDER BY user_key""".stripMargin,
 
     "q_a17_quantiles" ->
       """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,

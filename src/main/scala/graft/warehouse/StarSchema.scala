@@ -304,17 +304,29 @@ object StarSchema {
     *
     * Deviations from the reference text, both schema-shaped: the role
     * join runs on `title` (the seed's natural key — our fact carries
-    * no surrogate `role_id`; unseeded titles get NULL role flags,
-    * which count exactly like the reference's OTHER fallback), and
-    * `complexity_score` computes the reference's length-bucket CASE
-    * (`pipeline.py:459-464`) inline over `name_length` instead of
-    * reading a stored column.
+    * no surrogate `role_id`), and `complexity_score` computes the
+    * reference's length-bucket CASE (`pipeline.py:459-464`) inline
+    * over `name_length` instead of reading a stored column. Because
+    * our fact KEEPS unseeded-title rows with the OTHER fallback
+    * (see [[factOwnership]] — the reference's fact load inner-joins
+    * `s.title = r.title`, `pipeline.py:397`, so unseeded titles never
+    * reach ITS fact), the views apply the same fallback: an unseeded
+    * (or NULL) fact title maps to the OTHER dim_role row, so
+    * `v_role_distribution` counts it under OTHER (in the percentage
+    * denominator too) and `v_owner_demographics.unique_roles` counts
+    * distinct ROLES — two unseeded titles collapse to one OTHER,
+    * matching the reference's distinct-role_id semantics.
     *
     * Scale shape: views are logical — Catalyst inlines them into each
     * consumer, so the `is_current` filter pushes into the fact scan
-    * and unused view columns prune away. The only global window
-    * (`v_role_distribution`'s percent-of-total) runs over the ≤|roles|
-    * aggregate relation, never the fact.
+    * and unused view columns prune away. `v_role_distribution`'s
+    * percent-of-total is a 1-row total relation cross-joined back
+    * (broadcast), NOT a partition-less window: the empty-partitionSpec
+    * WindowExec logs a "serious performance degradation" warning that
+    * would alarm an operator reading logs at scale (and Spark strips
+    * constant partition keys, so `PARTITION BY 1` can't silence it).
+    * AQE's exchange reuse computes the per-role aggregate once — the
+    * total's sum reads the reused shuffle stage.
     */
   def registerViews(spark: SparkSession, tables: Map[String, DataFrame],
                     loadTs: String = "2024-01-01 00:00:00"): Unit = {
@@ -362,33 +374,43 @@ object StarSchema {
         |  o.is_individual,
         |  o.owner_type,
         |  COUNT(DISTINCT f.business_id) AS businesses_owned,
-        |  COUNT(DISTINCT f.title) AS unique_roles,
+        |  COUNT(DISTINCT COALESCE(r.title, 'OTHER')) AS unique_roles,
         |  MAX(d.name_length) AS name_length,
         |  MAX(CAST(CASE WHEN d.name_length > 20 THEN 0.8
         |               WHEN d.name_length > 10 THEN 0.6
         |               ELSE 0.4 END AS DOUBLE)) AS complexity_score
         |FROM dim_owner o
         |LEFT JOIN fact_business_ownership f ON o.owner_id = f.owner_id
+        |LEFT JOIN dim_role r ON f.title = r.title
         |LEFT JOIN fact_owner_demographics d ON o.owner_id = d.owner_id
         |WHERE f.is_current = TRUE
         |GROUP BY o.owner_id, o.full_name, o.first_name, o.last_name,
         |  o.is_individual, o.owner_type""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY VIEW v_role_distribution AS
-        |SELECT
-        |  r.title,
-        |  r.role_category,
-        |  r.is_leadership,
-        |  r.is_ownership,
-        |  COUNT(DISTINCT f.owner_id) AS total_owners,
-        |  COUNT(DISTINCT f.business_id) AS total_businesses,
-        |  ROUND(CAST(COUNT(DISTINCT f.owner_id) AS DOUBLE) * 100.0
-        |    / SUM(COUNT(DISTINCT f.owner_id)) OVER (), 2) AS percentage
-        |FROM dim_role r
-        |LEFT JOIN fact_business_ownership f ON r.title = f.title
-        |WHERE f.is_current = TRUE
-        |GROUP BY r.title, r.role_category, r.is_leadership,
-        |  r.is_ownership""".stripMargin)
+        |WITH mapped AS (
+        |  SELECT COALESCE(r0.title, 'OTHER') AS role_title,
+        |    f.owner_id, f.business_id
+        |  FROM fact_business_ownership f
+        |  LEFT JOIN dim_role r0 ON f.title = r0.title
+        |  WHERE f.is_current = TRUE),
+        |counts AS (
+        |  SELECT
+        |    r.title,
+        |    r.role_category,
+        |    r.is_leadership,
+        |    r.is_ownership,
+        |    COUNT(DISTINCT m.owner_id) AS total_owners,
+        |    COUNT(DISTINCT m.business_id) AS total_businesses
+        |  FROM dim_role r
+        |  JOIN mapped m ON r.title = m.role_title
+        |  GROUP BY r.title, r.role_category, r.is_leadership,
+        |    r.is_ownership)
+        |SELECT counts.*,
+        |  ROUND(CAST(total_owners AS DOUBLE) * 100.0 / t.tot, 2)
+        |    AS percentage
+        |FROM counts
+        |CROSS JOIN (SELECT SUM(total_owners) AS tot FROM counts) t""".stripMargin)
   }
 
   /** Full warehouse load over a cleaned staging table — every table the

@@ -206,7 +206,10 @@ object WarehouseQueries extends QueryPack {
   // Shared CTEs for the reporting-view oracles: the staging
   // projection plus the CURRENT fact (the acct % 10 stale rule applied
   // — it's a function of the business key, so filtering before or
-  // after the distinct is equivalent).
+  // after the distinct is equivalent). role_title is the views' OTHER
+  // fallback: an unseeded title (the fixture's WIZARD, from 5-LOW
+  // orders) maps to the OTHER dim_role row, mirroring the fact's own
+  // left-join/coalesce fallback.
   private val viewCtes =
     """stage AS (SELECT o_custkey AS acct,
       |    CASE WHEN o_orderkey % 2 = 0
@@ -218,6 +221,9 @@ object WarehouseQueries extends QueryPack {
       |      WHEN '4-NOT SPECIFIED' THEN 'MEMBER' ELSE 'WIZARD' END AS title
       |  FROM orders),
       |f AS (SELECT DISTINCT acct, title,
+      |    CASE WHEN title IN ('CEO','PRESIDENT','MANAGING MEMBER','MANAGER',
+      |      'DIRECTOR','OWNER','SHAREHOLDER','PARTNER','MEMBER','OTHER')
+      |      THEN title ELSE 'OTHER' END AS role_title,
       |    coalesce(full_name, '') || '|' || coalesce(entity, '') AS owner_key,
       |    full_name IS NOT NULL AS is_ind
       |  FROM stage WHERE acct % 10 <> 0)""".stripMargin
@@ -258,7 +264,7 @@ object WarehouseQueries extends QueryPack {
          |  o.is_ind AS is_individual,
          |  CASE WHEN o.is_ind THEN 'Individual' ELSE 'Corporate' END AS owner_type,
          |  COUNT(DISTINCT f.acct) AS businesses_owned,
-         |  COUNT(DISTINCT f.title) AS unique_roles,
+         |  COUNT(DISTINCT f.role_title) AS unique_roles,
          |  CAST(MAX(LENGTH(o.full_name)) AS INTEGER) AS name_length,
          |  MAX(CAST(CASE WHEN LENGTH(o.full_name) > 20 THEN 0.8
          |       WHEN LENGTH(o.full_name) > 10 THEN 0.6
@@ -281,7 +287,7 @@ object WarehouseQueries extends QueryPack {
          |  COUNT(DISTINCT f.acct) AS total_businesses,
          |  ROUND(CAST(COUNT(DISTINCT f.owner_key) AS DOUBLE) * 100.0
          |    / SUM(COUNT(DISTINCT f.owner_key)) OVER (), 2) AS percentage
-         |FROM r JOIN f ON r.title = f.title
+         |FROM r JOIN f ON r.title = f.role_title
          |GROUP BY r.title, r.role_category, r.is_leadership, r.is_ownership
          |ORDER BY r.title""".stripMargin,
     "q_agg_daily_business" ->

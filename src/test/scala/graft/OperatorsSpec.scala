@@ -792,16 +792,22 @@ class OperatorsSpec extends SparkSpec {
 
   test("imputeByGroupMean fills from the group's own mean; empty groups stay null") {
     val df = Seq(
-      ("g1", Some(10.0)), ("g1", Some(20.0)), ("g1", None),
-      ("g2", Some(5.0)), ("g3", None)).toDF("grp", "v")
+      (Some("g1"), Some(10.0)), (Some("g1"), Some(20.0)), (Some("g1"), None),
+      (Some("g2"), Some(5.0)), (Some("g3"), None),
+      // NULL group key is its own group: the null-safe means join must
+      // fill from ITS mean, not strand the row unimputed
+      (None, Some(8.0)), (None, None))
+      .map { case (g, v) => (g.orNull, v) }.toDF("grp", "v")
     val out = graft.ingest.Ingestion.imputeByGroupMean(df, "grp", "v")
       .select("grp", "v_imputed", "was_imputed")
-      .as[(String, Option[Double], Boolean)].collect().toSet
+      .as[(Option[String], Option[Double], Boolean)].collect().toSet
     assert(out === Set(
-      ("g1", Some(10.0), false), ("g1", Some(20.0), false),
-      ("g1", Some(15.0), true),           // g1's own mean, not global
-      ("g2", Some(5.0), false),
-      ("g3", None, false)))               // no observed value → stays null
+      (Some("g1"), Some(10.0), false), (Some("g1"), Some(20.0), false),
+      (Some("g1"), Some(15.0), true),     // g1's own mean, not global
+      (Some("g2"), Some(5.0), false),
+      (Some("g3"), None, false),          // no observed value → stays null
+      (None, Some(8.0), false),
+      (None, Some(8.0), true)))           // NULL-key group's own mean
   }
 
   test("rollingDistinct counts trailing-window ids for observed days only") {

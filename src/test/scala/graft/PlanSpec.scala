@@ -92,12 +92,21 @@ class PlanSpec extends SparkSpec {
     // is_current filter and the view's aggregation must compose with
     // the star chain's hash joins without any nested-loop fallback
     // (the only broadcast hint in the chain is the 10-row role seed).
-    for (q <- Seq("q_v_ownership_summary", "q_v_owner_demographics",
-        "q_v_role_distribution")) {
+    // Exception: v_role_distribution's percent-of-total attaches its
+    // 1-row grand-total relation by broadcast cross join (the J6
+    // scalar-subquery pattern, chosen over a partition-less window to
+    // avoid WindowExec's single-partition warning) — exactly one BNLJ
+    // whose build side is that 1-row aggregate is the intended plan.
+    for (q <- Seq("q_v_ownership_summary", "q_v_owner_demographics")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+    val p = plan("q_v_role_distribution")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).length <= 1,
+      s"role distribution should have only the 1-row total join:\n$p")
+    assert(!p.contains("Window"), "percent-of-total must not plan a window")
   }
 
   test("triangle counting: wedge and closing joins are hash joins, never nested loops") {

@@ -90,7 +90,11 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("title") -> r).toMap
     assert(roles.contains("CEO") && roles.contains("MANAGING MEMBER"))
     assert(!roles.contains("OWNER"))  // held only at the stale business
-    assert(!roles.contains("WIZARD")) // unseeded: dim_role drives the view
+    assert(!roles.contains("WIZARD")) // unseeded: counts under OTHER
+    // OTHER fallback: Ron (seeded OTHER) + Ann (unseeded WIZARD) both
+    // count under the OTHER dim_role row — same as the fact's fallback.
+    assert(roles("OTHER").getAs[Long]("total_owners") === 2)
+    assert(roles("OTHER").getAs[Long]("total_businesses") === 2)
     assert(math.abs(
       roles.values.map(_.getAs[Double]("percentage")).sum - 100.0) < 0.5)
 
