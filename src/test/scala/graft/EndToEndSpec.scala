@@ -71,6 +71,61 @@ class EndToEndSpec extends SparkSpec {
     assert(page.count() === 2)
   }
 
+  test("Pipeline.runFull: the reference CLI lifecycle from one call") {
+    val work = Files.createTempDirectory("graft_cli").toString
+    val csv =
+      """Account Number,Legal Name,Owner First Name,Owner Middle Initial,Owner Last Name,Suffix,Legal Entity Owner,Title
+        |1001,ALPHA LLC,Amy,,Stone,,,CEO
+        |1001,ALPHA LLC,Bob,J,Stone,,,MEMBER
+        |1002,BETA CORP,,,,,GAMMA HOLDINGS INC,OWNER
+        |1003,DELTA LTD,Cara,,Reyes,,,MANAGER
+        |1004,EPSILON LLC,Dan,,Ng,,N/A,PRESIDENT
+        |""".stripMargin
+    val csvPath = s"$work/owners.csv"
+    Files.writeString(java.nio.file.Paths.get(csvPath), csv)
+
+    val res = Pipeline.runFull(spark, csvPath, s"$work/lake",
+      dateId = "2024-08-01")
+
+    // integrity verdict: every fact row resolved both dimensions
+    assert(res.integrityPassed)
+    assert(res.warehouse("fact_business_ownership").count() === 5)
+
+    // quality report: written JSON carries the profile counts
+    // (the N/A sentinel parsed to null, so Legal Entity Owner has
+    // exactly one real value)
+    val quality = spark.read.json(res.paths("quality_report"))
+      .collect().head
+    assert(quality.getAs[Long]("total_records") === 5)
+    assert(quality.getAs[Long]("unique_businesses") === 4)
+    assert(quality.getAs[Long]("duplicate_rows") === 0)
+    assert(quality.getAs[Long]("Legal Entity Owner nulls") === 4)
+
+    // analytics report landed in the analytics layer
+    val analytics = spark.read.json(res.paths("analytics"))
+    assert(analytics.select(col("ownership_patterns.total_businesses"))
+      .collect().head.getLong(0) === 4)
+
+    // aggregated datasets: read back from the lake like a consumer
+    val roles = LakeStorage
+      .readLatest(spark, s"$work/lake", "aggregated", "role_distribution")
+      .collect().map(r => r.getAs[String]("Title") -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(roles === Map("CEO" -> 1L, "MEMBER" -> 1L, "OWNER" -> 1L,
+      "MANAGER" -> 1L, "PRESIDENT" -> 1L))
+    val alpha = res.aggregations("ownership_summary")
+      .filter(col("Account Number") === 1001L).collect().head
+    assert(alpha.getAs[Seq[String]]("owner_names")
+      === Seq("AMY STONE", "BOB J STONE"))
+    assert(alpha.getAs[Boolean]("has_multiple_owners"))
+
+    // the reporting views registered: named SQL works immediately
+    val dist = spark.sql(
+      "SELECT title, total_owners FROM v_role_distribution").collect()
+    assert(dist.nonEmpty)
+    assert(dist.map(_.getAs[Long]("total_owners")).sum === 5)
+  }
+
   test("training-data lifecycle: near-dedup -> curate -> split -> report") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
