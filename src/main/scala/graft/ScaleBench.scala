@@ -415,10 +415,124 @@ object ScaleBench {
       }
     }
 
+    // Streaming state-STORE growth (opt-in: `runMain graft.ScaleBench
+    // STORE`): per-batch cost of the stateful monitors as a function of
+    // STORE size at a FIXED probe-batch size — the axis the corpus
+    // tiers above don't cover (there, batch and store grow together).
+    // Three store points span 100×; the probe batches are IDENTICAL
+    // across points (same 2000 docs / same 10k values), so any growth
+    // is store-driven by construction.
+    //
+    //   - near-dedup band store / novelty shingle store: the probe
+    //     joins against the live store AND the step republishes the
+    //     pruned-store ∪ survivors relation, so the expected per-batch
+    //     term is O(store scan + store rewrite) — linear in LIVE store
+    //     size, which the retention horizon bounds at steady state
+    //     (the growth row quantifies the slope the horizon caps).
+    //   - KMV (global + per-key): state is O(k) / O(groups·k) by
+    //     construction, so the axis is batches-already-folded
+    //     (1/10/100) and the row must be FLAT; the store row count is
+    //     printed to pin the O(k) claim empirically, not just by
+    //     construction.
+    if (args.contains("STORE")) {
+      import graft.stream.Streaming
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def fresh(p: String): String = {
+        fs.delete(new org.apache.hadoop.fs.Path(p), true); p
+      }
+      def timed(name: String, q: String)(runs: Seq[() => Unit]): Unit = {
+        val times = runs.flatMap { r =>
+          val t0 = System.nanoTime()
+          try { r(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scale] $name/$q failed: ${e.getMessage}")
+            None
+          }
+        }
+        if (times.nonEmpty) {
+          results((name, q)) = times.min
+          println(f"""{"size":"$name","query":"$q","sec":${times.min}%.3f}""")
+        } else {
+          println(s"""{"size":"$name","query":"$q","sec":null,"failed":true}""")
+        }
+      }
+      val probeN = 2000L
+      // one shared corpus: seeds are prefixes, probes live past the
+      // largest seed so every point probes with the SAME unique docs;
+      // vocab scaled with size (constant shingle density — the LSH
+      // operating regime, same rationale as XLV)
+      val corpusPath = "/tmp/graft_scale/store/corpus.parquet"
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        docs(spark, 200000L + 2 * probeN, vocab = 15000)
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+          .write.mode("overwrite").parquet(corpusPath)
+      val c = spark.read.parquet(corpusPath)
+      def probe(i: Long) = c.where(col("doc_id") >= 200000L + i * probeN &&
+        col("doc_id") < 200000L + (i + 1) * probeN)
+      for ((name, seedN) <- Seq(("S", 2000L), ("M", 20000L), ("L", 200000L))) {
+        // near-dedup band store: seed admits seedN unique docs
+        val ndRoot = fresh(s"/tmp/graft_scale/store/$name/nd")
+        Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", ndRoot, retention = "3650 days").count()
+        val ndRows = graft.lake.VersionedTable.readCurrent(spark, ndRoot).count()
+        println(s"""{"size":"$name","query":"q_store_neardedup_rows","rows":$ndRows}""")
+        timed(name, "q_store_neardedup_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
+            ndRoot, retention = "3650 days").count(): Unit
+        }))
+        // novelty shingle store: minNovelty 0 admits the whole seed
+        val nvRoot = fresh(s"/tmp/graft_scale/store/$name/nv")
+        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", nvRoot, minNovelty = 0.0,
+          retention = "3650 days").count()
+        val nvRows = graft.lake.VersionedTable.readCurrent(spark, nvRoot).count()
+        println(s"""{"size":"$name","query":"q_store_novelty_rows","rows":$nvRows}""")
+        timed(name, "q_store_novelty_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
+            nvRoot, minNovelty = 0.5, retention = "3650 days").count(): Unit
+        }))
+        // KMV global: axis = batches already folded (state O(k) always)
+        val folds = name match { case "S" => 1; case "M" => 10; case _ => 100 }
+        val kvRoot = fresh(s"/tmp/graft_scale/store/$name/kmv")
+        for (i <- 0 until folds)
+          Streaming.kmvDistinctBatchStep(spark.range(10000L)
+            .select((col("id") + i * 10000L).as("v")), "v", kvRoot).collect()
+        val kvRows = graft.lake.VersionedTable.readCurrent(spark, kvRoot).count()
+        println(s"""{"size":"$name","query":"q_store_kmv_rows","rows":$kvRows}""")
+        timed(name, "q_store_kmv_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.kmvDistinctBatchStep(spark.range(10000L)
+            .select((col("id") + (folds + i) * 10000L).as("v")), "v", kvRoot)
+            .collect(): Unit
+        }))
+        // KMV per-key: 50 fixed groups (state O(groups·k) always)
+        val kgRoot = fresh(s"/tmp/graft_scale/store/$name/kmvg")
+        for (i <- 0 until folds)
+          Streaming.kmvDistinctByKeyBatchStep(spark.range(10000L)
+            .select(pmod(col("id"), lit(50)).as("g"),
+              (col("id") + i * 10000L).as("v")), "g", "v", kgRoot).collect()
+        val kgRows = graft.lake.VersionedTable.readCurrent(spark, kgRoot).count()
+        println(s"""{"size":"$name","query":"q_store_kmv_group_rows","rows":$kgRows}""")
+        timed(name, "q_store_kmv_group_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.kmvDistinctByKeyBatchStep(spark.range(10000L)
+            .select(pmod(col("id"), lit(50)).as("g"),
+              (col("id") + (folds + i) * 10000L).as("v")), "g", "v", kgRoot)
+            .collect(): Unit
+        }))
+      }
+    }
+
     // growth summary: seconds ratio per 10× data step (XLV = the
-    // vocab-scaled 500k-doc twin of XL, dedup queries only)
+    // vocab-scaled 500k-doc twin of XL, dedup queries only; STORE rows'
+    // S/M/L axis is store size at fixed batch, not corpus size)
     println("query,S_sec,M_sec,L_sec,XL_sec,XLV_sec,M_over_S,L_over_M,XL_over_L,XLV_over_L")
-    for (q <- heavy :+ "q_chain_cc" :+ "q_mor_read" :+ "q_hardneg_batch") {
+    val storeQs =
+      if (args.contains("STORE"))
+        Seq("q_store_neardedup_batch", "q_store_novelty_batch",
+          "q_store_kmv_batch", "q_store_kmv_group_batch")
+      else Nil
+    for (q <- heavy ++ Seq("q_chain_cc", "q_mor_read", "q_hardneg_batch")
+        ++ storeQs) {
       def g(sz: String) = results.get((sz, q))
       def fmt(v: Option[Double]) = v.map(x => f"$x%.2f").getOrElse("-")
       def ratio(a: Option[Double], b: Option[Double]) = (a, b) match {

@@ -31,14 +31,14 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // A1: exact distinct counts (plus the scale-path approx variant is
-    // exercised in tests; approx can't hash-match an exact oracle).
-    "q_a1_distinct" -> ((s, dir) => {
-      Tables.orders(s, dir).agg(
-        countDistinct(col("o_custkey")).as("n_customers"),
-        countDistinct(col("o_orderstatus")).as("n_statuses"),
-        count(lit(1)).as("n_orders"))
-    }),
+    // A1: distinct counts through the one-call-site seam
+    // (Demographics.distinctCounts) in exact mode — the approx (HLL)
+    // mode behind the SAME call is spec-bounded in OperatorsSpec;
+    // approx can't hash-match an exact oracle.
+    "q_a1_distinct" -> ((s, dir) =>
+      Demographics.distinctCounts(Tables.orders(s, dir),
+        Seq("o_custkey" -> "n_customers", "o_orderstatus" -> "n_statuses"),
+        exact = true, rowCountAlias = "n_orders")),
 
     // A2: group-size histogram (orders per customer, bucketed).
     "q_a2_histogram" -> ((s, dir) =>

@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Demographics {
 
+  /** A1 distinct counts behind ONE call site with the 100 TB seam
+    * SCALING.md names: `exact = true` (default) is the oracle-checkable
+    * `countDistinct` (Expand-based when several columns are counted
+    * together); `exact = false` swaps in HLL `approx_count_distinct`
+    * at relative standard deviation `rsd` — a single pass with
+    * constant sketch memory per column and NO Expand blow-up — without
+    * the caller changing shape: same aliases, same 1-row result.
+    * Choose approx when the cardinality itself is the answer
+    * (profiling, monitors) and exact when downstream math consumes the
+    * integers (the diversity indices divide by them). `counts` pairs
+    * each input column with its output alias; the trailing row count
+    * lands under `rowCountAlias`.
+    */
+  def distinctCounts(df: DataFrame, counts: Seq[(String, String)],
+                     exact: Boolean = true, rsd: Double = 0.05,
+                     rowCountAlias: String = "n_rows"): DataFrame = {
+    require(counts.nonEmpty, "need at least one (column, alias) pair")
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    val aggs = counts.map { case (c, a) =>
+      if (exact) countDistinct(col(c)).as(a)
+      else approx_count_distinct(col(c), rsd).as(a)
+    } :+ count(lit(1)).as(rowCountAlias)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Frequency table (pandas `value_counts`,
     * `demographics_analyzer.py:89-90`): one shuffle keyed on `col`,
     * map-side partial counts first.

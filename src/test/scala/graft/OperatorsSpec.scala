@@ -790,6 +790,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.contains(("g2", 100.0, 110.0, true)))
   }
 
+  test("distinctCounts: exact and HLL approx behind the same call site") {
+    val df = spark.range(10000)
+      .select((col("id") % 1234).as("a"), (col("id") % 7).as("b"))
+    val ex = graft.analytics.Demographics.distinctCounts(
+      df, Seq("a" -> "na", "b" -> "nb")).collect().head
+    assert(ex.getAs[Long]("na") === 1234L)
+    assert(ex.getAs[Long]("nb") === 7L)
+    assert(ex.getAs[Long]("n_rows") === 10000L)
+
+    // approx mode: same shape/aliases, HLL error within a generous
+    // multiple of the requested rsd (2% → assert within 10%)
+    val approx = graft.analytics.Demographics.distinctCounts(
+      df, Seq("a" -> "na", "b" -> "nb"), exact = false, rsd = 0.02)
+    val ap = approx.collect().head
+    assert(approx.columns.toSeq === Seq("na", "nb", "n_rows"))
+    assert(math.abs(ap.getAs[Long]("na") - 1234.0) / 1234.0 < 0.1)
+    assert(math.abs(ap.getAs[Long]("nb") - 7.0) <= 1.0)
+
+    // the scale rationale, pinned in the plan: multi-column EXACT
+    // distinct needs an Expand (input duplicated per distinct agg);
+    // the HLL form is one pass with no Expand
+    val exactPlan = graft.analytics.Demographics.distinctCounts(
+      df, Seq("a" -> "na", "b" -> "nb")).queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    assert(!approxPlan.contains("Expand"))
+  }
+
   test("imputeByGroupMean fills from the group's own mean; empty groups stay null") {
     val df = Seq(
       (Some("g1"), Some(10.0)), (Some("g1"), Some(20.0)), (Some("g1"), None),
