@@ -519,6 +519,63 @@ object ScaleBench {
               (col("id") + (folds + i) * 10000L).as("v")), "g", "v", kgRoot)
             .collect(): Unit
         }))
+        // drift vocab histogram: state is O(vocab) by construction
+        // (15000-token space), so the axis is batches folded — the
+        // fold walks corpus prefix slices so every batch carries fresh
+        // documents, and the row must be flat once the vocab saturates
+        val drRoot = fresh(s"/tmp/graft_scale/store/$name/drift")
+        for (i <- 0 until folds)
+          Streaming.driftMonitorBatchStep(
+            c.where(col("doc_id") >= i * probeN &&
+              col("doc_id") < (i + 1) * probeN), "text", drRoot).collect()
+        val drRows = graft.lake.VersionedTable.readCurrent(spark, drRoot).count()
+        println(s"""{"size":"$name","query":"q_store_drift_rows","rows":$drRows}""")
+        timed(name, "q_store_drift_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.driftMonitorBatchStep(probe(i), "text", drRoot)
+            .collect(): Unit
+        }))
+        // semantic-dedup embedding store: state = admitted vectors, so
+        // this is the one monitor whose per-batch pair work is
+        // O(batch·store/k) with a FIXED k-bucket quantizer — the
+        // growth row quantifies the slope the quantizer granularity
+        // (and retention) caps; real deployments scale k with the
+        // corpus (the IVF convention), which this axis holds fixed to
+        // expose the term. threshold 0.9999 admits everything except
+        // byte-near-identical vectors, so the seed genuinely lands
+        // seedN vectors in the store.
+        val embPath = "/tmp/graft_scale/store/emb.parquet"
+        if (!new java.io.File(s"$embPath/_SUCCESS").exists())
+          embeddings(spark, 200000L + 2 * probeN)
+            .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+            .write.mode("overwrite").parquet(embPath)
+        val e = spark.read.parquet(embPath)
+        val cent = e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").cast("long").as("b"),
+            transform(col("embedding"), x => x.cast("double")).as("cv"))
+        val sdRoot = fresh(s"/tmp/graft_scale/store/$name/semdedup")
+        // seed in 20k chunks: one batch's in-batch pair work is
+        // quadratic per bucket, so a single 200k seed batch would time
+        // the fixture, not the probe
+        val chunk = 20000L
+        var off = 0L
+        while (off < seedN) {
+          val hi = math.min(off + chunk, seedN)
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= off && col("vec_id") < hi),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdRoot, retention = "3650 days").count()
+          off = hi
+        }
+        val sdRows = graft.lake.VersionedTable.readCurrent(spark, sdRoot).count()
+        println(s"""{"size":"$name","query":"q_store_semdedup_rows","rows":$sdRows}""")
+        timed(name, "q_store_semdedup_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= 200000L + i * probeN &&
+              col("vec_id") < 200000L + (i + 1) * probeN),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdRoot, retention = "3650 days")
+            .count(): Unit
+        }))
       }
     }
 
@@ -529,7 +586,8 @@ object ScaleBench {
     val storeQs =
       if (args.contains("STORE"))
         Seq("q_store_neardedup_batch", "q_store_novelty_batch",
-          "q_store_kmv_batch", "q_store_kmv_group_batch")
+          "q_store_kmv_batch", "q_store_kmv_group_batch",
+          "q_store_drift_batch", "q_store_semdedup_batch")
       else Nil
     for (q <- heavy ++ Seq("q_chain_cc", "q_mor_read", "q_hardneg_batch")
         ++ storeQs) {
