@@ -260,6 +260,13 @@ object Streaming {
     * (state ∝ corpus text size, unbounded) — the precision trade is
     * deliberate and documented in SCALING.md.
     *
+    * Store-growth shape, MEASURED (SCALING.md "streaming state-STORE
+    * growth", `ScaleBench STORE`): per-batch cost of a fixed probe
+    * batch is FLAT across a 100× band-store growth (31k → 3.08M rows)
+    * — the store scan + republish at 3M rows sits under the fixed
+    * per-batch signature work, and the retention horizon bounds the
+    * live store at steady state.
+    *
     * Every stage is an equi-join or aggregation on hashed keys; the
     * 1-row horizon aggregate rides a broadcast join, nothing collects
     * to the driver. Survivors are `localCheckpoint`ed before the new
@@ -504,6 +511,20 @@ object Streaming {
     * content refreshes the shingle's clock). Expiry happens BEFORE
     * scoring against the batch's own max event time; an empty batch
     * leaves the store untouched.
+    *
+    * Store-growth shape, MEASURED (SCALING.md "streaming state-STORE
+    * growth"): per-batch cost of a fixed probe batch is flat across
+    * the first store decade and ~1.7× on the second (10.1M live
+    * shingles) — the O(live-store) scan + republish term, which the
+    * retention horizon bounds at steady state. If a deployment needs
+    * a longer horizon than the per-batch rewrite can afford, the
+    * upgrade path is amortized pruning over the same
+    * [[graft.lake.VersionedTable]] manifest — `appendDelta` the
+    * admitted shingles per batch and republish the horizon-filtered
+    * merged view every N batches — at the cost of making expiry
+    * logical between republishes, which weakens the physical-expiry
+    * late-data guarantee below; the eager form is the default because
+    * that contract is spec-pinned.
     *
     * LATE DATA: the horizon derives from each batch's OWN max event
     * time — processing-order micro-batch semantics with no watermark

@@ -124,6 +124,16 @@ class EndToEndSpec extends SparkSpec {
       "SELECT title, total_owners FROM v_role_distribution").collect()
     assert(dist.nonEmpty)
     assert(dist.map(_.getAs[Long]("total_owners")).sum === 5)
+
+    // re-run of the same date is idempotent: dynamic partition
+    // overwrite replaces the partition instead of duplicating it
+    val res2 = Pipeline.runFull(spark, csvPath, s"$work/lake",
+      dateId = "2024-08-01")
+    assert(res2.integrityPassed)
+    assert(res2.cleaned.count() === 5)
+    assert(LakeStorage
+      .readLatest(spark, s"$work/lake", "aggregated", "role_distribution")
+      .count() === 5)
   }
 
   test("training-data lifecycle: near-dedup -> curate -> split -> report") {
