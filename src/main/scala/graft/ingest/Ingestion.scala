@@ -186,8 +186,19 @@ object Ingestion {
     * join would silently strand those rows unimputed.
     *
     * Numerics + scale: the per-group mean is a DECIMAL-exact Σ over
-    * observed values divided in double and rounded to 6 dp, so the
-    * fill value is identical under any partitioning or engine. The
+    * observed values divided in double, then snapped to the 6-dp grid
+    * with `floor(x·10⁶ + 0.5)/10⁶` rather than `round(_, 6)`. The
+    * snap is pure IEEE arithmetic on the quotient's binary value, so
+    * the fill is bit-identical under any partitioning AND any engine;
+    * `round` is not — Spark rounds the double's shortest decimal
+    * rendering (`BigDecimal.valueOf`) while DuckDB and most C++
+    * engines scale the binary value, and a quotient whose shortest
+    * rendering is a 6-dp tie but whose binary value sits below it
+    * (e.g. 66.6371875 = 66.63718749…₂) rounds UP on Spark and DOWN
+    * elsewhere. Ties resolve toward +∞ for negative means; callers
+    * needing half-away-from-zero semantics at 6 dp on negatives
+    * should not (values beyond ±2⁵³/10⁶ ≈ ±9·10⁹ also lose grid
+    * precision — at that magnitude a 6-dp fill is meaningless). The
     * means relation is |groups| rows — aggregated map-side and joined
     * back WITHOUT a broadcast hint: group cardinality is
     * caller-data-shaped (q_a21 groups by user id), so a forced
@@ -203,8 +214,8 @@ object Ingestion {
         "working name — rename it first")
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val means = df.groupBy(col(groupCol))
-      .agg(round(sum(col(valueCol).cast(dec)).cast("double")
-        / count(col(valueCol)), 6).as("_grp_mean"))
+      .agg((floor(sum(col(valueCol).cast(dec)).cast("double")
+        / count(col(valueCol)) * 1e6 + 0.5) / 1e6).as("_grp_mean"))
     df.as("_im_t")
       .join(means.as("_im_m"),
         col(s"_im_t.$groupCol") <=> col(s"_im_m.$groupCol"), "left")

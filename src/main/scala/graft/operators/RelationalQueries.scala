@@ -275,7 +275,8 @@ object RelationalQueries extends QueryPack {
         .agg(
           sum(col("c_acctbal").cast(dec2)).cast("double").as("total_bal"),
           count(lit(1)).cast("double").as("n_cust"),
-          round(avg(length(col("c_name"))), 6).as("avg_name_len"))
+          graft.functions.StableMath.gridSnap(
+            avg(length(col("c_name"))), 6).as("avg_name_len"))
       wide.unpivot(Array(col("c_nationkey")),
           Array(col("total_bal"), col("n_cust"), col("avg_name_len")),
           "metric", "value")
@@ -720,7 +721,8 @@ object RelationalQueries extends QueryPack {
       """WITH wide AS (SELECT c_nationkey,
         |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
-        |    ROUND(AVG(LENGTH(c_name)), 6) AS avg_name_len
+        |    FLOOR(AVG(LENGTH(c_name)) * 1000000 + 0.5) / 1000000
+        |      AS avg_name_len
         |  FROM customer GROUP BY c_nationkey)
         |SELECT * FROM (UNPIVOT wide ON total_bal, n_cust, avg_name_len
         |  INTO NAME metric VALUE value)
@@ -760,8 +762,8 @@ object RelationalQueries extends QueryPack {
         |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS v
         |  FROM events),
         |m AS (SELECT user_id,
-        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6)
-        |      AS gm
+        |    FLOOR(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v)
+        |      * 1000000 + 0.5) / 1000000 AS gm
         |  FROM ev GROUP BY 1)
         |SELECT COALESCE(ev.user_id, -1) AS user_key, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN ev.v IS NULL AND m.gm IS NOT NULL

@@ -72,7 +72,8 @@ object WindowQueries extends QueryPack {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       counts
         .withColumn("pct",
-          round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 6))
+          graft.functions.StableMath.gridSnap(
+            col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 6))
         .orderBy("event_type")
     }),
 
@@ -83,11 +84,13 @@ object WindowQueries extends QueryPack {
       val w = Window.partitionBy("o_custkey")
       Tables.orders(s, dir)
         .withColumn("complexity",
-          round(least(count(lit(1)).over(w) * 0.5 +
-            avg(length(col("o_orderpriority"))).over(w) * 0.1, lit(10.0)), 6))
+          graft.functions.StableMath.gridSnap(
+            least(count(lit(1)).over(w) * 0.5 +
+              avg(length(col("o_orderpriority"))).over(w) * 0.1, lit(10.0)), 6))
         .withColumn("diversity",
-          round(size(collect_set(col("o_orderstatus")).over(w)).cast("double") /
-            count(lit(1)).over(w) * 10.0, 6))
+          graft.functions.StableMath.gridSnap(
+            size(collect_set(col("o_orderstatus")).over(w)).cast("double") /
+              count(lit(1)).over(w) * 10.0, 6))
         .select("o_custkey", "complexity", "diversity")
         .dropDuplicates("o_custkey")
         .orderBy("o_custkey")
@@ -367,13 +370,16 @@ object WindowQueries extends QueryPack {
       """WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events
         |  GROUP BY event_type)
         |SELECT event_type, cnt,
-        |  ROUND(CAST(cnt AS DOUBLE) * 100.0 / CAST(SUM(cnt) OVER () AS DOUBLE), 6) AS pct
+        |  FLOOR(CAST(cnt AS DOUBLE) * 100.0 / CAST(SUM(cnt) OVER () AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS pct
         |FROM c ORDER BY event_type""".stripMargin,
 
     "q_w6_group_transform" ->
       """SELECT o_custkey,
-        |  ROUND(LEAST(CAST(COUNT(*) AS DOUBLE) * 0.5 + AVG(LENGTH(o_orderpriority)) * 0.1, 10.0), 6) AS complexity,
-        |  ROUND(CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) / COUNT(*) * 10.0, 6) AS diversity
+        |  FLOOR(LEAST(CAST(COUNT(*) AS DOUBLE) * 0.5 + AVG(LENGTH(o_orderpriority)) * 0.1, 10.0)
+        |    * 1000000 + 0.5) / 1000000 AS complexity,
+        |  FLOOR(CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) / COUNT(*) * 10.0
+        |    * 1000000 + 0.5) / 1000000 AS diversity
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -147,10 +147,12 @@ object StarSchema {
         countDistinct(when(col("is_leadership"), col("owner_id"))).as("leadership_owners"),
         countDistinct(when(col("is_ownership"), col("owner_id"))).as("ownership_owners"))
       .withColumn("complexity_score",
-        round(least(col("total_owners") * 0.5 + lit(1.0), lit(10.0)), 2))
+        graft.functions.StableMath.gridSnap(
+          least(col("total_owners") * 0.5 + lit(1.0), lit(10.0)), 2))
       .withColumn("diversity_score",
-        round(least(col("leadership_owners").cast("double") /
-          col("total_owners") * 10.0, lit(10.0)), 2))
+        graft.functions.StableMath.gridSnap(
+          least(col("leadership_owners").cast("double") /
+            col("total_owners") * 10.0, lit(10.0)), 2))
 
   /** fact_owner_demographics (`etl/pipeline.py:450-477`): name stats
     * with uniqueness flag (W3) and global frequency rank (W4 — computed
@@ -194,8 +196,9 @@ object StarSchema {
           .as("multi_owner_businesses"),
         countDistinct(when(col("total_owners") === 1, col("business_id")))
           .as("single_owner_businesses"),
-        round(sum(col("total_owners")).cast("double") /
-          count(col("total_owners")), 2).as("avg_owners_per_business"))
+        graft.functions.StableMath.gridSnap(
+          sum(col("total_owners")).cast("double") /
+            count(col("total_owners")), 2).as("avg_owners_per_business"))
       .withColumn("date_id", to_date(lit(dateId)))
 
   /** agg_daily_owners (`etl/pipeline.py:507-531`): the one-row daily
@@ -239,7 +242,7 @@ object StarSchema {
     fact.groupBy("role_category")
       .agg(count(lit(1)).as("role_count"))
       .withColumn("percentage",
-        round(col("role_count") * 100.0 /
+        graft.functions.StableMath.gridSnap(col("role_count") * 100.0 /
           sum(col("role_count")).over(Window.partitionBy()), 2))
 
   /** Multi-day aggregate accumulation — the reference's actual
@@ -407,8 +410,8 @@ object StarSchema {
         |  GROUP BY r.title, r.role_category, r.is_leadership,
         |    r.is_ownership)
         |SELECT counts.*,
-        |  ROUND(CAST(total_owners AS DOUBLE) * 100.0 / t.tot, 2)
-        |    AS percentage
+        |  FLOOR(CAST(total_owners AS DOUBLE) * 100.0 / t.tot * 100 + 0.5)
+        |    / 100 AS percentage
         |FROM counts
         |CROSS JOIN (SELECT SUM(total_owners) AS tot FROM counts) t""".stripMargin)
   }

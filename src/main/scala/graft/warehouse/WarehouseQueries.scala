@@ -200,7 +200,8 @@ object WarehouseQueries extends QueryPack {
        |  CAST(0 AS BIGINT) AS new_businesses,
        |  COUNT(DISTINCT CASE WHEN m.total_owners > 1 THEN m.acct END) AS multi_owner_businesses,
        |  COUNT(DISTINCT CASE WHEN m.total_owners = 1 THEN m.acct END) AS single_owner_businesses,
-       |  ROUND(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners), 2) AS avg_owners_per_business
+       |  FLOOR(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners)
+       |    * 100 + 0.5) / 100 AS avg_owners_per_business
        |FROM m$i m""".stripMargin
 
   // Shared CTEs for the reporting-view oracles: the staging
@@ -285,8 +286,9 @@ object WarehouseQueries extends QueryPack {
          |SELECT r.title, r.role_category, r.is_leadership, r.is_ownership,
          |  COUNT(DISTINCT f.owner_key) AS total_owners,
          |  COUNT(DISTINCT f.acct) AS total_businesses,
-         |  ROUND(CAST(COUNT(DISTINCT f.owner_key) AS DOUBLE) * 100.0
-         |    / SUM(COUNT(DISTINCT f.owner_key)) OVER (), 2) AS percentage
+         |  FLOOR(CAST(COUNT(DISTINCT f.owner_key) AS DOUBLE) * 100.0
+         |    / SUM(COUNT(DISTINCT f.owner_key)) OVER () * 100 + 0.5) / 100
+         |    AS percentage
          |FROM r JOIN f ON r.title = f.role_title
          |GROUP BY r.title, r.role_category, r.is_leadership, r.is_ownership
          |ORDER BY r.title""".stripMargin,
@@ -302,7 +304,8 @@ object WarehouseQueries extends QueryPack {
          |  COUNT(DISTINCT CASE WHEN c.is_new THEN b.acct END) AS new_businesses,
          |  COUNT(DISTINCT CASE WHEN m.total_owners > 1 THEN b.acct END) AS multi_owner_businesses,
          |  COUNT(DISTINCT CASE WHEN m.total_owners = 1 THEN b.acct END) AS single_owner_businesses,
-         |  ROUND(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners), 2) AS avg_owners_per_business
+         |  FLOOR(CAST(SUM(m.total_owners) AS DOUBLE) / COUNT(m.total_owners)
+         |    * 100 + 0.5) / 100 AS avg_owners_per_business
          |FROM (SELECT DISTINCT acct FROM stage) b
          |LEFT JOIN m ON b.acct = m.acct
          |JOIN c ON b.acct = c.acct""".stripMargin,
