@@ -458,15 +458,34 @@ object ScaleBench {
         }
       }
       val probeN = 2000L
+      // Fixture cache carries its generation parameters in a _PARAMS
+      // sidecar (the ordersStale pattern above): a later edit to
+      // probeN / vocab / generator shape regenerates instead of
+      // silently reusing a stale /tmp corpus and publishing wrong
+      // growth numbers.
+      def fixtureFresh(path: String, params: String)(gen: => Unit): Unit = {
+        val sidecar = new java.io.File(s"$path/_PARAMS")
+        val cached = new java.io.File(s"$path/_SUCCESS").exists() &&
+          sidecar.exists() && {
+            val src = scala.io.Source.fromFile(sidecar)
+            try src.mkString.trim == params finally src.close()
+          }
+        if (!cached) {
+          gen
+          val w = new java.io.PrintWriter(sidecar)
+          try w.print(params) finally w.close()
+        }
+      }
       // one shared corpus: seeds are prefixes, probes live past the
       // largest seed so every point probes with the SAME unique docs;
       // vocab scaled with size (constant shingle density — the LSH
       // operating regime, same rationale as XLV)
       val corpusPath = "/tmp/graft_scale/store/corpus.parquet"
-      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+      fixtureFresh(corpusPath, s"rows=${200000L + 2 * probeN};vocab=15000;ts=1") {
         docs(spark, 200000L + 2 * probeN, vocab = 15000)
           .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
           .write.mode("overwrite").parquet(corpusPath)
+      }
       val c = spark.read.parquet(corpusPath)
       def probe(i: Long) = c.where(col("doc_id") >= 200000L + i * probeN &&
         col("doc_id") < 200000L + (i + 1) * probeN)
@@ -491,6 +510,19 @@ object ScaleBench {
         timed(name, "q_store_novelty_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
             nvRoot, minNovelty = 0.5, retention = "3650 days").count(): Unit
+        }))
+        // amortized-pruning variant (pruneEvery > 1): same seed, but the
+        // probe batches append O(batch) deltas instead of rewriting the
+        // store — the row quantifies how much of the eager per-batch
+        // cost was the republish (the O(store) scan for scoring remains)
+        val nvaRoot = fresh(s"/tmp/graft_scale/store/$name/nva")
+        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", nvaRoot, minNovelty = 0.0,
+          retention = "3650 days").count()
+        timed(name, "q_store_novelty_amortized_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
+            nvaRoot, minNovelty = 0.5, retention = "3650 days",
+            pruneEvery = 10).count(): Unit
         }))
         // KMV global: axis = batches already folded (state O(k) always)
         val folds = name match { case "S" => 1; case "M" => 10; case _ => 100 }
@@ -544,10 +576,11 @@ object ScaleBench {
         // byte-near-identical vectors, so the seed genuinely lands
         // seedN vectors in the store.
         val embPath = "/tmp/graft_scale/store/emb.parquet"
-        if (!new java.io.File(s"$embPath/_SUCCESS").exists())
+        fixtureFresh(embPath, s"rows=${200000L + 2 * probeN};ts=1") {
           embeddings(spark, 200000L + 2 * probeN)
             .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
             .write.mode("overwrite").parquet(embPath)
+        }
         val e = spark.read.parquet(embPath)
         val cent = e.orderBy("vec_id").limit(16)
           .select(col("vec_id").cast("long").as("b"),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.{QueryPack, Tables}
+import graft.functions.StableMath.gridSnap
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,8 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   * Float discipline (oracle hash-match): SUM over doubles is cast to
   * DECIMAL(18,2) first — exact, order-independent, bit-identical in
   * Spark and DuckDB — then cast back to DOUBLE. AVG over ints is exact.
-  * Ratios/logs are rounded at 6 dp so summation-order ULP noise washes
-  * out.
+  * Ratios/logs are snapped to a 6-dp grid so summation-order ULP noise
+  * washes out — via [[graft.functions.StableMath.gridSnap]], not
+  * `round`: these are exactly the integer-quotient sites where Spark's
+  * decimal-rendering round and DuckDB's binary round disagree on
+  * 2^a·5^b-denominator ties (the oracle SQL carries the same FLOOR
+  * formula in lockstep).
   */
 object AnalyticsQueries extends QueryPack {
 
@@ -26,7 +31,7 @@ object AnalyticsQueries extends QueryPack {
         .agg(
           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-          round(avg(length(col("l_returnflag"))), 6).as("avg_flag_len"),
+          gridSnap(avg(length(col("l_returnflag"))), 6).as("avg_flag_len"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -88,7 +93,7 @@ object AnalyticsQueries extends QueryPack {
       Tables.orders(s, dir).agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        round(count(lit(1)).cast("double") / countDistinct(col("o_custkey")), 6)
+        gridSnap(count(lit(1)).cast("double") / countDistinct(col("o_custkey")), 6)
           .as("avg_orders_per_customer"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("total_value"))
     }),
@@ -105,7 +110,7 @@ object AnalyticsQueries extends QueryPack {
       Tables.customer(s, dir)
         .select(col("c_mktsegment").as("v")).as[String]
         .agg(graft.functions.EntropyAggregator.entropyOf(col("v")).as("raw"))
-        .select(round(col("raw"), 6).as("entropy"))
+        .select(gridSnap(col("raw"), 6).as("entropy"))
     }),
 
     // A12: Gini–Simpson index.
@@ -130,7 +135,7 @@ object AnalyticsQueries extends QueryPack {
     "q_a14_corr" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+        .agg(gridSnap(corr(col("l_quantity"), col("l_extendedprice")), 4)
           .as("qty_price_corr"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
@@ -145,7 +150,7 @@ object AnalyticsQueries extends QueryPack {
           count(lit(1)).as("n_events"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
           sum(col("value").cast(dec)).cast("double").as("total_value"),
-          round(avg(when(col("event_type") === "error", 1.0).otherwise(0.0)), 6)
+          gridSnap(avg(when(col("event_type") === "error", 1.0).otherwise(0.0)), 6)
             .as("error_rate"))
         .orderBy("day")
     }),
@@ -156,7 +161,7 @@ object AnalyticsQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  ROUND(AVG(LENGTH(l_returnflag)), 6) AS avg_flag_len,
+        |  FLOOR(AVG(LENGTH(l_returnflag)) * 1000000 + 0.5) / 1000000 AS avg_flag_len,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -188,7 +193,7 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 3""".stripMargin,
 
     "q_a5_length_stats" ->
-      """SELECT ROUND(AVG(LENGTH(p_name)), 6) AS avg_len,
+      """SELECT FLOOR(AVG(LENGTH(p_name)) * 1000000 + 0.5) / 1000000 AS avg_len,
         |  CAST(MIN(LENGTH(p_name)) AS INTEGER) AS min_len, CAST(MAX(LENGTH(p_name)) AS INTEGER) AS max_len,
         |  COUNT(*) AS n
         |FROM part WHERE p_name IS NOT NULL""".stripMargin,
@@ -204,13 +209,13 @@ object AnalyticsQueries extends QueryPack {
     "q_a7_profile" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name_nulls,
-        |  ROUND(AVG(CASE WHEN c_name IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_name_completeness_pct,
+        |  FLOOR(AVG(CASE WHEN c_name IS NULL THEN 0.0 ELSE 1.0 END) * 100 * 10000 + 0.5) / 10000 AS c_name_completeness_pct,
         |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_nulls,
-        |  ROUND(AVG(CASE WHEN c_nationkey IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_nationkey_completeness_pct,
+        |  FLOOR(AVG(CASE WHEN c_nationkey IS NULL THEN 0.0 ELSE 1.0 END) * 100 * 10000 + 0.5) / 10000 AS c_nationkey_completeness_pct,
         |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_nulls,
-        |  ROUND(AVG(CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_acctbal_completeness_pct,
+        |  FLOOR(AVG(CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE 1.0 END) * 100 * 10000 + 0.5) / 10000 AS c_acctbal_completeness_pct,
         |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_nulls,
-        |  ROUND(AVG(CASE WHEN c_mktsegment IS NULL THEN 0.0 ELSE 1.0 END) * 100, 4) AS c_mktsegment_completeness_pct
+        |  FLOOR(AVG(CASE WHEN c_mktsegment IS NULL THEN 0.0 ELSE 1.0 END) * 100 * 10000 + 0.5) / 10000 AS c_mktsegment_completeness_pct
         |FROM customer""".stripMargin,
 
     "q_a9_cond_distinct" ->
@@ -223,21 +228,21 @@ object AnalyticsQueries extends QueryPack {
     "q_a10_summary" ->
       """SELECT COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_customers,
-        |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey), 6) AS avg_orders_per_customer,
+        |  FLOOR(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey) * 1000000 + 0.5) / 1000000 AS avg_orders_per_customer,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM orders""".stripMargin,
 
     "q_a11_entropy" ->
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
-        |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy,
+        |SELECT FLOOR((LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt)) * 1000000 + 0.5) / 1000000 AS entropy,
         |  CAST(SUM(cnt) AS BIGINT) AS n
         |FROM g""".stripMargin,
 
     "q_a11_entropy_onepass" ->
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
-        |SELECT ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 6) AS entropy
+        |SELECT FLOOR((LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt)) * 1000000 + 0.5) / 1000000 AS entropy
         |FROM g""".stripMargin,
 
     // Joint/marginal integer counts, per-cell DECIMAL-cast log terms,
@@ -250,16 +255,17 @@ object AnalyticsQueries extends QueryPack {
         |nn AS (SELECT SUM(c) AS n FROM j),
         |mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY 1),
         |my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY 1)
-        |SELECT ROUND(CAST(SUM(CAST(CAST(j.c AS DOUBLE) *
+        |SELECT FLOOR(CAST(SUM(CAST(CAST(j.c AS DOUBLE) *
         |      (LOG2(j.c) + LOG2(nn.n) - LOG2(mx.cx) - LOG2(my.cy))
-        |    AS DECIMAL(38,16))) AS DOUBLE) / ANY_VALUE(nn.n), 6) AS mi_bits,
+        |    AS DECIMAL(38,16))) AS DOUBLE) / ANY_VALUE(nn.n)
+        |    * 1000000 + 0.5) / 1000000 AS mi_bits,
         |  CAST(ANY_VALUE(nn.n) AS BIGINT) AS n
         |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn""".stripMargin,
 
     "q_a12_gini" ->
       """WITH g AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |           WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
-        |SELECT ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt)), 6) AS gini_simpson,
+        |SELECT FLOOR((1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt))) * 1000000 + 0.5) / 1000000 AS gini_simpson,
         |  CAST(SUM(cnt) AS BIGINT) AS n
         |FROM g""".stripMargin,
 
@@ -271,7 +277,7 @@ object AnalyticsQueries extends QueryPack {
 
     "q_a14_corr" ->
       """SELECT l_returnflag,
-        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  FLOOR(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qty_price_corr,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -279,7 +285,7 @@ object AnalyticsQueries extends QueryPack {
       """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |  ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+        |  FLOOR(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS error_rate
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

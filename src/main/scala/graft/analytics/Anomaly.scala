@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 import org.apache.spark.sql.types.DecimalType
 
 /** Group-wise outlier detection — the batch form of the reference's
@@ -86,16 +87,16 @@ object Anomaly {
           - lit(4.0) * col("_mu") * (col("_s3") / col("n"))
           + lit(6.0) * col("_mu") * col("_mu") * (col("_s2") / col("n"))
           - lit(3.0) * col("_mu") * col("_mu") * col("_mu") * col("_mu"))
-      .withColumn("mean", round(col("_mu"), 6))
+      .withColumn("mean", gridSnap(col("_mu"), 6))
       // cancellation can push a constant group's m2 a hair below zero;
       // clamp (mirrored in the oracle) so sqrt never sees a negative
-      .withColumn("stddev_pop", round(sqrt(greatest(col("_m2"), lit(0.0))), 6))
+      .withColumn("stddev_pop", gridSnap(sqrt(greatest(col("_m2"), lit(0.0))), 6))
       .withColumn("skewness",
         when(col("n") >= 3 && col("_m2") > 0,
-          round(col("_m3") / pow(col("_m2"), 1.5), 6)))
+          gridSnap(col("_m3") / pow(col("_m2"), 1.5), 6)))
       .withColumn("excess_kurtosis",
         when(col("n") >= 3 && col("_m2") > 0,
-          round(col("_m4") / (col("_m2") * col("_m2")) - lit(3.0), 6)))
+          gridSnap(col("_m4") / (col("_m2") * col("_m2")) - lit(3.0), 6)))
       .select(col(keyCol), col("n"), col("mean"), col("stddev_pop"),
         col("skewness"), col("excess_kurtosis"))
   }
@@ -147,7 +148,7 @@ object Anomaly {
       .select(col("_mf_w.*"), col("_mf_s._mad").as("_mad"))
       .withColumn("robust_z",
         when(col("_mad") > 0,
-          round(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))
+          gridSnap(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > cutoff,
           col("_mad") === 0 && col(valueCol) =!= col("_med"), lit(false)))
@@ -177,7 +178,7 @@ object Anomaly {
       expr(s"percentile($valueCol, ${hiPct}D)").as("_hi"))
     df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
-        round(least(greatest(col(valueCol).cast("double"), col("_lo")),
+        gridSnap(least(greatest(col(valueCol).cast("double"), col("_lo")),
           col("_hi")), 6))
       .withColumn("was_clipped",
         col(valueCol).isNotNull &&

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.functions.StableMath.gridSnap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -73,13 +74,16 @@ object Demographics {
   }
 
   /** Column length statistics (`demographics_analyzer.py:58-62`).
-    * `avg(length)` is an exact integer sum divided once — bit-identical
-    * across engines and partition orders.
+    * `avg(length)` is an exact integer sum divided once — the division
+    * is the ONE float op, snapped to the 6-dp grid engine-stably
+    * ([[graft.functions.StableMath]]: integer-sum/count quotients are
+    * exactly the 2^a·5^b-denominator tie class `round` renders
+    * differently across engines).
     */
   def lengthStats(df: DataFrame, col: String): DataFrame = {
     val len = length(expr(s"`$col`"))
     df.filter(expr(s"`$col`").isNotNull).agg(
-      round(avg(len), 6).as("avg_len"),
+      gridSnap(avg(len), 6).as("avg_len"),
       min(len).as("min_len"),
       max(len).as("max_len"),
       count(lit(1)).as("n"))
@@ -109,8 +113,9 @@ object Demographics {
       .agg(sum($("cnt")).as("tot"),
            sum($("cnt") * log2($("cnt"))).as("wlog"))
       // −Σ p·log2 p  ==  log2(tot) − (Σ cnt·log2 cnt)/tot : one float
-      // division/log at the end keeps the heavy math in exact integers.
-      .select(round(log2($("tot")) - $("wlog") / $("tot"), 6).as("entropy"),
+      // division/log at the end keeps the heavy math in exact integers;
+      // gridSnap (not round) keeps the snap engine-stable.
+      .select(gridSnap(log2($("tot")) - $("wlog") / $("tot"), 6).as("entropy"),
               $("tot").as("n"))
   }
 
@@ -147,7 +152,7 @@ object Demographics {
           (log2($("_c")) + log2($("_n")) - log2($("_cx")) - log2($("_cy"))))
         .cast(dec).as("_t"), $("_n"))
       .groupBy("_n")
-      .agg(round(sum($("_t")).cast("double") / $("_n"), 6).as("mi_bits"))
+      .agg(gridSnap(sum($("_t")).cast("double") / $("_n"), 6).as("mi_bits"))
       .select($("mi_bits"), $("_n").as("n"))
   }
 
@@ -157,7 +162,7 @@ object Demographics {
       .groupBy(col).agg(count(lit(1)).as("cnt"))
     counts
       .agg(sum($("cnt")).as("tot"), sum($("cnt") * $("cnt")).as("sq"))
-      .select(round(lit(1.0) - $("sq") / ($("tot") * $("tot")), 6).as("gini_simpson"),
+      .select(gridSnap(lit(1.0) - $("sq") / ($("tot") * $("tot")), 6).as("gini_simpson"),
               $("tot").as("n"))
   }
 
@@ -182,7 +187,7 @@ object Demographics {
       cols.flatMap { c =>
         val cc = expr(s"`$c`")
         Seq(sum(when(cc.isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            round(avg(when(cc.isNull, 0.0).otherwise(1.0)) * 100, 4)
+            gridSnap(avg(when(cc.isNull, 0.0).otherwise(1.0)) * 100, 4)
               .as(s"${c}_completeness_pct"))
       }: _*)
 

@@ -3,6 +3,7 @@ package graft.analytics
 import graft.operators.Joins
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Assembles the reference's comprehensive demographics report
   * (`demographics_analyzer.py:217-235` + `storage_manager.py:94-110`):
@@ -26,7 +27,7 @@ object Report {
       count(lit(1)).as("total_records"),
       countDistinct(col("Account Number")).as("total_businesses"),
       countDistinct(col("Owner Full Name")).as("unique_owners"),
-      round(count(lit(1)).cast("double") / countDistinct(col("Account Number")), 6)
+      gridSnap(count(lit(1)).cast("double") / countDistinct(col("Account Number")), 6)
         .as("avg_owners_per_business"))
 
     val individual = cleaned.filter(col("Is Individual Owner"))

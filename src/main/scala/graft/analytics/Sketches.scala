@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Deterministic cardinality sketching — the approximate counterpart
   * to the exact distinct counts of `AnalyticsQueries` (reference shape:
@@ -29,7 +30,7 @@ object Sketches {
   def kmvEstimate(kmvArray: org.apache.spark.sql.Column, k: Int)
       : org.apache.spark.sql.Column =
     when(size(kmvArray) < k, size(kmvArray).cast("double"))
-      .otherwise(round(lit(k - 1.0) / element_at(kmvArray, k), 6))
+      .otherwise(gridSnap(lit(k - 1.0) / element_at(kmvArray, k), 6))
 
   /** Approximate per-group distinct count via a k-minimum-values
     * sketch over the portable md5 uniform (same derivation as

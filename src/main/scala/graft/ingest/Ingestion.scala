@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.StableMath.gridSnap
 
 /** The reference's ingestion pipeline (`dl/src/data_ingestion/
   * ingestion_pipeline.py`) re-expressed as lazy DataFrame stages:
@@ -158,7 +159,7 @@ object Ingestion {
     val perCol = schema.fields.flatMap { f =>
       val c = col(f.name)
       Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name} nulls"),
-        round(avg(when(c.isNull, 0.0).otherwise(1.0)) * 100, 4)
+        gridSnap(avg(when(c.isNull, 0.0).otherwise(1.0)) * 100, 4)
           .as(s"${f.name} completeness_pct"))
     }
     val wholeRow = struct(schema.fields.map(f => col(f.name)): _*)
@@ -213,17 +214,23 @@ object Ingestion {
       "input column _grp_mean collides with imputeByGroupMean's " +
         "working name — rename it first")
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    val means = df.groupBy(col(groupCol))
-      .agg((floor(sum(col(valueCol).cast(dec)).cast("double")
-        / count(col(valueCol)) * 1e6 + 0.5) / 1e6).as("_grp_mean"))
+    // Backtick-quote every reference: raw CSV headers may contain
+    // dots (the frequencyTable convention), and an unquoted
+    // col("alias.name.with.dot") would dot-split into a bogus
+    // nested-field path instead of resolving the column.
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val means = df.groupBy(g)
+      .agg((floor(sum(v.cast(dec)).cast("double")
+        / count(v) * 1e6 + 0.5) / 1e6).as("_grp_mean"))
     df.as("_im_t")
       .join(means.as("_im_m"),
-        col(s"_im_t.$groupCol") <=> col(s"_im_m.$groupCol"), "left")
+        col(s"_im_t.`$groupCol`") <=> col(s"_im_m.`$groupCol`"), "left")
       .select(col("_im_t.*"), col("_im_m._grp_mean").as("_grp_mean"))
       .withColumn(s"${valueCol}_imputed",
-        coalesce(col(valueCol).cast("double"), col("_grp_mean")))
+        coalesce(v.cast("double"), col("_grp_mean")))
       .withColumn("was_imputed",
-        col(valueCol).isNull && col("_grp_mean").isNotNull)
+        v.isNull && col("_grp_mean").isNotNull)
       .drop("_grp_mean")
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Iterative graph analytics as DataFrame plans — the Pregel-style
   * pattern already used by the dedup connected-components pass
@@ -89,14 +90,14 @@ object Graph {
     // agg → final agg → tiny deg re-attach on the k-row aggregate.
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     var ranks = deg.select(col("src").as("node"),
-      round(lit(1.0) / lit(n), 10).as("rank"), col("_deg"))
+      gridSnap(lit(1.0) / lit(n), 10).as("rank"), col("_deg"))
     for (i <- 1 to iters) {
       val contrib = und
         .join(ranks.select(col("node").as("src"),
           (col("rank") / col("_deg")).cast(dec).as("_c")), "src")
         .select(col("dst").as("node"), col("_c"))
       val agg = contrib.groupBy("node")
-        .agg(round(lit(1 - damping) / lit(n)
+        .agg(gridSnap(lit(1 - damping) / lit(n)
           + lit(damping) * sum(col("_c")).cast("double"), 10).as("rank"))
       ranks =
         if (i < iters)
@@ -104,7 +105,7 @@ object Graph {
         else agg
       if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), gridSnap(col("rank"), 6).as("rank"))
   }
 
   /** Personalized PageRank (random walk with restart to a SEED set —
@@ -152,11 +153,11 @@ object Graph {
     require(nSeeds > 0, "personalization needs at least one non-null seed")
     // teleport base: (1−d)/|seeds| on seeds, 0 elsewhere (absent)
     val base = seedNodes
-      .withColumn("_b", round(lit(1 - damping) / lit(nSeeds), 10))
+      .withColumn("_b", gridSnap(lit(1 - damping) / lit(nSeeds), 10))
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     // walk starts AT the personalization vector
     var ranks = seedNodes
-      .withColumn("rank", round(lit(1.0) / lit(nSeeds), 10))
+      .withColumn("rank", gridSnap(lit(1.0) / lit(nSeeds), 10))
       .join(deg.select(col("src").as("node"), col("_deg")), Seq("node"), "left")
     for (i <- 1 to iters) {
       val contrib = und
@@ -168,7 +169,7 @@ object Graph {
         .agg((lit(damping) * sum(col("_c")).cast("double")).as("_m"))
       val joined = agg.join(base, Seq("node"), "full_outer")
         .select(col("node"),
-          round(coalesce(col("_b"), lit(0.0))
+          gridSnap(coalesce(col("_b"), lit(0.0))
             + coalesce(col("_m"), lit(0.0)), 10).as("rank"))
       ranks =
         if (i < iters)
@@ -177,7 +178,7 @@ object Graph {
         else joined
       if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), gridSnap(col("rank"), 6).as("rank"))
   }
 
   /** Canonical simple-graph edge relation: null endpoints and
@@ -281,7 +282,7 @@ object Graph {
       .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
       .withColumn("clustering_coef",
         when(col("_d") >= 2,
-          round(lit(2.0) * col("triangles")
+          gridSnap(lit(2.0) * col("triangles")
             / (col("_d") * (col("_d") - lit(1))), 6)))
       .select(col("node"), col("_d").as("degree"), col("triangles"),
         col("clustering_coef"))

@@ -312,10 +312,10 @@ object RelationalQueries extends QueryPack {
         .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
           .as("qs"))
         .select(
-          round(element_at(col("qs"), 1), 6).as("p25"),
-          round(element_at(col("qs"), 2), 6).as("p50"),
-          round(element_at(col("qs"), 3), 6).as("p75"),
-          round(element_at(col("qs"), 4), 6).as("p90"))),
+          graft.functions.StableMath.gridSnap(element_at(col("qs"), 1), 6).as("p25"),
+          graft.functions.StableMath.gridSnap(element_at(col("qs"), 2), 6).as("p50"),
+          graft.functions.StableMath.gridSnap(element_at(col("qs"), 3), 6).as("p75"),
+          graft.functions.StableMath.gridSnap(element_at(col("qs"), 4), 6).as("p90"))),
 
     // A21 (extension): group-mean imputation — values nulled on a
     // deterministic rule (event_id % 9), group keys nulled on another
@@ -383,8 +383,8 @@ object RelationalQueries extends QueryPack {
           lit(nBins - 1)))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 6).as("bin_min"),
-          round(max(col("o_totalprice")), 6).as("bin_max"))
+          graft.functions.StableMath.gridSnap(min(col("o_totalprice")), 6).as("bin_min"),
+          graft.functions.StableMath.gridSnap(max(col("o_totalprice")), 6).as("bin_max"))
         .orderBy("bin")
     }),
 
@@ -469,7 +469,7 @@ object RelationalQueries extends QueryPack {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
-          round(max(abs(col("robust_z"))), 6).as("max_abs_z"))
+          graft.functions.StableMath.gridSnap(max(abs(col("robust_z"))), 6).as("max_abs_z"))
         .orderBy("user_id")),
 
     // A24 (extension): engine-portable approximate distinct counting —
@@ -751,7 +751,7 @@ object RelationalQueries extends QueryPack {
         |SELECT e.user_id,
         |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-        |  CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+        |  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1000000 + 0.5) / 1000000
         |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_winsor
         |FROM events e JOIN b USING (user_id)
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
@@ -774,10 +774,10 @@ object RelationalQueries extends QueryPack {
         |GROUP BY ev.user_id ORDER BY user_key""".stripMargin,
 
     "q_a17_quantiles" ->
-      """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
-        |  ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
-        |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
-        |  ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
+      """SELECT FLOOR(quantile_cont(o_totalprice, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+        |  FLOOR(quantile_cont(o_totalprice, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
+        |  FLOOR(quantile_cont(o_totalprice, 0.75) * 1000000 + 0.5) / 1000000 AS p75,
+        |  FLOOR(quantile_cont(o_totalprice, 0.90) * 1000000 + 0.5) / 1000000 AS p90
         |FROM orders""".stripMargin,
 
     "q_a20_outliers" ->
@@ -803,8 +803,8 @@ object RelationalQueries extends QueryPack {
         |SELECT CAST(LEAST(FLOOR((o_totalprice - b.lo) * 10 / (b.hi - b.lo)), 9)
         |    AS INTEGER) AS bin,
         |  COUNT(*) AS n,
-        |  ROUND(MIN(o_totalprice), 6) AS bin_min,
-        |  ROUND(MAX(o_totalprice), 6) AS bin_max
+        |  FLOOR(MIN(o_totalprice) * 1000000 + 0.5) / 1000000 AS bin_min,
+        |  FLOOR(MAX(o_totalprice) * 1000000 + 0.5) / 1000000 AS bin_max
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -844,14 +844,14 @@ object RelationalQueries extends QueryPack {
         |  GROUP BY e.user_id),
         |f AS (SELECT e.user_id, e.value, m.med, d.mad,
         |    CASE WHEN d.mad > 0
-        |      THEN ROUND(0.6745 * (e.value - m.med) / d.mad, 6) END AS rz
+        |      THEN FLOOR(0.6745 * (e.value - m.med) / d.mad * 1000000 + 0.5) / 1000000 END AS rz
         |  FROM events e JOIN med m
         |    ON e.user_id IS NOT DISTINCT FROM m.user_id
         |  JOIN mad d ON e.user_id IS NOT DISTINCT FROM d.user_id)
         |SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN (ABS(rz) > 3.5) OR (mad = 0 AND value <> med)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  ROUND(MAX(ABS(rz)), 6) AS max_abs_z
+        |  FLOOR(MAX(ABS(rz)) * 1000000 + 0.5) / 1000000 AS max_abs_z
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Window replay of the KMV sketch: distinct md5 uniforms per
@@ -866,7 +866,7 @@ object RelationalQueries extends QueryPack {
         |    COUNT(*) OVER (PARTITION BY g) AS nd FROM h)
         |SELECT g AS l_returnflag,
         |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
-        |       ELSE ROUND(255.0 / u, 6) END AS est_distinct
+        |       ELSE FLOOR(255.0 / u * 1000000 + 0.5) / 1000000 END AS est_distinct
         |FROM r WHERE rn = LEAST(nd, 256)
         |ORDER BY l_returnflag""".stripMargin,
 
@@ -890,12 +890,12 @@ object RelationalQueries extends QueryPack {
         |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
         |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
         |  FROM m)
-        |SELECT o_orderpriority, n, ROUND(mu, 6) AS mean,
-        |  ROUND(SQRT(GREATEST(m2, 0.0)), 6) AS stddev_pop,
+        |SELECT o_orderpriority, n, FLOOR(mu * 1000000 + 0.5) / 1000000 AS mean,
+        |  FLOOR(SQRT(GREATEST(m2, 0.0)) * 1000000 + 0.5) / 1000000 AS stddev_pop,
         |  CASE WHEN n >= 3 AND m2 > 0
-        |    THEN ROUND(m3 / POWER(m2, 1.5), 6) END AS skewness,
+        |    THEN FLOOR(m3 / POWER(m2, 1.5) * 1000000 + 0.5) / 1000000 END AS skewness,
         |  CASE WHEN n >= 3 AND m2 > 0
-        |    THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+        |    THEN FLOOR((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5) / 1000000 END AS excess_kurtosis
         |FROM c ORDER BY o_orderpriority""".stripMargin,
 
     // Triangles are orientation-independent, so the oracle uses the
@@ -945,7 +945,7 @@ object RelationalQueries extends QueryPack {
         |  SELECT UNNEST([x, y, z]) AS node FROM t) GROUP BY node)
         |SELECT deg.node, deg.d AS degree,
         |  COALESCE(n.triangles, 0) AS triangles,
-        |  ROUND(2.0 * COALESCE(n.triangles, 0) / (deg.d * (deg.d - 1)), 6)
+        |  FLOOR(2.0 * COALESCE(n.triangles, 0) / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000
         |    AS clustering_coef
         |FROM deg LEFT JOIN n ON deg.node = n.node
         |WHERE deg.d >= 2
@@ -965,15 +965,15 @@ object RelationalQueries extends QueryPack {
         |deg AS (SELECT src, COUNT(*) AS dg FROM und GROUP BY 1),
         |sd AS (SELECT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 5),
         |sn AS (SELECT COUNT(*) AS ns FROM sd),
-        |sb AS (SELECT node, ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns, 10) AS b FROM sd CROSS JOIN sn),
-        |r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / ns, 10) AS rank FROM sd CROSS JOIN sn),
+        |sb AS (SELECT node, FLOOR((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns * 10000000000 + 0.5) / 10000000000 AS b FROM sd CROSS JOIN sn),
+        |r0 AS (SELECT node, FLOOR(CAST(1 AS DOUBLE) / ns * 10000000000 + 0.5) / 10000000000 AS rank FROM sd CROSS JOIN sn),
         |a1 AS (SELECT u.dst AS node,
         |    CAST(0.85 AS DOUBLE) *
         |      CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE) AS m
         |  FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst),
         |r1 AS (SELECT COALESCE(a.node, b.node) AS node,
-        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |    FLOOR((COALESCE(b.b, 0) + COALESCE(a.m, 0)) * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM a1 a FULL OUTER JOIN sb b ON a.node = b.node),
         |a2 AS (SELECT u.dst AS node,
         |    CAST(0.85 AS DOUBLE) *
@@ -981,7 +981,7 @@ object RelationalQueries extends QueryPack {
         |  FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst),
         |r2 AS (SELECT COALESCE(a.node, b.node) AS node,
-        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |    FLOOR((COALESCE(b.b, 0) + COALESCE(a.m, 0)) * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM a2 a FULL OUTER JOIN sb b ON a.node = b.node),
         |a3 AS (SELECT u.dst AS node,
         |    CAST(0.85 AS DOUBLE) *
@@ -989,9 +989,9 @@ object RelationalQueries extends QueryPack {
         |  FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst),
         |r3 AS (SELECT COALESCE(a.node, b.node) AS node,
-        |    ROUND(COALESCE(b.b, 0) + COALESCE(a.m, 0), 10) AS rank
+        |    FLOOR((COALESCE(b.b, 0) + COALESCE(a.m, 0)) * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM a3 a FULL OUTER JOIN sb b ON a.node = b.node)
-        |SELECT node, ROUND(rank, 6) AS rank FROM r3
+        |SELECT node, FLOOR(rank * 1000000 + 0.5) / 1000000 AS rank FROM r3
         |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
     "q_g1_pagerank" ->
@@ -1001,26 +1001,29 @@ object RelationalQueries extends QueryPack {
         |deg AS (SELECT src, COUNT(*) AS dg FROM und GROUP BY 1),
         |nn AS (SELECT COUNT(DISTINCT src) AS n FROM und),
         |r0 AS (SELECT DISTINCT src AS node,
-        |    ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 10) AS rank FROM und),
+        |    FLOOR(CAST(1 AS DOUBLE) / (SELECT n FROM nn) * 10000000000 + 0.5) / 10000000000 AS rank FROM und),
         |r1 AS (SELECT u.dst AS node,
-        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    FLOOR(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
         |      + CAST(0.85 AS DOUBLE) *
-        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE))
+        |      * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst),
         |r2 AS (SELECT u.dst AS node,
-        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    FLOOR(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
         |      + CAST(0.85 AS DOUBLE) *
-        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE))
+        |      * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst),
         |r3 AS (SELECT u.dst AS node,
-        |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    FLOOR(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
         |      + CAST(0.85 AS DOUBLE) *
-        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE), 10) AS rank
+        |        CAST(SUM(CAST(r.rank / d.dg AS DECIMAL(38,16))) AS DOUBLE))
+        |      * 10000000000 + 0.5) / 10000000000 AS rank
         |  FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src
         |  GROUP BY u.dst)
-        |SELECT node, ROUND(rank, 6) AS rank FROM r3
+        |SELECT node, FLOOR(rank * 1000000 + 0.5) / 1000000 AS rank FROM r3
         |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
     "q_p12_kanon" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Deterministic dataset splitting and sampling for training-data
   * pipelines. Split assignment must be reproducible across runs,
@@ -114,10 +115,10 @@ object Sampling {
     val dec = org.apache.spark.sql.types.DecimalType(38, 9)
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).as("_t"))
-      .withColumn("_w", round(pow(col("_t").cast("double"), lit(alpha)), 9))
+      .withColumn("_w", gridSnap(pow(col("_t").cast("double"), lit(alpha)), 9))
     val wsum = totals.agg(sum(col("_w").cast(dec)).cast("double").as("_ws"))
     val fracs = totals.crossJoin(broadcast(wsum))
-      .withColumn("mix_frac", round(least(lit(1.0),
+      .withColumn("mix_frac", gridSnap(least(lit(1.0),
         lit(totalTokens.toDouble) * col("_w") / col("_ws")
           / col("_t").cast("double")), 9))
       .select(col(sourceCol), col("mix_frac"))
@@ -182,7 +183,7 @@ object Sampling {
       col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double")
     val u = (v + lit(1.0)) / lit(4503599627370497.0) // 2^52 + 1 ⇒ u ∈ (0,1]
     df.filter(weightCol.isNotNull && weightCol > 0)
-      .withColumn(outCol, round(-log(u) / weightCol.cast("double"), 6))
+      .withColumn(outCol, gridSnap(-log(u) / weightCol.cast("double"), 6))
       .orderBy(asc(outCol), col(keyCol).asc)
       .limit(k)
   }

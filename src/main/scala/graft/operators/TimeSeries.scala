@@ -90,8 +90,9 @@ object TimeSeries {
     df.withColumn("_w",
         collect_list(struct(col(valueCol).cast("double").as("v"))).over(win))
       .withColumn("ewma", expr(
-        s"round(aggregate(slice(_w, 2, size(_w) - 1), element_at(_w, 1).v, " +
-          s"(acc, x) -> acc * ${1 - alpha}D + x.v * ${alpha}D), 6)"))
+        s"floor(aggregate(slice(_w, 2, size(_w) - 1), element_at(_w, 1).v, " +
+          s"(acc, x) -> acc * ${1 - alpha}D + x.v * ${alpha}D) " +
+          "* 1000000 + 0.5) / 1000000"))
       .drop("_w")
   }
 

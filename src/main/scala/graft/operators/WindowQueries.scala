@@ -139,8 +139,8 @@ object WindowQueries extends QueryPack {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(asc("cnt"), asc("o_orderpriority"))
       counts
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("pct_rank", graft.functions.StableMath.gridSnap(percent_rank().over(w), 6))
+        .withColumn("cume", graft.functions.StableMath.gridSnap(cume_dist().over(w), 6))
         .orderBy("o_orderpriority")
     }),
 
@@ -226,7 +226,7 @@ object WindowQueries extends QueryPack {
           avg(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .over(w))
         .groupBy("user_id")
-        .agg(round(max(col("mavg")).cast("double"), 6).as("max_mavg"))
+        .agg(graft.functions.StableMath.gridSnap(max(col("mavg")).cast("double"), 6).as("max_mavg"))
         .orderBy("user_id")
     }),
   )
@@ -284,8 +284,8 @@ object WindowQueries extends QueryPack {
     "q_w10_percent_rank" ->
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1)
         |SELECT o_orderpriority, cnt,
-        |  ROUND(PERCENT_RANK() OVER (ORDER BY cnt, o_orderpriority), 6) AS pct_rank,
-        |  ROUND(CUME_DIST() OVER (ORDER BY cnt, o_orderpriority), 6) AS cume
+        |  FLOOR(PERCENT_RANK() OVER (ORDER BY cnt, o_orderpriority) * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  FLOOR(CUME_DIST() OVER (ORDER BY cnt, o_orderpriority) * 1000000 + 0.5) / 1000000 AS cume
         |FROM c ORDER BY o_orderpriority""".stripMargin,
 
     "q_scd2" ->
@@ -320,7 +320,7 @@ object WindowQueries extends QueryPack {
         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS w
         |  FROM events),
         |e AS (SELECT user_id, ts, event_id,
-        |    ROUND(list_reduce(w, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+        |    FLOOR(list_reduce(w, (acc, x) -> acc * 0.8 + x * 0.2) * 1000000 + 0.5) / 1000000 AS ewma
         |  FROM l),
         |r AS (SELECT user_id, ewma, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM e)
@@ -332,7 +332,7 @@ object WindowQueries extends QueryPack {
         |    AVG(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg
         |  FROM events)
-        |SELECT user_id, ROUND(CAST(MAX(mavg) AS DOUBLE), 6) AS max_mavg
+        |SELECT user_id, FLOOR(CAST(MAX(mavg) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS max_mavg
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_w1_partition_count_flag" ->

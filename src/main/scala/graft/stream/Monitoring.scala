@@ -3,6 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.StableMath.gridSnap
 
 /** The monitoring module's query surface (`dl/src/monitoring/
   * pipeline_monitor.py`): trailing-window health and quality-trend
@@ -22,9 +23,9 @@ object Monitoring {
     df.agg(
       count(lit(1)).as("n_events"),
       sum(when(col(statusCol) === "failed", 1L).otherwise(0L)).as("n_failed"),
-      round(avg(when(col(statusCol) === "failed", 1.0).otherwise(0.0)), 6)
+      gridSnap(avg(when(col(statusCol) === "failed", 1.0).otherwise(0.0)), 6)
         .as("failure_rate"),
-      round(avg(unix_timestamp(col(processedCol)) - unix_timestamp(col(createdCol))), 6)
+      gridSnap(avg(unix_timestamp(col(processedCol)) - unix_timestamp(col(createdCol))), 6)
         .as("avg_latency_s"))
 
   private def pipelineMetrics(valueCol: String, anomalyThreshold: Double) = Seq(
@@ -66,7 +67,7 @@ object Monitoring {
                    lowThreshold: Double): DataFrame =
     df.groupBy(to_date(col(tsCol)).as("day"))
       .agg(
-        round(avg(col(metricCol).cast(DecimalType(18, 2)).cast("double")), 6)
+        gridSnap(avg(col(metricCol).cast(DecimalType(18, 2)).cast("double")), 6)
           .as("avg_metric"),
         min(col(metricCol)).as("min_metric"),
         max(col(metricCol)).as("max_metric"),

@@ -3,6 +3,7 @@ package graft.stream
 import graft.core.{QueryPack, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Driver-checkable queries for the streaming semantics (SURVEY §2.9)
   * and the multimodal plumbing — run in batch mode over the events/
@@ -19,7 +20,7 @@ object StreamQueries extends QueryPack {
         .groupBy("category")
         .agg(count(lit(1)).as("n"),
           sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
-          round(avg(col("score_raw")), 6).as("avg_score"))
+          gridSnap(avg(col("score_raw")), 6).as("avg_score"))
         .orderBy("category")),
 
     // T7: tumbling 1-hour windowed health metrics. Window starts are
@@ -203,7 +204,7 @@ object StreamQueries extends QueryPack {
       val feats = Multimodal.featurize(s, Tables.documents(s, dir), "doc_id", "text")
       feats.agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(sum(element_at(col("features"), 1).cast("double")), 2).as("f0_mass"))
+        gridSnap(sum(element_at(col("features"), 1).cast("double")), 2).as("f0_mass"))
     }),
 
     // REAL image decode, hash-checked: solid-color PNGs land every pixel
@@ -227,7 +228,7 @@ object StreamQueries extends QueryPack {
         .select(col("id").as("img_id"),
           posexplode(col("features")).as(Seq("bin", "f")))
         .select(col("img_id"), col("bin"),
-          round(col("f").cast("double"), 6).as("fval"))
+          gridSnap(col("f").cast("double"), 6).as("fval"))
         .orderBy("img_id", "bin")
     }),
 
@@ -249,7 +250,7 @@ object StreamQueries extends QueryPack {
         .select(col("id").as("wav_id"),
           posexplode(col("features")).as(Seq("feat_idx", "f")))
         .select(col("wav_id"), col("feat_idx"),
-          round(col("f").cast("double"), 6).as("fval"))
+          gridSnap(col("f").cast("double"), 6).as("fval"))
         .orderBy("wav_id", "feat_idx")
     }),
   )
@@ -292,7 +293,7 @@ object StreamQueries extends QueryPack {
         |  FROM events)
         |SELECT category, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-        |  ROUND(AVG(score_raw), 6) AS avg_score
+        |  FLOOR((AVG(score_raw)) * 1000000 + 0.5) / 1000000 AS avg_score
         |FROM e GROUP BY category ORDER BY category""".stripMargin,
 
     "q_s_window" ->
@@ -307,7 +308,7 @@ object StreamQueries extends QueryPack {
         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
         |  FROM events GROUP BY 1)
         |SELECT window_start, n_events, n_errors,
-        |  ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
+        |  FLOOR((CAST(n_errors AS DOUBLE) / n_events) * 1000000 + 0.5) / 1000000 AS error_rate,
         |  'error_rate_above_threshold' AS alert_type
         |FROM w WHERE CAST(n_errors AS DOUBLE) / n_events > 0.2
         |ORDER BY window_start""".stripMargin,
@@ -332,12 +333,12 @@ object StreamQueries extends QueryPack {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
         |  MAX(span_s) AS max_span_s,
-        |  ROUND(AVG(n_events), 6) AS avg_events_per_session
+        |  FLOOR((AVG(n_events)) * 1000000 + 0.5) / 1000000 AS avg_events_per_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_a16_quality_trend" ->
       """SELECT CAST(ts AS DATE) AS day,
-        |  ROUND(AVG(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)), 6) AS avg_metric,
+        |  FLOOR((AVG(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS avg_metric,
         |  MIN(value) AS min_metric, MAX(value) AS max_metric,
         |  CAST(SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
@@ -358,10 +359,10 @@ object StreamQueries extends QueryPack {
         |tm AS (SELECT ca, cb,
         |    CAST(ca AS DOUBLE) / nn.na AS p, CAST(cb AS DOUBLE) / nn.nb AS q
         |  FROM al CROSS JOIN nn)
-        |SELECT ROUND(CAST(SUM(CAST(
+        |SELECT FLOOR((CAST(SUM(CAST(
         |    (CASE WHEN ca > 0 THEN p / 2.0 * LOG2(p / ((p + q) / 2.0)) ELSE 0.0 END)
         |  + (CASE WHEN cb > 0 THEN q / 2.0 * LOG2(q / ((p + q) / 2.0)) ELSE 0.0 END)
-        |    AS DECIMAL(38,16))) AS DOUBLE), 6) AS jsd_bits,
+        |    AS DECIMAL(38,16))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jsd_bits,
         |  (SELECT CAST(na AS BIGINT) FROM nn) AS n_a,
         |  (SELECT CAST(nb AS BIGINT) FROM nn) AS n_b
         |FROM tm""".stripMargin,
@@ -379,7 +380,7 @@ object StreamQueries extends QueryPack {
         |r AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
         |    COUNT(*) OVER () AS nd FROM h)
         |SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
-        |       ELSE ROUND(255.0 / u, 6) END AS est_distinct,
+        |       ELSE FLOOR(255.0 / u * 1000000 + 0.5) / 1000000 END AS est_distinct,
         |  CAST(LEAST(nd, 256) AS INTEGER) AS n_mins
         |FROM r WHERE rn = LEAST(nd, 256)
         |UNION ALL
@@ -396,7 +397,7 @@ object StreamQueries extends QueryPack {
         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h)
         |SELECT event_type,
         |  CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
-        |       ELSE ROUND(15.0 / u, 6) END AS est_distinct,
+        |       ELSE FLOOR(15.0 / u * 1000000 + 0.5) / 1000000 END AS est_distinct,
         |  CAST(LEAST(nd, 16) AS INTEGER) AS n_mins
         |FROM r WHERE rn = LEAST(nd, 16)
         |ORDER BY event_type""".stripMargin,
@@ -423,7 +424,7 @@ object StreamQueries extends QueryPack {
         |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
         |  FROM h LEFT JOIN ref r ON h.hs = r.hs
         |  WHERE h.doc_id % 2 = 1 GROUP BY h.doc_id),
-        |gated AS (SELECT doc_id, ROUND(CAST(n - seen AS DOUBLE) / n, 6) AS novelty
+        |gated AS (SELECT doc_id, FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS novelty
         |  FROM sc),
         |shless AS (SELECT d.doc_id, CAST(NULL AS DOUBLE) AS novelty
         |  FROM documents d
@@ -445,23 +446,23 @@ object StreamQueries extends QueryPack {
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
         |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
         |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a),
         |aLosers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
-        |    AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |    AND FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
         |aSurv AS (SELECT vec_id, bucket, v FROM asg
         |  WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM aLosers)),
         |bAll AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 2 = 1),
         |bVsStore AS (SELECT DISTINCT b.vec_id FROM bAll b JOIN aSurv s2
         |  ON b.bucket = s2.bucket
-        |  WHERE ROUND(list_cosine_similarity(b.v, s2.v), 6) >= 0.35),
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
         |bVsBatch AS (SELECT DISTINCT b2.vec_id FROM bAll b1 JOIN bAll b2
         |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-        |  WHERE ROUND(list_cosine_similarity(b1.v, b2.v), 6) >= 0.35)
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35)
         |SELECT vec_id FROM bAll
         |WHERE vec_id NOT IN (SELECT vec_id FROM bVsStore)
         |  AND vec_id NOT IN (SELECT vec_id FROM bVsBatch)
@@ -479,7 +480,7 @@ object StreamQueries extends QueryPack {
         |      i -> (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) % 8 = 0)) AS c0
         |  FROM b)
         |SELECT COUNT(*) AS n_media, CAST(SUM(n) AS BIGINT) AS total_bytes,
-        |  ROUND(SUM(CAST(CAST(c0 AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)), 2) AS f0_mass
+        |  FLOOR((SUM(CAST(CAST(c0 AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE))) * 100 + 0.5) / 100 AS f0_mass
         |FROM f""".stripMargin,
 
     "q_m_binary" ->
@@ -498,7 +499,7 @@ object StreamQueries extends QueryPack {
         |    WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 7 END AS hot
         |  FROM im)
         |SELECT CAST(img_id AS BIGINT) AS img_id, CAST(bin AS INTEGER) AS bin,
-        |  ROUND(CAST(CASE WHEN bin = hot THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS fval
+        |  FLOOR((CAST(CASE WHEN bin = hot THEN 1.0 ELSE 0.0 END AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS fval
         |FROM lum CROSS JOIN b ORDER BY img_id, bin""".stripMargin,
 
     // Analytic expectations for the square-wave WAVs: quarters 0-3 and
@@ -508,12 +509,12 @@ object StreamQueries extends QueryPack {
         |i AS (SELECT UNNEST(generate_series(0, 7)) AS feat_idx)
         |SELECT CAST(wav_id AS BIGINT) AS wav_id,
         |  CAST(feat_idx AS INTEGER) AS feat_idx,
-        |  ROUND(CASE
+        |  FLOOR((CASE
         |    WHEN feat_idx <= 3 THEN (4096.0 * (wav_id + 1)) / 32768.0
         |    WHEN feat_idx = 4 THEN 399.0 / 8000.0
         |    WHEN feat_idx = 5 THEN (4096.0 * (wav_id + 1)) / 32768.0
         |    WHEN feat_idx = 6 THEN 1.0
-        |    ELSE 1.0 END, 6) AS fval
+        |    ELSE 1.0 END) * 1000000 + 0.5) / 1000000 AS fval
         |FROM w CROSS JOIN i ORDER BY wav_id, feat_idx""".stripMargin,
   )
 }

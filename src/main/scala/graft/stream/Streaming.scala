@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
+import graft.functions.StableMath.gridSnap
 
 /** Structured-Streaming re-expression of the reference's micro-batch
   * layer (`dl/src/big_data/streaming_processor.py`,
@@ -59,7 +60,7 @@ object Streaming {
       // 2-dp rounding before an avg would bake engine-specific
       // half-case behaviour into aggregates); `score` is the display form.
       .withColumn("score_raw", least(col("value") * 0.05, lit(10.0)))
-      .withColumn("score", round(col("score_raw"), 2))
+      .withColumn("score", gridSnap(col("score_raw"), 2))
 
   /** Late/duplicate discipline (T6): event-time watermark + exactly-once
     * per event_id within the watermark horizon.
@@ -119,7 +120,7 @@ object Streaming {
       .withColumn("rate_raw", col("n_errors").cast("double") / col("n_events"))
       .filter(col("rate_raw") > errorRateThreshold)
       .select(col("window.start").as("window_start"), col("n_events"),
-        col("n_errors"), round(col("rate_raw"), 6).as("error_rate"),
+        col("n_errors"), gridSnap(col("rate_raw"), 6).as("error_rate"),
         lit("error_rate_above_threshold").as("alert_type"))
 
   /** Gap-based sessionization — the training-pipeline upgrade of the
@@ -150,7 +151,7 @@ object Streaming {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("total_events"),
         max(col("span_s")).as("max_span_s"),
-        round(avg(col("n_events")), 6).as("avg_events_per_session"))
+        gridSnap(avg(col("n_events")), 6).as("avg_events_per_session"))
 
   /** Running per-user totals carried in the state store. */
   case class UserTotals(n_events: Long, total_value: Double)
@@ -516,15 +517,22 @@ object Streaming {
     * growth"): per-batch cost of a fixed probe batch is flat across
     * the first store decade and ~1.7× on the second (10.1M live
     * shingles) — the O(live-store) scan + republish term, which the
-    * retention horizon bounds at steady state. If a deployment needs
-    * a longer horizon than the per-batch rewrite can afford, the
-    * upgrade path is amortized pruning over the same
-    * [[graft.lake.VersionedTable]] manifest — `appendDelta` the
-    * admitted shingles per batch and republish the horizon-filtered
-    * merged view every N batches — at the cost of making expiry
-    * logical between republishes, which weakens the physical-expiry
-    * late-data guarantee below; the eager form is the default because
-    * that contract is spec-pinned.
+    * retention horizon bounds at steady state. For deployments whose
+    * horizon outgrows the per-batch rewrite, `pruneEvery = N > 1`
+    * AMORTIZES it over the same [[graft.lake.VersionedTable]]
+    * manifest: non-republish batches `appendDelta` only the batch's
+    * admitted shingles (an O(batch) write), and every Nth batch the
+    * horizon-filtered merged view republishes as a fresh base whose
+    * timestamp subsumes the deltas. Scoring is UNCHANGED in both
+    * modes — the store read is base ∪ pending deltas and the horizon
+    * filter still applies per batch, so on-time (monotone event-time)
+    * batches admit identically to the eager fold; what changes is
+    * that expiry is LOGICAL between republishes: physically-retained
+    * expired shingles mean a LATE batch (its own horizon older than
+    * the store clock) can score against shingles the eager form would
+    * already have dropped, for up to N−1 batches. The eager form
+    * (`pruneEvery = 1`) stays the default because that physical-expiry
+    * late-data contract is spec-pinned.
     *
     * LATE DATA: the horizon derives from each batch's OWN max event
     * time — processing-order micro-batch semantics with no watermark
@@ -550,14 +558,28 @@ object Streaming {
                            minNovelty: Double, retention: String = "1 hour",
                            shingleN: Int = 3,
                            family: graft.textops.HashFamily =
-                             graft.textops.HashFamily.Xx64): DataFrame = {
+                             graft.textops.HashFamily.Xx64,
+                           pruneEvery: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
     require(minNovelty >= 0 && minNovelty <= 1,
       s"minNovelty must be in [0,1], got $minNovelty")
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
-    val store = readStoreOrEmpty(spark, storePath,
+    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+    val deltaPaths =
+      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+      else Seq.empty[String]
+    val base = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("shingle", LongType),
         StructField("_ts", TimestampType))))
+    // base ∪ pending deltas: duplicates across layers are harmless to
+    // the left_semi probe, and the republish fold takes max(_ts)
+    // (pendingDeltas returns version NAMES under the root)
+    val store =
+      if (deltaPaths.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(deltaPaths.map(d => s"$storePath/$d"): _*)
+          .select("shingle", "_ts"))
     // batch-sized; computed ONCE — three consumers (store probe,
     // per-doc totals, admitted-shingle extraction)
     val sh = graft.textops.TextFunctions.shingleTable(
@@ -574,7 +596,7 @@ object Streaming {
     val scored = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_nsh"))
       .join(seen, Seq(idCol), "left")
       .withColumn("novelty",
-        round((col("_nsh") - coalesce(col("_seen"), lit(0L))).cast("double")
+        gridSnap((col("_nsh") - coalesce(col("_seen"), lit(0L))).cast("double")
           / col("_nsh"), 6))
       .select(col(idCol), col("novelty"))
     val admitted = batch.join(scored, Seq(idCol), "left")
@@ -583,9 +605,21 @@ object Streaming {
     val admittedShingles = sh
       .join(admitted.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select("shingle", "_ts")
-    val newStore = liveStore.unionByName(admittedShingles)
-      .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
-    graft.lake.VersionedTable.publish(newStore, storePath)
+    // Republish (horizon-filtered full fold) on the bootstrap batch,
+    // in eager mode, and every pruneEvery-th batch thereafter (the
+    // pending-delta backlog counts batches since the last republish);
+    // otherwise append only this batch's shingles as an O(batch) delta.
+    if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
+      val newStore = liveStore.unionByName(admittedShingles)
+        .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
+      graft.lake.VersionedTable.publish(newStore, storePath)
+    } else {
+      // fold within the batch (appendDelta's unique-key contract: a
+      // shingle shared by several admitted docs lands once, newest ts)
+      graft.lake.VersionedTable.appendDelta(
+        admittedShingles.groupBy("shingle").agg(max(col("_ts")).as("_ts")),
+        storePath)
+    }
     admitted
   }
 
@@ -832,7 +866,7 @@ object Streaming {
       .select("bucket", "_sid", "_svec", "_ts")
     val cos = (a: Column, b: Column) => {
       val dot = graft.textops.Similarity.dot _
-      round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+      gridSnap(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
     }
     val vsStore = vecs
       .join(liveStore.select(col("bucket"), col("_svec")), Seq("bucket"))

@@ -2,6 +2,7 @@ package graft.textops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** End-to-end corpus curation — the composition a training-data
   * pipeline actually runs, assembled from the exact operators in this
@@ -139,7 +140,7 @@ object Curation {
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextFunctions.tokens(col(textCol)))).as("total_tokens"),
-        round(avg(col("quality_score")
+        gridSnap(avg(col("quality_score")
           .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
           .cast("double").as("avg_quality"))
       .orderBy(sourceCol)

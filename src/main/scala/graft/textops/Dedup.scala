@@ -3,6 +3,7 @@ package graft.textops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -66,7 +67,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), gridSnap(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard with PREFIX FILTERING (AllPairs, Bayardo et
@@ -136,7 +137,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), gridSnap(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Benchmark DECONTAMINATION — the training-pipeline gate that keeps
@@ -210,7 +211,7 @@ object Dedup {
       .withColumn("n_novel",
         col("n_shingles") - coalesce(col("_seen"), lit(0L)))
       .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        gridSnap(col("n_novel").cast("double") / col("n_shingles"), 6))
       .select(col(idCol), col("n_shingles"), col("n_novel"), col("novelty"))
   }
 
@@ -453,7 +454,7 @@ object Dedup {
     joined
       .withColumn("edit_sim",
         when(col("_max") === 0, lit(1.0))
-          .otherwise(round(lit(1.0)
+          .otherwise(gridSnap(lit(1.0)
             - levenshtein(col("_ta"), col("_tb")).cast("double") / col("_max"), 6)))
       .filter(col("edit_sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("edit_sim"))
@@ -473,7 +474,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), gridSnap(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Connected components over an undirected edge list by alternating

@@ -3,6 +3,7 @@ package graft.textops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.StableMath.gridSnap
 
 /** Model-based quality filtering: a hashed bag-of-words logistic
   * regression trained and applied entirely inside Spark — the
@@ -68,7 +69,7 @@ object QualityModel {
 
   /** Hashed bag-of-words feature relation: one row per (doc, feature)
     * with the raw token count `cnt` and the length-normalized share
-    * `x` = round(cnt / doc token count, 9 dp) — the fastText input
+    * `x` = gridSnap(cnt / doc token count, 9 dp) — the fastText input
     * convention. Normalized shares (Σ_f x = 1 per doc) keep every
     * margin a weighted MEAN of token weights, so gradient steps can't
     * saturate the sigmoid on long documents the way raw counts do.
@@ -95,7 +96,7 @@ object QualityModel {
       .groupBy(col(idCol), featureId(col("_tok"), dim).as("feat"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("x",
-        round(col("cnt").cast("double") / sum(col("cnt")).over(byDoc), 9)
+        gridSnap(col("cnt").cast("double") / sum(col("cnt")).over(byDoc), 9)
           .cast(dec9))
   }
 
@@ -109,7 +110,7 @@ object QualityModel {
     * per-feature mass-normalized gradient descent (diagonal
     * preconditioning — the plain 1/n step shrinks with the corpus and
     * a rare feature would never move):
-    *   w_f ← round(w_f − lr · Σ_docs (round(σ(margin), 9) − y) · x_f
+    *   w_f ← gridSnap(w_f − lr · Σ_docs (gridSnap(σ(margin), 9) − y) · x_f
     *                        / Σ_docs x_f, 9)
     * so a feature exclusive to the positive class moves by +lr/2 in
     * round one regardless of corpus size or feature frequency. Every
@@ -123,7 +124,7 @@ object QualityModel {
       df.select(col(idCol), col(labelCol)), idCol, labelCol, iters, lr)
 
   /** Dense-vector feature relation: one row per (id, dimension index)
-    * with `x` = round(component, 9 dp) — the embedding-space
+    * with `x` = gridSnap(component, 9 dp) — the embedding-space
     * counterpart of [[hashedFeatures]] (a semantic quality gate over
     * the `embeddings` table instead of a lexical one over `documents`).
     * float→double widening is value-exact, so the 9-dp rounding is the
@@ -133,7 +134,7 @@ object QualityModel {
   def vectorFeatures(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), posexplode(col(vecCol)).as(Seq("feat", "_v")))
       .select(col(idCol), col("feat").cast("long").as("feat"),
-        round(col("_v").cast("double"), 9).cast(dec9).as("x"))
+        gridSnap(col("_v").cast("double"), 9).cast(dec9).as("x"))
 
   /** The generic GD core: fit weights over ANY feature relation
     * `(idCol, feat: long, x: DECIMAL(10,9))` — sparse hashed text
@@ -193,7 +194,7 @@ object QualityModel {
       // step per iteration is the sigmoid itself, truncated well above
       // double-ulp noise so both engines agree.
       val resid = margins.select(col(idCol),
-        (round(lit(1.0) / (lit(1.0) + exp(-col("_m").cast("double"))), 9)
+        (gridSnap(lit(1.0) / (lit(1.0) + exp(-col("_m").cast("double"))), 9)
           - col("_y")).as("_r"))
       // Gradient and step divisor per feature in ONE aggregation —
       // all exact DECIMAL/long sums over the same joined rows.
@@ -219,7 +220,7 @@ object QualityModel {
         .select(col("feat"),
           when(col("_gs").isNull, col("w"))
             .otherwise(greatest(lit(-WeightBound), least(lit(WeightBound),
-              round(col("w") - lit(lr)
+              gridSnap(col("w") - lit(lr)
                 * (col("_gs").cast("double") / col("_mass").cast("double")),
                 9))))
             .as("w"))
@@ -261,7 +262,7 @@ object QualityModel {
       .agg(sum(col("_c")).as("_m"))
     ids.join(margins, Seq(idCol), "left")
       .select(col(idCol),
-        round(lit(1.0) / (lit(1.0)
+        gridSnap(lit(1.0) / (lit(1.0)
           + exp(-coalesce(col("_m").cast("double"), lit(0.0)))), 9)
           .as("score"))
   }

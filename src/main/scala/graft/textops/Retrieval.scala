@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.StableMath.gridSnap
 
 /** Hybrid-retrieval composition: fuse independently-produced ranked
   * lists (lexical BM25, dense cosine, …) into one ranking. The
@@ -43,7 +44,7 @@ object Retrieval {
     }
     contribs.reduce(_ unionByName _)
       .groupBy(col(idCol))
-      .agg(round(sum(col("_c")).cast("double"), 6).as("rrf_score"),
+      .agg(gridSnap(sum(col("_c")).cast("double"), 6).as("rrf_score"),
         count(lit(1)).as("n_lists"))
   }
 }

@@ -2,6 +2,7 @@ package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -36,7 +37,7 @@ object Similarity {
                  query: Array[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     df.select(col(idCol),
-        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+        gridSnap(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
@@ -50,7 +51,7 @@ object Similarity {
                         queryDf: DataFrame, queryVecCol: String, k: Int): DataFrame =
     graft.operators.Joins.withScalar(df, queryDf)
       .select(col(idCol),
-        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+        gridSnap(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
@@ -92,7 +93,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos_sim",
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        gridSnap(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -117,7 +118,7 @@ object Similarity {
       .withColumn("_nrm", norm(col(vecCol)))
       .crossJoin(broadcast(cent))
       .select(col(idCol), struct(
-        round(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
+        gridSnap(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
           .as("sim"),
         col("_b").as("bucket")).as("_e"))
       .groupBy(idCol)
@@ -144,7 +145,7 @@ object Similarity {
       .withColumn("_nrm", norm(col(vecCol)))
       .crossJoin(broadcast(cent))
       .select(col(idCol), col("_b").as("bucket"),
-        round(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
+        gridSnap(dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")), 6)
           .as("cos_sim"))
       .withColumn("probe_rank", row_number().over(w))
       .filter(col("probe_rank") <= nProbe)
@@ -176,7 +177,7 @@ object Similarity {
       .crossJoin(broadcast(queryDf))
       .withColumn("_qnrm", norm(col(queryVecCol)))
       .select(col(idCol),
-        round(dot(col(vecCol), col(queryVecCol)) / (col("_nrm") * col("_qnrm")), 6)
+        gridSnap(dot(col(vecCol), col(queryVecCol)) / (col("_nrm") * col("_qnrm")), 6)
           .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(topK)
@@ -224,7 +225,7 @@ object Similarity {
         .withColumn("_nrm", norm(col(vecCol)))
         .crossJoin(broadcast(cnorm))
         .select(col(idCol), col(vecCol), struct(
-          round(dot(col(vecCol), col("centroid")) / (col("_nrm") * col("_cnrm")), 6)
+          gridSnap(dot(col(vecCol), col("centroid")) / (col("_nrm") * col("_cnrm")), 6)
             .as("sim"),
           col("bucket").as("bucket")).as("_e"))
         .groupBy(idCol)
@@ -235,7 +236,7 @@ object Similarity {
       val means = assigned
         .select(col("bucket"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("bucket", "pos")
-        .agg(round(
+        .agg(gridSnap(
           sum(col("x").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(38, 16))).cast("double")
             / count(lit(1)), 6).as("m"))
@@ -267,7 +268,7 @@ object Similarity {
       .join(v.toDF("bucket", "id_b", "vec_b", "nrm_b"), "bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        gridSnap(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
     pairs.withColumn("rn", row_number().over(w))
@@ -312,7 +313,7 @@ object Similarity {
     val losers = v.toDF("bucket", "id_a", "vec_a", "nrm_a")
       .join(v.toDF("bucket", "id_b", "vec_b", "nrm_b"), "bucket")
       .filter(col("id_a") < col("id_b"))
-      .filter(round(dot(col("vec_a"), col("vec_b"))
+      .filter(gridSnap(dot(col("vec_a"), col("vec_b"))
         / (col("nrm_a") * col("nrm_b")), 6) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(assigned, idCol)
@@ -352,11 +353,11 @@ object Similarity {
     * three — same trick as [[bucketedTopPairs]], same bits.
     */
   private def dist2(a: Column, b: Column): Column =
-    round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
+    gridSnap(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
 
   /** [[dist2]] with the self-dots already materialized per side. */
   private def dist2Pre(a: Column, aNorm2: Column, b: Column, bNorm2: Column): Column =
-    round(aNorm2 + bNorm2 - lit(2.0) * dot(a, b), 6)
+    gridSnap(aNorm2 + bNorm2 - lit(2.0) * dot(a, b), 6)
 
   /** PQ codebook trainer: per-sub-space Lloyd iterations (assign by
     * squared L2, DECIMAL-exact element-wise mean update), seeded from
@@ -393,7 +394,7 @@ object Similarity {
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("sub", "code", "pos")
-        .agg(round(
+        .agg(gridSnap(
           sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 16)))
             .cast("double") / count(lit(1)), 6).as("mn"))
         .groupBy("sub", "code")
@@ -450,7 +451,7 @@ object Similarity {
         dist2(col("_q.qv"), col("centroid")).as("qd2"))
     encoded.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(idCol)
-      .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+      .agg(gridSnap(sum(col("qd2")), 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc(idCol))
       .limit(topK)
   }
@@ -478,7 +479,7 @@ object Similarity {
     val pruned = db.join(broadcast(cand), Seq(idCol), "left_semi")
     graft.operators.Joins.withScalar(pruned, queryDf)
       .select(col(idCol),
-        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+        gridSnap(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(topK)
   }
@@ -494,7 +495,7 @@ object Similarity {
     v.toDF("id_a", "vec_a", "nrm_a").crossJoin(v.toDF("id_b", "vec_b", "nrm_b"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        gridSnap(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -534,7 +535,7 @@ object Similarity {
           (col(labelCol).isNull || col("_albl").isNull ||
             col(labelCol) =!= col("_albl")))
       .select(col("_aid"),
-        round(cosine(col(vecCol), col("_avec")), 6).as("_cos"),
+        gridSnap(cosine(col(vecCol), col("_avec")), 6).as("_cos"),
         col(idCol).cast("long").as("_nid"))
     cand.groupBy(col("_aid").as("anchor_id"))
       .agg(graft.functions.TopKAggregator
@@ -566,7 +567,7 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("xi") * col("xj").cast("double")).as("p"))
       .groupBy("i", "j")
-      .agg(round(sum(col("p").cast(dec)).cast("double"), 6).as("s"))
+      .agg(gridSnap(sum(col("p").cast(dec)).cast("double"), 6).as("s"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
@@ -671,6 +672,6 @@ object Similarity {
       if (whiten) raw / math.sqrt(math.max(lam, 1e-12)) else raw
     }
     df.select(col(idCol),
-      array(projs.map(p => round(p, 6)): _*).as("proj"))
+      array(projs.map(p => gridSnap(p, 6)): _*).as("proj"))
   }
 }

@@ -2,6 +2,7 @@ package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Text-quality operators for training-data pipelines: language ID,
   * quality scoring, token statistics. All heuristics are deterministic
@@ -60,7 +61,7 @@ object TextAnalysis {
     val nPunct = size(TextFunctions.regexTokens(t)) - size(split(trim(t), " "))
     val stopHits = hitCount("_toks", stopwords("en"))
     df.withColumn("_toks", TextFunctions.tokens(lower(t)))
-      .withColumn("quality_score", round(
+      .withColumn("quality_score", gridSnap(
         least(nToks.cast("double") * 0.2, lit(4.0)) +
           least(stopHits.cast("double") / nToks * 10.0, lit(4.0)) +
           when(nChars > 50, 2.0).otherwise(nChars.cast("double") / 25.0) -
@@ -126,7 +127,7 @@ object TextAnalysis {
         when(col("_cb") > 0, q / lit(2.0) * log2(q / m)).otherwise(lit(0.0))
     val summed = aligned
       .groupBy(col("_na"), col("_nb"))
-      .agg(round(sum(term.cast(dec)).cast("double"), 6).as("_j"))
+      .agg(gridSnap(sum(term.cast(dec)).cast("double"), 6).as("_j"))
       .select(
         when(col("_na") > 0 && col("_nb") > 0, col("_j")).as("jsd_bits"),
         col("_na").as("n_a"), col("_nb").as("n_b"))
@@ -162,7 +163,7 @@ object TextAnalysis {
         .as("_top"))
       .select(col(idCol), posexplode(col("_top")).as(Seq("_p", "_e")))
       .select(col(idCol), (col("_p") + 1).cast("long").as("rank"),
-        col("_e.t").as("term"), round(-col("_e.nt"), 6).as("tfidf"))
+        col("_e.t").as("term"), gridSnap(-col("_e.nt"), 6).as("tfidf"))
   }
 
   /** Token statistics: whitespace tokens vs regex (BPE-ish) tokens. */
@@ -202,11 +203,11 @@ object TextAnalysis {
       .agg(max(col("c")).as("max_bg"))
     base.join(topBigram, Seq(idCol, "n_toks"))
       .select(col(idCol), col("n_toks"),
-        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+        gridSnap(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
           / col("n_toks"), 6).as("dup_token_frac"),
-        round(col("max_bg").cast("double") / (col("n_toks") - 1), 6)
+        gridSnap(col("max_bg").cast("double") / (col("n_toks") - 1), 6)
           .as("top_bigram_frac"),
-        round(length(concat_ws("", col("toks"))).cast("double")
+        gridSnap(length(concat_ws("", col("toks"))).cast("double")
           / col("n_toks"), 6).as("mean_token_len"))
   }
 
@@ -263,7 +264,7 @@ object TextAnalysis {
       .join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") / col("n_toks") * log(col("n_docs") / col("df")), 6))
+        gridSnap(col("tf") / col("n_toks") * log(col("n_docs") / col("df")), 6))
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
@@ -322,7 +323,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_toks"), sum(col("_lp")).as("_slp"))
       .select(col(idCol), col("n_toks"),
-        round(col("_slp").cast("double") / col("n_toks"), 6).as("avg_logprob"))
+        gridSnap(col("_slp").cast("double") / col("n_toks"), 6).as("avg_logprob"))
   }
 
   /** Sliding-window document chunking: split each document into
@@ -439,7 +440,7 @@ object TextAnalysis {
         / (col("tf") + lit(k1)
           * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))))
       .groupBy(col(idCol))
-      .agg(round(sum(col("_s")
+      .agg(gridSnap(sum(col("_s")
         .cast(org.apache.spark.sql.types.DecimalType(38, 16))).cast("double"), 6)
         .as("bm25"))
       .orderBy(desc("bm25"), asc(idCol))

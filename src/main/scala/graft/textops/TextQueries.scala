@@ -3,6 +3,7 @@ package graft.textops
 import graft.core.{QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.StableMath.gridSnap
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup, similarity search, text analysis) over `documents` and
@@ -129,7 +130,7 @@ object TextQueries extends QueryPack {
           "quality_score", shingleN = 3, threshold = 0.4)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"),
-          round(sum(col("quality_score").cast(dec)).cast("double"), 6)
+          gridSnap(sum(col("quality_score").cast(dec)).cast("double"), 6)
             .as("sum_quality"))
         .orderBy("source")
     }),
@@ -297,7 +298,7 @@ object TextQueries extends QueryPack {
       val adc = Similarity.pqSearch(enc, "vec_id", cb, q, "_qv",
         dim = 64, m = 4, topK = 10).select("vec_id")
       val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        round(Similarity.dot(a, a) + Similarity.dot(b, b)
+        gridSnap(Similarity.dot(a, a) + Similarity.dot(b, b)
           - lit(2.0) * Similarity.dot(a, b), 6)
       val exact = graft.operators.Joins.withScalar(
           emb.select(col("vec_id"),
@@ -357,7 +358,7 @@ object TextQueries extends QueryPack {
         .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
       QualityModel.trainLogistic(docs, "doc_id", "text", "y",
           dim = 64, iters = 2, lr = 0.5)
-        .select(col("feat"), round(col("w"), 6).as("weight"))
+        .select(col("feat"), gridSnap(col("w"), 6).as("weight"))
         .orderBy("feat")
     }),
 
@@ -373,7 +374,7 @@ object TextQueries extends QueryPack {
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("score")
+          gridSnap(sum(col("score")
               .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
             .cast("double") / count(lit(1)), 6).as("avg_score"))
         .orderBy("lang")
@@ -422,7 +423,7 @@ object TextQueries extends QueryPack {
         .join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum(col("score")
+          gridSnap(sum(col("score")
               .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
             .cast("double") / count(lit(1)), 6).as("avg_score"))
         .orderBy("label")
@@ -503,10 +504,10 @@ object TextQueries extends QueryPack {
       gated.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextFunctions.tokens(col("clean")))).as("total_tokens"),
-          round(avg(col("quality_score")
+          gridSnap(avg(col("quality_score")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
             .cast("double").as("avg_quality"),
-          round(avg(col("avg_logprob")
+          gridSnap(avg(col("avg_logprob")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
             .cast("double").as("avg_lp"),
           min(col("doc_id")).as("min_id"))
@@ -528,7 +529,7 @@ object TextQueries extends QueryPack {
         .agg(
           sum(col("n_ws_tokens")).as("total_ws_tokens"),
           sum(col("n_re_tokens")).as("total_re_tokens"),
-          round(avg(col("n_ws_tokens")), 6).as("avg_ws_tokens"),
+          gridSnap(avg(col("n_ws_tokens")), 6).as("avg_ws_tokens"),
           max(col("n_chars_obs")).as("max_chars"))
         .orderBy("source")),
 
@@ -543,7 +544,7 @@ object TextQueries extends QueryPack {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"),
-          round(min(col("mix_frac")), 6).as("mix_frac"))
+          gridSnap(min(col("mix_frac")), 6).as("mix_frac"))
         .orderBy("source")
     }),
 
@@ -602,7 +603,7 @@ object TextQueries extends QueryPack {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"),
-          round(min(col("keep_frac")), 6).as("keep_frac"))
+          gridSnap(min(col("keep_frac")), 6).as("keep_frac"))
         .orderBy("source")
     }),
 
@@ -926,7 +927,7 @@ object TextQueries extends QueryPack {
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FLOOR((CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
        |           JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
@@ -989,24 +990,24 @@ object TextQueries extends QueryPack {
       |    sv AS centroid
       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
       |asg0 AS (SELECT s.vec_id, s.sub,
-      |    MIN(struct_pack(d2 := ROUND(list_inner_product(s.sv, s.sv)
+      |    MIN(struct_pack(d2 := FLOOR((list_inner_product(s.sv, s.sv)
       |        + list_inner_product(c.centroid, c.centroid)
-      |        - 2 * list_inner_product(s.sv, c.centroid), 6), code := c.code)) AS m,
+      |        - 2 * list_inner_product(s.sv, c.centroid)) * 1000000 + 0.5) / 1000000, code := c.code)) AS m,
       |    ANY_VALUE(s.sv) AS sv
       |  FROM sub s JOIN c0 c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
       |u0 AS (SELECT sub, m.code AS code, UNNEST(sv) AS x,
       |    CAST(generate_subscripts(sv, 1) - 1 AS INTEGER) AS pos FROM asg0),
       |mean AS (SELECT sub, code, pos,
-      |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS mn
+      |    FLOOR((CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mn
       |  FROM u0 GROUP BY 1, 2, 3),
       |newc AS (SELECT sub, code, list(mn ORDER BY pos) AS centroid
       |  FROM mean GROUP BY 1, 2),
       |cb AS (SELECT c0.sub, c0.code, COALESCE(n.centroid, c0.centroid) AS centroid
       |  FROM c0 LEFT JOIN newc n ON c0.sub = n.sub AND c0.code = n.code),
       |enc0 AS (SELECT s.vec_id, s.sub,
-      |    MIN(struct_pack(d2 := ROUND(list_inner_product(s.sv, s.sv)
+      |    MIN(struct_pack(d2 := FLOOR((list_inner_product(s.sv, s.sv)
       |        + list_inner_product(c.centroid, c.centroid)
-      |        - 2 * list_inner_product(s.sv, c.centroid), 6), code := c.code)) AS m
+      |        - 2 * list_inner_product(s.sv, c.centroid)) * 1000000 + 0.5) / 1000000, code := c.code)) AS m
       |  FROM sub s JOIN cb c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
       |enc AS (SELECT vec_id, sub, m.code AS code FROM enc0)""".stripMargin
 
@@ -1052,8 +1053,8 @@ object TextQueries extends QueryPack {
          |  FROM documents),
          |v AS (SELECT c.doc_a, c.doc_b,
          |    CASE WHEN GREATEST(length(da.t), length(db.t)) = 0 THEN 1.0
-         |         ELSE ROUND(1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
-         |           / GREATEST(length(da.t), length(db.t)), 6) END AS edit_sim
+         |         ELSE FLOOR((1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
+         |           / GREATEST(length(da.t), length(db.t))) * 1000000 + 0.5) / 1000000 END AS edit_sim
          |  FROM cand c
          |  JOIN d da ON da.doc_id = c.doc_a
          |  JOIN d db ON db.doc_id = c.doc_b
@@ -1130,7 +1131,7 @@ object TextQueries extends QueryPack {
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FLOOR((CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
@@ -1183,18 +1184,18 @@ object TextQueries extends QueryPack {
          |    len(list_filter(string_split(trim(lower(text)), ' '),
          |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS stop_hits
          |  FROM documents),
-         |q AS (SELECT doc_id, source, ROUND(
+         |q AS (SELECT doc_id, source, FLOOR((
          |    LEAST(CAST(n_toks AS DOUBLE) * 0.2, 4.0)
          |  + LEAST(CAST(stop_hits AS DOUBLE) / n_toks * 10.0, 4.0)
          |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
-         |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS qs
+         |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0)) * 1000000 + 0.5) / 1000000 AS qs
          |  FROM qb),
          |wn AS (SELECT cc.node, ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
          |    ORDER BY q.qs DESC, cc.node) AS rn
          |  FROM cc JOIN q ON q.doc_id = cc.node),
          |losers AS (SELECT node FROM wn WHERE rn > 1)
          |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id,
-         |  ROUND(CAST(SUM(CAST(qs AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_quality
+         |  FLOOR((CAST(SUM(CAST(qs AS DECIMAL(28,12))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_quality
          |FROM q WHERE doc_id NOT IN (SELECT node FROM losers)
          |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1226,7 +1227,7 @@ object TextQueries extends QueryPack {
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FLOOR((CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
          |           JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
@@ -1248,10 +1249,10 @@ object TextQueries extends QueryPack {
         |tm AS (SELECT ca, cb,
         |    CAST(ca AS DOUBLE) / nn.na AS p, CAST(cb AS DOUBLE) / nn.nb AS q
         |  FROM al CROSS JOIN nn)
-        |SELECT ROUND(CAST(SUM(CAST(
+        |SELECT FLOOR((CAST(SUM(CAST(
         |    (CASE WHEN ca > 0 THEN p / 2.0 * LOG2(p / ((p + q) / 2.0)) ELSE 0.0 END)
         |  + (CASE WHEN cb > 0 THEN q / 2.0 * LOG2(q / ((p + q) / 2.0)) ELSE 0.0 END)
-        |    AS DECIMAL(38,16))) AS DOUBLE), 6) AS jsd_bits,
+        |    AS DECIMAL(38,16))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jsd_bits,
         |  (SELECT CAST(na AS BIGINT) FROM nn) AS n_a,
         |  (SELECT CAST(nb AS BIGINT) FROM nn) AS n_b
         |FROM tm""".stripMargin,
@@ -1265,7 +1266,7 @@ object TextQueries extends QueryPack {
         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term,
-        |    ROUND(CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |    FLOOR((CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS tfidf
         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS "rank"
@@ -1281,7 +1282,7 @@ object TextQueries extends QueryPack {
         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term,
-        |    ROUND(CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |    FLOOR((CAST(tf AS DOUBLE) / n_toks * LN(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS tfidf
         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rk
@@ -1299,14 +1300,14 @@ object TextQueries extends QueryPack {
         |        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
         |      FROM e JOIN qe USING (i) GROUP BY vec_id),
         |qn AS (SELECT SQRT(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qnorm FROM qe)
-        |SELECT vec_id, ROUND(dot / (SQRT(n2) * qnorm), 6) AS cos_sim
+        |SELECT vec_id, FLOOR((dot / (SQRT(n2) * qnorm)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM d, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_t_cosine_bucketed" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |p AS (SELECT a.label AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |    FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
         |    ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM p)
@@ -1334,9 +1335,9 @@ object TextQueries extends QueryPack {
         |bc AS (SELECT doc_id, n_toks, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
         |mb AS (SELECT doc_id, n_toks, MAX(c) AS max_bg FROM bc GROUP BY 1, 2)
         |SELECT b.doc_id, b.n_toks,
-        |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / b.n_toks, 6) AS dup_token_frac,
-        |  ROUND(CAST(max_bg AS DOUBLE) / (b.n_toks - 1), 6) AS top_bigram_frac,
-        |  ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE) / b.n_toks, 6) AS mean_token_len
+        |  FLOOR((1 - CAST(len(list_distinct(toks)) AS DOUBLE) / b.n_toks) * 1000000 + 0.5) / 1000000 AS dup_token_frac,
+        |  FLOOR((CAST(max_bg AS DOUBLE) / (b.n_toks - 1)) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+        |  FLOOR((CAST(length(array_to_string(toks, '')) AS DOUBLE) / b.n_toks) * 1000000 + 0.5) / 1000000 AS mean_token_len
         |FROM b JOIN mb ON b.doc_id = mb.doc_id AND b.n_toks = mb.n_toks
         |ORDER BY b.doc_id""".stripMargin,
 
@@ -1361,13 +1362,13 @@ object TextQueries extends QueryPack {
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
         |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
         |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
         |    CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim_pos FROM a)
         |SELECT bucket, dim_pos,
-        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |  FLOOR((CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c_val
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_t_ivf_assign" ->
@@ -1377,17 +1378,17 @@ object TextQueries extends QueryPack {
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
         |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
         |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
         |    generate_subscripts(v, 1) AS dim_pos FROM a),
         |mn AS (SELECT bucket, dim_pos,
-        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |    FLOOR((CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c_val
         |  FROM u GROUP BY 1, 2),
         |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
         |s2 AS (SELECT e.vec_id, cl.bucket,
-        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |    FLOOR((list_cosine_similarity(e.v, cl.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN cl),
         |a2 AS (SELECT vec_id,
         |    MAX(struct_pack(sim := sim, bucket := bucket)) AS m FROM s2 GROUP BY vec_id)
         |SELECT m.bucket AS bucket, COUNT(*) AS n_vecs, MAX(m.sim) AS max_sim
@@ -1400,30 +1401,30 @@ object TextQueries extends QueryPack {
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
         |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
         |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
         |    generate_subscripts(v, 1) AS dim_pos FROM a),
         |mn AS (SELECT bucket, dim_pos,
-        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |    FLOOR((CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c_val
         |  FROM u GROUP BY 1, 2),
         |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
         |s2 AS (SELECT e.vec_id, e.v, cl.bucket,
-        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |    FLOOR((list_cosine_similarity(e.v, cl.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN cl),
         |dba AS (SELECT vec_id,
         |    (MAX(struct_pack(sim := sim, bucket := bucket))).bucket AS bucket,
         |    ANY_VALUE(v) AS v FROM s2 GROUP BY vec_id),
         |q AS (SELECT v FROM e WHERE vec_id = 0),
         |qp AS (SELECT cl.bucket,
         |    ROW_NUMBER() OVER (ORDER BY
-        |      ROUND(list_cosine_similarity((SELECT v FROM q), cl.cv), 6) DESC,
+        |      FLOOR((list_cosine_similarity((SELECT v FROM q), cl.cv)) * 1000000 + 0.5) / 1000000 DESC,
         |      cl.bucket) AS pr
         |  FROM cl),
         |cand AS (SELECT dba.vec_id, dba.v FROM dba
         |  JOIN qp ON dba.bucket = qp.bucket AND qp.pr <= 2)
         |SELECT cand.vec_id,
-        |  ROUND(list_cosine_similarity(cand.v, (SELECT v FROM q)), 6) AS cos_sim
+        |  FLOOR((list_cosine_similarity(cand.v, (SELECT v FROM q))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_t_semantic_dedup" ->
@@ -1433,23 +1434,23 @@ object TextQueries extends QueryPack {
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    ROUND(list_cosine_similarity(e.v, c0.cv), 6) AS sim FROM e CROSS JOIN c0),
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
         |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
         |u AS (SELECT m.bucket AS bucket, UNNEST(v) AS x,
         |    generate_subscripts(v, 1) AS dim_pos FROM a),
         |mn AS (SELECT bucket, dim_pos,
-        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 6) AS c_val
+        |    FLOOR((CAST(SUM(CAST(x AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c_val
         |  FROM u GROUP BY 1, 2),
         |cl AS (SELECT bucket, list(c_val ORDER BY dim_pos) AS cv FROM mn GROUP BY bucket),
         |s2 AS (SELECT e.vec_id, e.v, cl.bucket,
-        |    ROUND(list_cosine_similarity(e.v, cl.cv), 6) AS sim FROM e CROSS JOIN cl),
+        |    FLOOR((list_cosine_similarity(e.v, cl.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN cl),
         |a2 AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
         |    ANY_VALUE(v) AS v FROM s2 GROUP BY vec_id),
         |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a2),
         |losers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+        |  WHERE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35)
         |SELECT vec_id, bucket FROM asg
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
@@ -1467,15 +1468,15 @@ object TextQueries extends QueryPack {
          |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
          |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
          |lut AS (SELECT cb.sub, cb.code,
-         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |    FLOOR((list_inner_product(qs.qv, qs.qv)
          |      + list_inner_product(cb.centroid, cb.centroid)
-         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |      - 2 * list_inner_product(qs.qv, cb.centroid)) * 1000000 + 0.5) / 1000000 AS qd2
          |  FROM cb JOIN qsub qs ON cb.sub = qs.sub),
-         |cand AS (SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |cand AS (SELECT enc.vec_id, FLOOR((SUM(l.qd2)) * 1000000 + 0.5) / 1000000 AS adc_dist
          |  FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
          |  GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 50)
          |SELECT e.vec_id,
-         |  ROUND(list_cosine_similarity(e.v, (SELECT v FROM q)), 6) AS cos_sim
+         |  FLOOR((list_cosine_similarity(e.v, (SELECT v FROM q))) * 1000000 + 0.5) / 1000000 AS cos_sim
          |FROM e JOIN cand c ON e.vec_id = c.vec_id
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
@@ -1486,11 +1487,11 @@ object TextQueries extends QueryPack {
          |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
          |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
          |lut AS (SELECT cb.sub, cb.code,
-         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |    FLOOR((list_inner_product(qs.qv, qs.qv)
          |      + list_inner_product(cb.centroid, cb.centroid)
-         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |      - 2 * list_inner_product(qs.qv, cb.centroid)) * 1000000 + 0.5) / 1000000 AS qd2
          |  FROM cb JOIN qsub qs ON cb.sub = qs.sub)
-         |SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |SELECT enc.vec_id, FLOOR((SUM(l.qd2)) * 1000000 + 0.5) / 1000000 AS adc_dist
          |FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
          |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
@@ -1501,17 +1502,17 @@ object TextQueries extends QueryPack {
          |    (SELECT v FROM q)[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS qv
          |  FROM (SELECT UNNEST(range(0, 4)) AS j)),
          |lut AS (SELECT cb.sub, cb.code,
-         |    ROUND(list_inner_product(qs.qv, qs.qv)
+         |    FLOOR((list_inner_product(qs.qv, qs.qv)
          |      + list_inner_product(cb.centroid, cb.centroid)
-         |      - 2 * list_inner_product(qs.qv, cb.centroid), 6) AS qd2
+         |      - 2 * list_inner_product(qs.qv, cb.centroid)) * 1000000 + 0.5) / 1000000 AS qd2
          |  FROM cb JOIN qsub qs ON cb.sub = qs.sub),
-         |adc AS (SELECT enc.vec_id, ROUND(SUM(l.qd2), 6) AS adc_dist
+         |adc AS (SELECT enc.vec_id, FLOOR((SUM(l.qd2)) * 1000000 + 0.5) / 1000000 AS adc_dist
          |  FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
          |  GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10),
          |exact AS (SELECT e.vec_id,
-         |    ROUND(list_inner_product(e.v, e.v)
+         |    FLOOR((list_inner_product(e.v, e.v)
          |      + list_inner_product(q.v, q.v)
-         |      - 2 * list_inner_product(e.v, q.v), 6) AS d2
+         |      - 2 * list_inner_product(e.v, q.v)) * 1000000 + 0.5) / 1000000 AS d2
          |  FROM e CROSS JOIN q ORDER BY d2, vec_id LIMIT 10)
          |SELECT CAST(10 AS INT) AS k, COUNT(*) AS n_overlap
          |FROM adc JOIN exact USING (vec_id)""".stripMargin,
@@ -1524,16 +1525,16 @@ object TextQueries extends QueryPack {
         |pair AS (SELECT i, xi, UNNEST(v) AS xj,
         |    CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS j FROM ex)
         |SELECT i, j,
-        |  ROUND(CAST(SUM(CAST(xi * xj AS DECIMAL(38,16))) AS DOUBLE), 6) AS s
+        |  FLOOR((CAST(SUM(CAST(xi * xj AS DECIMAL(38,16))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS s
         |FROM pair GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_t_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        |WHERE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_t_langid" ->
@@ -1563,11 +1564,11 @@ object TextQueries extends QueryPack {
         |    len(list_filter(string_split(trim(lower(text)), ' '),
         |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS stop_hits
         |  FROM documents)
-        |SELECT doc_id, ROUND(
+        |SELECT doc_id, FLOOR((
         |    LEAST(CAST(n_toks AS DOUBLE) * 0.2, 4.0)
         |  + LEAST(CAST(stop_hits AS DOUBLE) / n_toks * 10.0, 4.0)
         |  + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
-        |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score
+        |  - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0)) * 1000000 + 0.5) / 1000000 AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Replays both GD rounds: round 1 from w=0 collapses to residual
@@ -1583,8 +1584,8 @@ object TextQueries extends QueryPack {
         |    COUNT(*) AS cnt
         |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
         |f AS (SELECT doc_id, y, feat,
-        |    CAST(ROUND(CAST(cnt AS DOUBLE)
-        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |    CAST(FLOOR((CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(10,9)) AS x
         |  FROM f0),
         |g1 AS (SELECT feat,
         |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
@@ -1592,22 +1593,22 @@ object TextQueries extends QueryPack {
         |  FROM f GROUP BY feat),
         |w1 AS (SELECT feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM g1),
         |m2 AS (SELECT f.doc_id, f.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
         |  FROM f JOIN w1 USING (feat) GROUP BY f.doc_id, f.y),
         |r2 AS (SELECT doc_id,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(m AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 - y AS r FROM m2),
         |g2 AS (SELECT f.feat,
         |    SUM(CAST(r2.r AS DECIMAL(10,9)) * f.x) AS gs,
         |    SUM(f.x) AS mass
         |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
         |w2 AS (SELECT w1.feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat)
-        |SELECT feat, ROUND(w, 6) AS weight FROM w2 ORDER BY feat""".stripMargin,
+        |SELECT feat, FLOOR((w) * 1000000 + 0.5) / 1000000 AS weight FROM w2 ORDER BY feat""".stripMargin,
 
     // Same two training rounds, then the scoring pass: per-doc margin
     // against w2, σ rounded to 9 dp (token-less docs score 0.5 via the
@@ -1622,8 +1623,8 @@ object TextQueries extends QueryPack {
         |    COUNT(*) AS cnt
         |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
         |f AS (SELECT doc_id, y, feat,
-        |    CAST(ROUND(CAST(cnt AS DOUBLE)
-        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |    CAST(FLOOR((CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(10,9)) AS x
         |  FROM f0),
         |g1 AS (SELECT feat,
         |    SUM(CAST(0.5 - y AS DECIMAL(10,9)) * x) AS gs,
@@ -1631,30 +1632,30 @@ object TextQueries extends QueryPack {
         |  FROM f GROUP BY feat),
         |w1 AS (SELECT feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM g1),
         |m2 AS (SELECT f.doc_id, f.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * f.x) AS m
         |  FROM f JOIN w1 USING (feat) GROUP BY f.doc_id, f.y),
         |r2 AS (SELECT doc_id,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(m AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 - y AS r FROM m2),
         |g2 AS (SELECT f.feat,
         |    SUM(CAST(r2.r AS DECIMAL(10,9)) * f.x) AS gs,
         |    SUM(f.x) AS mass
         |  FROM f JOIN r2 USING (doc_id) GROUP BY f.feat),
         |w2 AS (SELECT w1.feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT f.doc_id,
         |    SUM(CAST(w2.w AS DECIMAL(10,9)) * f.x) AS m
         |  FROM f JOIN w2 USING (feat) GROUP BY f.doc_id),
         |sc AS (SELECT d.doc_id, d.lang,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 AS score
         |  FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
-        |    / COUNT(*), 6) AS avg_score
+        |  FLOOR((CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_score
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Production composition: features over ALL docs once (shares are
@@ -1672,8 +1673,8 @@ object TextQueries extends QueryPack {
         |    COUNT(*) AS cnt
         |  FROM t WHERE tok <> '' GROUP BY doc_id, y, feat),
         |f AS (SELECT doc_id, y, feat,
-        |    CAST(ROUND(CAST(cnt AS DOUBLE)
-        |      / SUM(cnt) OVER (PARTITION BY doc_id), 9) AS DECIMAL(10,9)) AS x
+        |    CAST(FLOOR((CAST(cnt AS DOUBLE)
+        |      / SUM(cnt) OVER (PARTITION BY doc_id)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(10,9)) AS x
         |  FROM f0),
         |ft AS (SELECT * FROM f
         |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -1684,26 +1685,26 @@ object TextQueries extends QueryPack {
         |  FROM ft GROUP BY feat),
         |w1 AS (SELECT feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((0.0 - 0.5 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM g1),
         |m2 AS (SELECT ft.doc_id, ft.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * ft.x) AS m
         |  FROM ft JOIN w1 USING (feat) GROUP BY ft.doc_id, ft.y),
         |r2 AS (SELECT doc_id,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(m AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 - y AS r FROM m2),
         |g2 AS (SELECT ft.feat,
         |    SUM(CAST(r2.r AS DECIMAL(10,9)) * ft.x) AS gs,
         |    SUM(ft.x) AS mass
         |  FROM ft JOIN r2 USING (doc_id) GROUP BY ft.feat),
         |w2 AS (SELECT w1.feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((w1.w - 0.5 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT f.doc_id,
         |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * f.x) AS m
         |  FROM f LEFT JOIN w2 USING (feat) GROUP BY f.doc_id),
         |sc AS (SELECT d.doc_id, d.source,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 AS score
         |  FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id),
         |mn AS (SELECT CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
         |    / COUNT(*) AS m FROM sc)
@@ -1717,7 +1718,7 @@ object TextQueries extends QueryPack {
       """WITH v AS (SELECT vec_id,
         |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
         |    i - 1 AS feat,
-        |    CAST(ROUND(CAST(x0 AS DOUBLE), 9) AS DECIMAL(10,9)) AS x
+        |    CAST(FLOOR((CAST(x0 AS DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(10,9)) AS x
         |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x0,
         |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
         |g1 AS (SELECT feat,
@@ -1726,30 +1727,30 @@ object TextQueries extends QueryPack {
         |  FROM v GROUP BY feat),
         |w1 AS (SELECT feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(0.0 - 1.0 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((0.0 - 1.0 * (CAST(gs AS DOUBLE) / CAST(mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM g1),
         |m2 AS (SELECT v.vec_id, v.y,
         |    SUM(CAST(w1.w AS DECIMAL(10,9)) * v.x) AS m
         |  FROM v JOIN w1 USING (feat) GROUP BY v.vec_id, v.y),
         |r2 AS (SELECT vec_id,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9) - y AS r FROM m2),
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(m AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 - y AS r FROM m2),
         |g2 AS (SELECT v.feat,
         |    SUM(CAST(r2.r AS DECIMAL(10,9)) * v.x) AS gs,
         |    COUNT(*) AS mass
         |  FROM v JOIN r2 USING (vec_id) GROUP BY v.feat),
         |w2 AS (SELECT w1.feat,
         |    GREATEST(-9.999999999, LEAST(9.999999999,
-        |      ROUND(w1.w - 1.0 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE)), 9))) AS w
+        |      FLOOR((w1.w - 1.0 * (CAST(g2.gs AS DOUBLE) / CAST(g2.mass AS DOUBLE))) * 1000000000 + 0.5) / 1000000000)) AS w
         |  FROM w1 JOIN g2 ON w1.feat = g2.feat),
         |mm AS (SELECT v.vec_id,
         |    SUM(CAST(COALESCE(w2.w, 0) AS DECIMAL(10,9)) * v.x) AS m
         |  FROM v LEFT JOIN w2 USING (feat) GROUP BY v.vec_id),
         |sc AS (SELECT e.vec_id, e.label,
-        |    ROUND(1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE))), 9) AS score
+        |    FLOOR((1.0 / (1.0 + exp(-CAST(COALESCE(mm.m, 0) AS DOUBLE)))) * 1000000000 + 0.5) / 1000000000 AS score
         |  FROM embeddings e LEFT JOIN mm ON e.vec_id = mm.vec_id)
         |SELECT label, COUNT(*) AS n_vecs,
-        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
-        |    / COUNT(*), 6) AS avg_score
+        |  FLOOR((CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_score
         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
 
     // Mirrors curate(): dedup by min doc_id per fingerprint, then the
@@ -1768,11 +1769,11 @@ object TextQueries extends QueryPack {
          |      - len(string_split(trim(text), ' ')) AS n_punct
          |  FROM kept),
          |scored AS (SELECT doc_id, source, len(ws) AS n_toks,
-         |    ROUND(
+         |    FLOOR((
          |      LEAST(CAST(len(ws) AS DOUBLE) * 0.2, 4.0)
          |    + LEAST(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / len(ws) * 10.0, 4.0)
          |    + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
-         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score,
+         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0)) * 1000000 + 0.5) / 1000000 AS quality_score,
          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS h_en,
          |    len(list_filter(toks, x -> x IN ('el','la','de','y','en','los','que','un'))) AS h_es,
          |    len(list_filter(toks, x -> x IN ('der','die','das','und','von','mit','ist','ein'))) AS h_de,
@@ -1786,7 +1787,7 @@ object TextQueries extends QueryPack {
          |    ELSE 'unknown' END AS predicted_lang FROM scored)
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-         |  CAST(ROUND(AVG(CAST(quality_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_quality
+         |  CAST(FLOOR((AVG(CAST(quality_score AS DECIMAL(18,6)))) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_quality
          |FROM lang WHERE quality_score >= 3.0 AND predicted_lang = 'en'
          |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1801,7 +1802,7 @@ object TextQueries extends QueryPack {
       """SELECT source,
         |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_ws_tokens,
         |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_re_tokens,
-        |  ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS avg_ws_tokens,
+        |  FLOOR((AVG(len(string_split(trim(text), ' ')))) * 1000000 + 0.5) / 1000000 AS avg_ws_tokens,
         |  CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1811,11 +1812,11 @@ object TextQueries extends QueryPack {
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |t AS (SELECT source, SUM(n_tokens) AS tt,
-        |    ROUND(POW(CAST(SUM(n_tokens) AS DOUBLE), 0.5), 9) AS w
+        |    FLOOR((POW(CAST(SUM(n_tokens) AS DOUBLE), 0.5)) * 1000000000 + 0.5) / 1000000000 AS w
         |  FROM d GROUP BY source),
         |ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS s FROM t),
         |f AS (SELECT t.source,
-        |    ROUND(LEAST(1.0, 2000.0 * t.w / ws.s / CAST(t.tt AS DOUBLE)), 9)
+        |    FLOOR((LEAST(1.0, 2000.0 * t.w / ws.s / CAST(t.tt AS DOUBLE))) * 1000000000 + 0.5) / 1000000000
         |      AS mix_frac
         |  FROM t, ws),
         |k AS (SELECT d.*, f.mix_frac FROM d JOIN f USING (source)
@@ -1823,7 +1824,7 @@ object TextQueries extends QueryPack {
         |      < f.mix_frac * 16777216.0)
         |SELECT source, COUNT(*) AS n_kept,
         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
-        |  ROUND(MIN(mix_frac), 6) AS mix_frac
+        |  FLOOR((MIN(mix_frac)) * 1000000 + 0.5) / 1000000 AS mix_frac
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // Window replay of the bounded top-k: same md5 uniform, same
@@ -1891,7 +1892,7 @@ object TextQueries extends QueryPack {
         |      < LEAST(1.0, 400.0 / t.st) * 16777216.0)
         |SELECT source, COUNT(*) AS n_kept,
         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
-        |  ROUND(MIN(keep_frac), 6) AS keep_frac
+        |  FLOOR((MIN(keep_frac)) * 1000000 + 0.5) / 1000000 AS keep_frac
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // chr(0): the NUL seed/key separator shuffleOrder uses.
@@ -1920,7 +1921,7 @@ object TextQueries extends QueryPack {
         |      AS s
         |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN scal)
         |SELECT doc_id,
-        |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
+        |  FLOOR((CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS bm25
         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     // Shingle-hash replay (same md5 15-hex form as the sketch
@@ -1939,7 +1940,7 @@ object TextQueries extends QueryPack {
          |  FROM h LEFT JOIN ref r ON h.hs = r.hs
          |  GROUP BY h.doc_id)
          |SELECT doc_id, n_shingles, n_shingles - n_seen AS n_novel,
-         |  ROUND(CAST(n_shingles - n_seen AS DOUBLE) / n_shingles, 6) AS novelty
+         |  FLOOR((CAST(n_shingles - n_seen AS DOUBLE) / n_shingles) * 1000000 + 0.5) / 1000000 AS novelty
          |FROM sn ORDER BY doc_id""".stripMargin,
 
     // BM25 top-20 and cosine top-20 replayed, then rank-fused:
@@ -1964,7 +1965,7 @@ object TextQueries extends QueryPack {
         |      AS s
         |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN scal),
         |bm AS (SELECT doc_id,
-        |    ROUND(CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE), 6) AS bm25
+        |    FLOOR((CAST(SUM(CAST(s AS DECIMAL(38,16))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS bm25
         |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, UNNEST(embedding) AS x,
@@ -1975,14 +1976,14 @@ object TextQueries extends QueryPack {
         |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
         |  FROM e JOIN qe USING (i) GROUP BY vec_id),
         |qn AS (SELECT SQRT(SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qnorm FROM qe),
-        |co AS (SELECT vec_id AS doc_id, ROUND(dot / (SQRT(n2) * qnorm), 6) AS cs
+        |co AS (SELECT vec_id AS doc_id, FLOOR((dot / (SQRT(n2) * qnorm)) * 1000000 + 0.5) / 1000000 AS cs
         |  FROM d, qn ORDER BY cs DESC, doc_id LIMIT 20),
         |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
         |rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r FROM co),
         |u AS (SELECT doc_id, CAST(1.0 / (60 + r) AS DECIMAL(38,18)) AS c FROM rb
         |  UNION ALL
         |  SELECT doc_id, CAST(1.0 / (60 + r) AS DECIMAL(38,18)) AS c FROM rc)
-        |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS rrf_score,
+        |SELECT doc_id, FLOOR((CAST(SUM(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rrf_score,
         |  COUNT(*) AS n_lists
         |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id""".stripMargin,
 
@@ -1994,7 +1995,7 @@ object TextQueries extends QueryPack {
         |a AS (SELECT vec_id AS aid, label AS albl, v AS av FROM e
         |  WHERE vec_id % 50 = 0),
         |c AS (SELECT a.aid, e.vec_id AS nid,
-        |    ROUND(list_cosine_similarity(e.v, a.av), 6) AS cs
+        |    FLOOR((list_cosine_similarity(e.v, a.av)) * 1000000 + 0.5) / 1000000 AS cs
         |  FROM e JOIN a ON e.vec_id <> a.aid
         |    AND (e.label IS NULL OR a.albl IS NULL OR e.label <> a.albl)),
         |r AS (SELECT aid, nid, cs,
@@ -2149,9 +2150,9 @@ object TextQueries extends QueryPack {
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |k AS (SELECT doc_id, n_tok,
-        |    ROUND(-ln((CAST(('0x' || substring(
+        |    FLOOR((-ln((CAST(('0x' || substring(
         |        md5('s42' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
-        |        + 1.0) / 4503599627370497.0) / n_tok, 6) AS es_key
+        |        + 1.0) / 4503599627370497.0) / n_tok) * 1000000 + 0.5) / 1000000 AS es_key
         |  FROM d WHERE n_tok > 0)
         |SELECT doc_id, n_tok, es_key FROM k
         |ORDER BY es_key, doc_id LIMIT 20""".stripMargin,
@@ -2210,9 +2211,9 @@ object TextQueries extends QueryPack {
          |fr2 AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
          |tot2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM fr2),
          |lp AS (SELECT doc_id,
-         |    ROUND(CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
+         |    FLOOR((CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
          |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
-         |      / SUM(tf), 6) AS avg_logprob
+         |      / SUM(tf)) * 1000000 + 0.5) / 1000000 AS avg_logprob
          |  FROM tf2 JOIN fr2 USING (term) CROSS JOIN tot2 GROUP BY doc_id),
          |b AS (SELECT doc_id, source,
          |    string_split(trim(clean), ' ') AS ws,
@@ -2222,11 +2223,11 @@ object TextQueries extends QueryPack {
          |      - len(string_split(trim(clean), ' ')) AS n_punct
          |  FROM decon),
          |scored AS (SELECT doc_id, source, len(ws) AS n_toks,
-         |    ROUND(
+         |    FLOOR((
          |      LEAST(CAST(len(ws) AS DOUBLE) * 0.2, 4.0)
          |    + LEAST(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / len(ws) * 10.0, 4.0)
          |    + CASE WHEN n_chars > 50 THEN 2.0 ELSE CAST(n_chars AS DOUBLE) / 25.0 END
-         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0), 6) AS quality_score,
+         |    - LEAST(GREATEST(CAST(n_punct AS DOUBLE), 0.0) * 0.5, 2.0)) * 1000000 + 0.5) / 1000000 AS quality_score,
          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS h_en,
          |    len(list_filter(toks, x -> x IN ('el','la','de','y','en','los','que','un'))) AS h_es,
          |    len(list_filter(toks, x -> x IN ('der','die','das','und','von','mit','ist','ein'))) AS h_de,
@@ -2240,8 +2241,8 @@ object TextQueries extends QueryPack {
          |    ELSE 'unknown' END AS predicted_lang FROM scored)
          |SELECT lang.source, COUNT(*) AS n_docs,
          |  CAST(SUM(lang.n_toks) AS BIGINT) AS total_tokens,
-         |  CAST(ROUND(AVG(CAST(lang.quality_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_quality,
-         |  CAST(ROUND(AVG(CAST(lp.avg_logprob AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_lp,
+         |  CAST(FLOOR((AVG(CAST(lang.quality_score AS DECIMAL(18,6)))) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_quality,
+         |  CAST(FLOOR((AVG(CAST(lp.avg_logprob AS DECIMAL(18,6)))) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_lp,
          |  MIN(lang.doc_id) AS min_id
          |FROM lang JOIN lp ON lang.doc_id = lp.doc_id
          |WHERE lang.quality_score >= 3.0 AND lang.predicted_lang = 'en'
@@ -2257,9 +2258,9 @@ object TextQueries extends QueryPack {
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
         |    COUNT(*) AS v_size FROM fr)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-        |  ROUND(CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
+        |  FLOOR((CAST(SUM(CAST(tf * ln(CAST(c + 1 AS DOUBLE)
         |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
-        |      / SUM(tf), 6) AS avg_logprob
+        |      / SUM(tf)) * 1000000 + 0.5) / 1000000 AS avg_logprob
         |FROM tf JOIN fr USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -2274,9 +2275,9 @@ object TextQueries extends QueryPack {
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
         |    COUNT(*) AS v_size FROM fr)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-        |  ROUND(CAST(SUM(CAST(tf * ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+        |  FLOOR((CAST(SUM(CAST(tf * ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
         |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
-        |      / SUM(tf), 6) AS avg_logprob
+        |      / SUM(tf)) * 1000000 + 0.5) / 1000000 AS avg_logprob
         |FROM tf LEFT JOIN fr USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -317,8 +317,15 @@ object StarSchema {
     * (or NULL) fact title maps to the OTHER dim_role row, so
     * `v_role_distribution` counts it under OTHER (in the percentage
     * denominator too) and `v_owner_demographics.unique_roles` counts
-    * distinct ROLES — two unseeded titles collapse to one OTHER,
-    * matching the reference's distinct-role_id semantics.
+    * distinct ROLES — two unseeded titles collapse to one OTHER.
+    * This follows the reference's distinct-role_id COUNTING RULE but
+    * is not row-for-row reference parity: the reference's inner-join
+    * fact load never carries unseeded rows at all, so an owner
+    * holding both a seeded and an unseeded title counts one MORE
+    * role here (their OTHER bucket exists only in our fact). That is
+    * the self-consistent consequence of the documented fact-level
+    * deviation above, accepted deliberately — dropping the rows
+    * would silently lose ownership records.
     *
     * Scale shape: views are logical — Catalyst inlines them into each
     * consumer, so the `is_current` filter pushes into the fact scan

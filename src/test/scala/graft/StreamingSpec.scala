@@ -216,6 +216,64 @@ class StreamingSpec extends SparkSpec {
     assert(ts2.toSeq === Seq("2024-01-01 12:30:00.0", "2024-01-01 12:40:00.0"))
   }
 
+  test("novelty gate pruneEvery: amortized deltas score like eager, republish folds on schedule, expiry is logical between republishes") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_novprune").toString
+    val eagerStore = dir + "/eager"
+    val amortStore = dir + "/amort"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def ids(store: String, pe: Int) =
+        Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts", store,
+          minNovelty = 0.5, retention = "1 hour", pruneEvery = pe)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      val (e, a) = (ids(eagerStore, 1), ids(amortStore, 3))
+      assert(e === a, "amortized admissions diverged from eager")
+      e
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "rivers mountains valleys forests deserts plains islands caves cliffs dunes"
+    // b1 bootstraps BOTH stores with a published base (no deltas yet)
+    assert(run(batch((1L, base, "2024-01-01 10:00:00"))) === Seq(1L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    val baseV1 = VersionedTable.currentVersion(spark, amortStore)
+    // b2: near-repeat refuses, fresh admits — the amortized store only
+    // appends a delta (base version untouched)
+    assert(run(batch(
+      (2L, base.replace("kappa", "lambda"), "2024-01-01 10:10:00"),
+      (3L, fresh, "2024-01-01 10:11:00"))) === Seq(3L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 1)
+    assert(VersionedTable.currentVersion(spark, amortStore) === baseV1)
+    // b3 beyond retention: expired shingles no longer refuse — in the
+    // amortized store they are still PHYSICALLY present (logical
+    // expiry: the horizon filter excludes them at scoring time), and
+    // batch-mate doc 5 must see delta-resident doc-4 shingles
+    assert(run(batch((4L, base.replace("kappa", "mu"), "2024-01-01 12:30:00")))
+      === Seq(4L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 2)
+    val amortTs = VersionedTable.readCurrent(spark, amortStore)
+      .select("_ts").distinct().as[Timestamp].collect().map(_.toString).sorted
+    assert(amortTs.contains("2024-01-01 10:00:00.0"),
+      "between republishes the base must retain expired shingles (logical expiry)")
+    val eagerTs = VersionedTable.readCurrent(spark, eagerStore)
+      .select("_ts").distinct().as[Timestamp].collect().map(_.toString).sorted
+    assert(!eagerTs.contains("2024-01-01 10:00:00.0"),
+      "eager mode prunes physically every batch")
+    // b4 is the 3rd batch since republish → the amortized store folds:
+    // deltas subsumed, base identical to the eager store's fold
+    assert(run(batch((5L, base.replace("kappa", "nu"), "2024-01-01 12:40:00")))
+      === Seq.empty)
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    assert(VersionedTable.currentVersion(spark, amortStore) !== baseV1)
+    def snapshot(store: String) = VersionedTable.readCurrent(spark, store)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).sorted.toSeq
+    assert(snapshot(amortStore) === snapshot(eagerStore),
+      "the republished fold must equal the eager store")
+  }
+
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_driftlate").toString
