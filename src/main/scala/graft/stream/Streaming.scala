@@ -813,9 +813,26 @@ object Streaming {
     * stays exact-cosine — no precision trade. Pair work per batch is
     * Σ (batch-bucket × store-bucket), bounded by the quantizer; the
     * 1-row horizon aggregate rides a broadcast join, nothing collects
-    * to the driver. Duplicates farther apart than the retention both
-    * survive; the at-rest [[graft.textops.Similarity.semanticDedup]]
-    * pass catches those.
+    * to the driver except the k-row quantizer fingerprint below.
+    * Duplicates farther apart than the retention both survive; the
+    * at-rest [[graft.textops.Similarity.semanticDedup]] pass catches
+    * those.
+    *
+    * QUANTIZER EVOLUTION: the centroid set is a per-step parameter,
+    * and real deployments GROW it with the corpus (the IVF
+    * convention — bucket count scales so per-bucket pair work stays
+    * bounded). Store rows therefore carry the fingerprint of the
+    * quantizer that bucketed them (`_qfp`, an order-independent
+    * bit_xor of per-centroid hashes): when a batch arrives with a
+    * DIFFERENT centroid set, the live store re-buckets on read
+    * against the new centroids before the probe join — without this,
+    * a probe assigned to a new bucket would never meet a store
+    * twin filed under an old bucket id, silently missing near-dups —
+    * and the republish stamps the new fingerprint, so the migration
+    * pays one O(store·k) assignment pass per quantizer change, not
+    * per batch (a cheap single-column min/max aggregate decides the
+    * fast path). Stores written before this seam (no `_qfp` column)
+    * conservatively re-bucket.
     */
   def semanticDedupBatchStep(batch: DataFrame, idCol: String, vecCol: String,
                              tsCol: String, centroids: DataFrame,
@@ -843,11 +860,32 @@ object Streaming {
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val store = readStoreOrEmpty(spark, storePath,
+    // quantizer fingerprint: order-independent bit_xor of per-centroid
+    // hashes — a k-row aggregate (planning-relation class)
+    val qfp: Long = centroids
+      .select(xxhash64(to_json(struct(
+          col(bucketCol).cast("long").as("b"),
+          transform(col(centroidVecCol), x => x.cast("double")).as("v"))))
+        .as("_h"))
+      .agg(expr("bit_xor(_h)").as("fp"))
+      .head().getLong(0)
+    val store0 = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("bucket", LongType),
         StructField("_sid", LongType),
         StructField("_svec", ArrayType(DoubleType)),
-        StructField("_ts", TimestampType))))
+        StructField("_ts", TimestampType),
+        StructField("_qfp", LongType))))
+    // pre-seam stores lack the fingerprint column: treat as stale
+    val store =
+      if (store0.columns.contains("_qfp")) store0
+      else store0.withColumn("_qfp", lit(null).cast("long"))
+    // single-column scan decides the fast path; every publish stamps
+    // one uniform fingerprint, so min==max==qfp ⇔ store is current
+    val fpStats = store.agg(min(col("_qfp")).as("mn"),
+      max(col("_qfp")).as("mx"), count(lit(1)).as("n")).head()
+    val quantizerCurrent = fpStats.getLong(2) == 0L ||
+      (!fpStats.isNullAt(0) && !fpStats.isNullAt(1) &&
+        fpStats.getLong(0) == qfp && fpStats.getLong(1) == qfp)
     val assigned = graft.textops.Similarity.assignBuckets(
         batch.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, bucketCol, centroidVecCol)
@@ -860,10 +898,20 @@ object Streaming {
       .join(assigned, idCol)
       .localCheckpoint()
     val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
-    val liveStore = store.crossJoin(broadcast(batchMax))
+    val liveRaw = store.crossJoin(broadcast(batchMax))
       .filter(col("_mx").isNull ||
         col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
       .select("bucket", "_sid", "_svec", "_ts")
+    // re-bucket on read when the quantizer changed (see scaladoc) —
+    // one O(store·k) assignment pass per change, then fast-path again
+    val liveStore =
+      if (quantizerCurrent) liveRaw
+      else liveRaw.drop("bucket")
+        .join(graft.textops.Similarity.assignBuckets(
+            liveRaw.select(col("_sid"), col("_svec")), "_sid", "_svec",
+            centroids, bucketCol, centroidVecCol)
+          .select(col("_sid"), col("bucket")), Seq("_sid"))
+        .select("bucket", "_sid", "_svec", "_ts")
     val cos = (a: Column, b: Column) => {
       val dot = graft.textops.Similarity.dot _
       gridSnap(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
@@ -885,7 +933,8 @@ object Streaming {
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
         col("_ts"))
-    (survivors, liveStore.unionByName(survStore))
+    (survivors,
+      liveStore.unionByName(survStore).withColumn("_qfp", lit(qfp)))
   }
 
   /** `foreachBatch` wrapper over the semantic batch step — same

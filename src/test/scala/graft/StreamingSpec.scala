@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
       "the republished fold must equal the eager store")
   }
 
+  test("semantic dedup: a grown quantizer re-buckets the store on read — cross-bucket near-dups still drop") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_semq").toString
+    val store = dir + "/store"
+    def emb(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def cents(rows: (Long, Seq[Double])*) = rows.toDF("b", "cv")
+    val c1 = cents(0L -> Seq(1.0, 1.0))
+    val c4 = cents(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    def step(b: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.DataFrame) =
+      Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+        c, "b", "cv", threshold = 0.9, store, retention = "10 days")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    // batch 1 under a 1-bucket quantizer: the vector admits, store
+    // files it under bucket 0
+    assert(step(emb((1L, Seq(1.0, 0.05), "2024-01-01 10:00:00")), c1)
+      === Seq(1L))
+    // the quantizer GROWS 1 → 4 buckets (the IVF convention): the
+    // near-dup probe now lands in NEW bucket 1 while its store twin is
+    // filed under OLD bucket 0 — without re-bucket-on-read the probe
+    // join would miss it and vec 2 would wrongly survive; a genuinely
+    // new direction (vec 4, bucket 2) still admits
+    assert(step(emb(
+      (2L, Seq(0.995, 0.04), "2024-01-01 10:10:00"),
+      (4L, Seq(-1.0, 0.02), "2024-01-01 10:10:00")), c4) === Seq(4L))
+    // the republish stamped the new fingerprint: a same-quantizer
+    // probe drops on the fast path (no re-bucket pass)
+    assert(step(emb((3L, Seq(0.99, 0.06), "2024-01-01 10:20:00")), c4)
+      === Seq.empty)
+  }
+
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_driftlate").toString
