@@ -515,9 +515,13 @@ object Streaming {
     *
     * Store-growth shape, MEASURED (SCALING.md "streaming state-STORE
     * growth"): per-batch cost of a fixed probe batch is flat across
-    * the first store decade and ~1.7× on the second (10.1M live
+    * the first store decade and ~1.8× on the second (10.1M live
     * shingles) — the O(live-store) scan + republish term, which the
-    * retention horizon bounds at steady state. For deployments whose
+    * retention horizon bounds at steady state. The amortized row
+    * (r14): pruneEvery = 10 cuts the L-point batch from 2.39 s to
+    * 1.47 s and the second-decade slope from 1.8× to 1.3× — the
+    * republish leaves the per-batch path, the scoring semi-join
+    * remains. For deployments whose
     * horizon outgrows the per-batch rewrite, `pruneEvery = N > 1`
     * AMORTIZES it over the same [[graft.lake.VersionedTable]]
     * manifest: non-republish batches `appendDelta` only the batch's

@@ -101,6 +101,29 @@ class StableMathSpec extends SparkSpec {
       "no constructed quotient exercised the round-vs-binary tie class")
   }
 
+  test("gridSnap == JVM floor formula at every scale the repo uses (k = 2, 4, 9, 10)") {
+    // the oracle packs snap at 2 (display scores), 4 (correlation,
+    // completeness pct), 6 (default), 9 (GD fixed-point), 10
+    // (PageRank per-iteration) — same bit-exactness contract per k
+    val gen = for {
+      cents <- Gen.choose(1L, 9999999L)
+      den <- Gen.oneOf(3, 7, 16, 64, 100, 320, 3200, 12800)
+    } yield (cents / 100.0, den)
+    val cases = (1 to 120).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for (k <- Seq(2, 4, 9, 10)) {
+      val got = cases.toDF("num", "den")
+        .select(col("num"), col("den"),
+          StableMath.gridSnap(col("num") / col("den"), k).as("snap"))
+        .as[(Double, Int, Double)].collect()
+      got.foreach { case (num, den, snap) =>
+        val want = jvmSnap(num / den, k)
+        assert(java.lang.Double.doubleToLongBits(snap) ===
+          java.lang.Double.doubleToLongBits(want),
+          s"k=$k $num/$den: spark=$snap jvm=$want")
+      }
+    }
+  }
+
   test("gridSnapSql renders the lockstep FLOOR formula") {
     assert(StableMath.gridSnapSql("x / y", 6) ===
       "FLOOR((x / y) * 1000000 + 0.5) / 1000000")
