@@ -135,16 +135,16 @@ object Anomaly {
       s"input columns ${clash.mkString(", ")} collide with madFlag's " +
         "working names (_med, _mad) — rename them first")
     val med = df.groupBy(col(keyCol))
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
+      .agg(expr(s"percentile(`$valueCol`, 0.5D)").as("_med"))
     val withMed = df.as("_mf_t")
       .join(med.as("_mf_m"),
-        col(s"_mf_t.$keyCol") <=> col(s"_mf_m.$keyCol"))
+        col(s"_mf_t.`$keyCol`") <=> col(s"_mf_m.`$keyCol`"))
       .select(col("_mf_t.*"), col("_mf_m._med").as("_med"))
     val mad = withMed.groupBy(col(keyCol))
-      .agg(expr(s"percentile(abs($valueCol - _med), 0.5D)").as("_mad"))
+      .agg(expr(s"percentile(abs(`$valueCol` - _med), 0.5D)").as("_mad"))
     withMed.as("_mf_w")
       .join(mad.as("_mf_s"),
-        col(s"_mf_w.$keyCol") <=> col(s"_mf_s.$keyCol"))
+        col(s"_mf_w.`$keyCol`") <=> col(s"_mf_s.`$keyCol`"))
       .select(col("_mf_w.*"), col("_mf_s._mad").as("_mad"))
       .withColumn("robust_z",
         when(col("_mad") > 0,
@@ -174,8 +174,8 @@ object Anomaly {
     require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
       s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
     val bounds = df.groupBy(col(keyCol)).agg(
-      expr(s"percentile($valueCol, ${loPct}D)").as("_lo"),
-      expr(s"percentile($valueCol, ${hiPct}D)").as("_hi"))
+      expr(s"percentile(`$valueCol`, ${loPct}D)").as("_lo"),
+      expr(s"percentile(`$valueCol`, ${hiPct}D)").as("_hi"))
     df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
         gridSnap(least(greatest(col(valueCol).cast("double"), col("_lo")),

@@ -83,6 +83,6 @@ object AsOf {
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_r.$c").as(c)): _*)
+        payloadCols.map(c => col(s"_r.`$c`").as(c)): _*)
   }
 }

@@ -76,7 +76,7 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("_qi_l"))
     val t = df.as("_ldiv_t")
     val s = stats.as("_ldiv_s")
-    val cond = qiCols.map(c => col(s"_ldiv_t.$c") <=> col(s"_ldiv_s.$c"))
+    val cond = qiCols.map(c => col(s"_ldiv_t.`$c`") <=> col(s"_ldiv_s.`$c`"))
       .reduce(_ && _)
     val joined = t.join(s, cond)
       .select(col("_ldiv_t.*"),
