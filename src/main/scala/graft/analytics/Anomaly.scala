@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Anomaly {
 
+  /** Backtick-quoted attribute reference: caller-supplied names may
+    * contain dots (raw CSV headers), which bare `col(...)` would
+    * dot-split into a nested-field path. */
+  private def bq(name: String) = expr(s"`$name`")
+
   /** Flag rows more than `sigma` sample standard deviations from their
     * group mean. Groups with fewer than 2 rows have undefined variance
     * and produce no flags. One aggregation + one broadcast-joinable
@@ -30,10 +35,10 @@ object Anomaly {
             sigma: Double = 3.0): DataFrame = {
     require(sigma > 0, s"sigma must be positive, got $sigma")
     val dec = DecimalType(38, 8)
-    val stats = df.groupBy(col(keyCol)).agg(
+    val stats = df.groupBy(bq(keyCol)).agg(
       count(lit(1)).as("_gn"),
-      sum(col(valueCol).cast(dec)).cast("double").as("_gsum"),
-      sum((col(valueCol).cast(dec) * col(valueCol).cast(dec))
+      sum(bq(valueCol).cast(dec)).cast("double").as("_gsum"),
+      sum((bq(valueCol).cast(dec) * bq(valueCol).cast(dec))
         .cast(DecimalType(38, 8))).cast("double").as("_gsumsq"))
     df.join(stats, keyCol)
       .withColumn("_gmean", col("_gsum") / col("_gn"))
@@ -42,7 +47,7 @@ object Anomaly {
           / (col("_gn") - 1))
       .withColumn("is_outlier",
         col("_gn") >= 2 &&
-          (col(valueCol) - col("_gmean")) * (col(valueCol) - col("_gmean"))
+          (bq(valueCol) - col("_gmean")) * (bq(valueCol) - col("_gmean"))
             > col("_gvar") * lit(sigma * sigma))
       .drop("_gn", "_gsum", "_gsumsq", "_gmean", "_gvar")
   }
@@ -66,9 +71,9 @@ object Anomaly {
   def momentsProfile(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val dec = DecimalType(38, 8)
     val dec4 = DecimalType(38, 4)
-    val x = col(valueCol).cast("double")
-    val rows = df.where(col(valueCol).isNotNull)
-    val agg = rows.groupBy(col(keyCol)).agg(
+    val x = bq(valueCol).cast("double")
+    val rows = df.where(bq(valueCol).isNotNull)
+    val agg = rows.groupBy(bq(keyCol)).agg(
       count(lit(1)).as("n"),
       sum(x.cast(dec)).cast("double").as("_s1"),
       sum((x * x).cast(dec)).cast("double").as("_s2"),
@@ -97,7 +102,7 @@ object Anomaly {
       .withColumn("excess_kurtosis",
         when(col("n") >= 3 && col("_m2") > 0,
           gridSnap(col("_m4") / (col("_m2") * col("_m2")) - lit(3.0), 6)))
-      .select(col(keyCol), col("n"), col("mean"), col("stddev_pop"),
+      .select(bq(keyCol), col("n"), col("mean"), col("stddev_pop"),
         col("skewness"), col("excess_kurtosis"))
   }
 
@@ -134,13 +139,13 @@ object Anomaly {
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with madFlag's " +
         "working names (_med, _mad) — rename them first")
-    val med = df.groupBy(col(keyCol))
+    val med = df.groupBy(bq(keyCol))
       .agg(expr(s"percentile(`$valueCol`, 0.5D)").as("_med"))
     val withMed = df.as("_mf_t")
       .join(med.as("_mf_m"),
         col(s"_mf_t.`$keyCol`") <=> col(s"_mf_m.`$keyCol`"))
       .select(col("_mf_t.*"), col("_mf_m._med").as("_med"))
-    val mad = withMed.groupBy(col(keyCol))
+    val mad = withMed.groupBy(bq(keyCol))
       .agg(expr(s"percentile(abs(`$valueCol` - _med), 0.5D)").as("_mad"))
     withMed.as("_mf_w")
       .join(mad.as("_mf_s"),
@@ -148,10 +153,10 @@ object Anomaly {
       .select(col("_mf_w.*"), col("_mf_s._mad").as("_mad"))
       .withColumn("robust_z",
         when(col("_mad") > 0,
-          gridSnap(lit(0.6745) * (col(valueCol) - col("_med")) / col("_mad"), 6)))
+          gridSnap(lit(0.6745) * (bq(valueCol) - col("_med")) / col("_mad"), 6)))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > cutoff,
-          col("_mad") === 0 && col(valueCol) =!= col("_med"), lit(false)))
+          col("_mad") === 0 && bq(valueCol) =!= col("_med"), lit(false)))
       .drop("_med", "_mad")
   }
 
@@ -173,17 +178,17 @@ object Anomaly {
                 loPct: Double = 0.01, hiPct: Double = 0.99): DataFrame = {
     require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
       s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
-    val bounds = df.groupBy(col(keyCol)).agg(
+    val bounds = df.groupBy(bq(keyCol)).agg(
       expr(s"percentile(`$valueCol`, ${loPct}D)").as("_lo"),
       expr(s"percentile(`$valueCol`, ${hiPct}D)").as("_hi"))
     df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
-        gridSnap(least(greatest(col(valueCol).cast("double"), col("_lo")),
+        gridSnap(least(greatest(bq(valueCol).cast("double"), col("_lo")),
           col("_hi")), 6))
       .withColumn("was_clipped",
-        col(valueCol).isNotNull &&
-          coalesce(col(valueCol) < col("_lo") ||
-            col(valueCol) > col("_hi"), lit(false)))
+        bq(valueCol).isNotNull &&
+          coalesce(bq(valueCol) < col("_lo") ||
+            bq(valueCol) > col("_hi"), lit(false)))
       .drop("_lo", "_hi")
   }
 }

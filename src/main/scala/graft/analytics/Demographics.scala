@@ -34,8 +34,8 @@ object Demographics {
     require(counts.nonEmpty, "need at least one (column, alias) pair")
     require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
     val aggs = counts.map { case (c, a) =>
-      if (exact) countDistinct(col(c)).as(a)
-      else approx_count_distinct(col(c), rsd).as(a)
+      if (exact) countDistinct(expr(s"`$c`")).as(a)
+      else approx_count_distinct(expr(s"`$c`"), rsd).as(a)
     } :+ count(lit(1)).as(rowCountAlias)
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -46,9 +46,9 @@ object Demographics {
     */
   def frequencyTable(df: DataFrame, col: String): DataFrame =
     df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(col)
+      .groupBy(expr(s"`$col`"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc(col))
+      .orderBy(desc("cnt"), expr(s"`$col`").asc)
 
   /** Top-K frequency (`value_counts().head(k)`). Sort+limit plans as
     * TakeOrderedAndProject — each partition keeps only k rows, the driver
@@ -62,7 +62,7 @@ object Demographics {
     * per key, then bucketed counts in a single second-stage aggregate.
     */
   def groupSizeHistogram(df: DataFrame, key: String): DataFrame = {
-    val sizes = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val sizes = df.groupBy(expr(s"`$key`")).agg(count(lit(1)).as("n"))
     sizes.agg(
       count(lit(1)).as("n_groups"),
       sum(when($("n") === 1, 1L).otherwise(0L)).as("size_1"),
@@ -108,7 +108,7 @@ object Demographics {
     */
   def shannonEntropy(df: DataFrame, col: String): DataFrame = {
     val counts = df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(col).agg(count(lit(1)).as("cnt"))
+      .groupBy(expr(s"`$col`")).agg(count(lit(1)).as("cnt"))
     counts
       .agg(sum($("cnt")).as("tot"),
            sum($("cnt") * log2($("cnt"))).as("wlog"))
@@ -159,7 +159,7 @@ object Demographics {
   /** Gini–Simpson diversity 1 − Σ p² (`demographics_analyzer.py:211-215`). */
   def giniSimpson(df: DataFrame, col: String): DataFrame = {
     val counts = df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(col).agg(count(lit(1)).as("cnt"))
+      .groupBy(expr(s"`$col`")).agg(count(lit(1)).as("cnt"))
     counts
       .agg(sum($("cnt")).as("tot"), sum($("cnt") * $("cnt")).as("sq"))
       .select(gridSnap(lit(1.0) - $("sq") / ($("tot") * $("tot")), 6).as("gini_simpson"),

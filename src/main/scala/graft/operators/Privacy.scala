@@ -30,10 +30,11 @@ object Privacy {
     require(qiCols.nonEmpty, "at least one quasi-identifier column required")
     require(!df.columns.contains("_qi_n"),
       "input already has a _qi_n column — rename it first")
-    val w = Window.partitionBy(qiCols.map(col): _*)
+    val w = Window.partitionBy(qiCols.map(c => expr(s"`$c`")): _*)
     qiCols.foldLeft(df.withColumn("_qi_n", count(lit(1)).over(w))) { (d, c) =>
       d.withColumn(c,
-        when(col("_qi_n") < k, lit("*")).otherwise(col(c).cast("string")))
+        when(col("_qi_n") < k, lit("*"))
+          .otherwise(expr(s"`$c`").cast("string")))
     }.drop("_qi_n")
   }
 
@@ -71,9 +72,9 @@ object Privacy {
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with lDiversify's " +
         "working names (_qi_n, _qi_l) — rename them first")
-    val stats = df.groupBy(qiCols.map(col): _*)
+    val stats = df.groupBy(qiCols.map(c => expr(s"`$c`")): _*)
       .agg(count(lit(1)).as("_qi_n"),
-        countDistinct(col(sensitiveCol)).as("_qi_l"))
+        countDistinct(expr(s"`$sensitiveCol`")).as("_qi_l"))
     val t = df.as("_ldiv_t")
     val s = stats.as("_ldiv_s")
     val cond = qiCols.map(c => col(s"_ldiv_t.`$c`") <=> col(s"_ldiv_s.`$c`"))
@@ -84,7 +85,7 @@ object Privacy {
     qiCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c,
         when(col("_qi_n") < k || col("_qi_l") < l, lit("*"))
-          .otherwise(col(c).cast("string")))
+          .otherwise(expr(s"`$c`").cast("string")))
     }.drop("_qi_n", "_qi_l")
   }
 

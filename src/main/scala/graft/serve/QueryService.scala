@@ -87,6 +87,6 @@ object QueryService {
                    listCols: Seq[String]): DataFrame = {
     val aggs = firstCols.map(c => first(expr(s"`$c`")).as(c)) ++
       listCols.map(c => sort_array(collect_list(expr(s"`$c`"))).as(s"${c}_list"))
-    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(expr(s"`$key`")).agg(aggs.head, aggs.tail: _*)
   }
 }
