@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * quotes defensively (the round-13 imputeByGroupMean advisory,
   * generalized). Each test would throw UNRESOLVED_COLUMN without the
   * quoting — asserting results, not just survival.
+  *
+  * CONTRACT BOUNDARY: the quoting guarantee covers the tiers that
+  * face raw external headers — `analytics`, `ingest`, `serve`,
+  * `operators.Privacy`, `operators.AsOf` payloads. The corpus-facing
+  * tiers (`textops`, `stream`, `multimodal`) take their column names
+  * from the documents/embeddings schemas, which are identifier-safe
+  * by construction; their operators require identifier-safe names
+  * (rename dotted columns before calling) rather than carrying 179
+  * defensive-quoting sites through SQL-fragment internals.
   */
 class DottedColumnSpec extends SparkSpec {
   import spark.implicits._
