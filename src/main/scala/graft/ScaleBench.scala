@@ -361,6 +361,12 @@ object ScaleBench {
           .parquet(s"$dir/documents.parquet")
       for (q <- Seq("q_g3_triangles", "q_g1_pagerank", "q_g2_label_prop",
           "q_t_exact_dedup", "q_t_minhash_lsh", "q_t_near_dedup")) {
+        // isolate measurements: earlier XL queries leave localCheckpoint
+        // blocks pinned in the 48g heap (chain_cc alone checkpoints a
+        // 1M-node relation per contraction round), and the biggest
+        // follow-on job would otherwise pay their GC/eviction pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
