@@ -162,6 +162,18 @@ object ScaleBench {
     // round-11: novelty — shingle explode + one semi join, linear
     "q_t_novelty")
 
+  /** Clear cross-query cache state before a timed measurement: earlier
+    * queries leave localCheckpoint blocks pinned in the heap (chain_cc
+    * alone checkpoints a 1M-node relation per contraction round at XL),
+    * and the next big job would otherwise pay their GC/eviction
+    * pressure — a shared-JVM harness artifact a per-job cluster never
+    * sees. Measured effect: q_g3_triangles 145→109 s at XL once
+    * isolated. */
+  private def isolate(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -205,6 +217,7 @@ object ScaleBench {
           // fatal error like a driver OOM the JVM is undefined, so
           // subsequent timings would be garbage — an under-provisioned
           // run must fail loudly, not publish partial growth rows.
+          isolate(spark)
           val times = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
             try {
@@ -243,6 +256,7 @@ object ScaleBench {
     for ((name, n) <- chainSizes) {
       val chain = spark.range(n - 1)
         .select(col("id").as("a"), (col("id") + 1).as("b"))
+      isolate(spark)
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -284,6 +298,7 @@ object ScaleBench {
         graft.lake.VersionedTable.appendDeleteDelta(
           spark.range(500).select((col("id") * 13 + 2).as("k")), root)
       }
+      isolate(spark)
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -315,6 +330,7 @@ object ScaleBench {
       val dir = s"/tmp/graft_scale/$name"
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val anchors = emb.filter(col("vec_id") < 32)
+      isolate(spark)
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -361,12 +377,7 @@ object ScaleBench {
           .parquet(s"$dir/documents.parquet")
       for (q <- Seq("q_g3_triangles", "q_g1_pagerank", "q_g2_label_prop",
           "q_t_exact_dedup", "q_t_minhash_lsh", "q_t_near_dedup")) {
-        // isolate measurements: earlier XL queries leave localCheckpoint
-        // blocks pinned in the 48g heap (chain_cc alone checkpoints a
-        // 1M-node relation per contraction round), and the biggest
-        // follow-on job would otherwise pay their GC/eviction pressure
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.catalog.clearCache()
+        isolate(spark)
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -402,6 +413,7 @@ object ScaleBench {
       // the densification regime is LSH's test, not AllPairs'.
       for (q <- Seq("q_t_minhash_lsh", "q_t_near_dedup",
           "q_t_jaccard_prefix", "q_t_cluster_split")) {
+        isolate(spark)
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
