@@ -460,6 +460,7 @@ object ScaleBench {
         fs.delete(new org.apache.hadoop.fs.Path(p), true); p
       }
       def timed(name: String, q: String)(runs: Seq[() => Unit]): Unit = {
+        isolate(spark)
         val times = runs.flatMap { r =>
           val t0 = System.nanoTime()
           try { r(); Some((System.nanoTime() - t0) / 1e9) }
@@ -637,6 +638,7 @@ object ScaleBench {
     val storeQs =
       if (args.contains("STORE"))
         Seq("q_store_neardedup_batch", "q_store_novelty_batch",
+          "q_store_novelty_amortized_batch",
           "q_store_kmv_batch", "q_store_kmv_group_batch",
           "q_store_drift_batch", "q_store_semdedup_batch")
       else Nil

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.floor
+import org.apache.spark.sql.functions.{abs, floor, isnan, when}
 
 /** Engine-stable decimal rounding for DOUBLE results that cross an
   * engine boundary (Spark result vs an external SQL oracle, a
@@ -32,14 +32,23 @@ import org.apache.spark.sql.functions.floor
   * library snaps — means, percentages, scores — that is ordinary
   * half-up). |x| must stay below 2^53/10^k for the grid to be exact;
   * at k = 6 that is ≈ 9·10^9, far above any snapped measure here.
+  * Non-finite inputs propagate unchanged (NaN → NaN, ±Inf → ±Inf):
+  * Spark's `floor` returns LONG, so the bare formula would collapse
+  * NaN to 0 and +Inf to Long.MaxValue/10^k while the oracle-side
+  * double-valued FLOOR propagates them — the guard keeps the two
+  * sides bit-identical on the full double domain, and matches what
+  * `round(_, k)` did before the sweep (a zero-norm embedding's NaN
+  * cosine must stay NaN, not become a rankable 0.0).
   */
 object StableMath {
-  /** `floor(x·10^k + 0.5) / 10^k` — see object doc. `k` must be a
-    * literal scale ≥ 0; the result is DOUBLE. */
+  /** `floor(x·10^k + 0.5) / 10^k`, non-finite inputs passed through —
+    * see object doc. `k` must be a literal scale ≥ 0; the result is
+    * DOUBLE. */
   def gridSnap(c: Column, k: Int): Column = {
     require(k >= 0 && k <= 12, s"gridSnap scale $k outside [0,12]")
     val p = math.pow(10, k)
-    floor(c * p + 0.5) / p
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, c)
+      .otherwise(floor(c * p + 0.5) / p)
   }
 
   /** The matching oracle-side SQL fragment, for keeping query and

@@ -933,20 +933,39 @@ object VersionedTable {
           !folded.contains(d))
     }
     val v = base
-    val horizon = versionTs(listVersions(spark, root).head)
+    vacuumDeltas(spark, root)
+    v
+  }
+
+  /** Remove delta dirs no retained-base reader can still need: a
+    * reader that resolved any RETAINED base B applies only deltas
+    * newer than B, so deltas (and marker-less crashed-append orphans)
+    * at or below the OLDEST retained base's timestamp are provably
+    * dead — the same horizon rule the base vacuum uses. This is the
+    * physical-cleanup half of [[compactDeltas]], callable on its own
+    * by paths that fold pending deltas through their own [[publish]]
+    * (e.g. the novelty gate's amortized republish) and would otherwise
+    * orphan every subsumed delta directory forever. Returns the
+    * removed names; no-op when the root has no published version.
+    */
+  def vacuumDeltas(spark: SparkSession, root: String): Seq[String] = {
+    val versions = listVersions(spark, root)
+    if (versions.isEmpty) return Seq.empty
+    val horizon = versionTs(versions.head)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    listDeltas(spark, root).filter(versionTs(_) <= horizon).foreach { d =>
+    val dead = listDeltas(spark, root).filter(versionTs(_) <= horizon)
+    dead.foreach { d =>
       fs.delete(new Path(rootP, s"$MarkerPrefix$d"), false)
       fs.delete(new Path(rootP, d), true)
     }
     val marked = listDeltas(spark, root).toSet
-    if (fs.exists(rootP)) {
-      fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+    val orphans =
+      if (!fs.exists(rootP)) Seq.empty[String]
+      else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
         .filter(n => n.startsWith(DeltaPrefix) && !marked.contains(n))
         .filter(n => versionTsOpt(n).exists(_ <= horizon))
-        .foreach(n => fs.delete(new Path(rootP, n), true))
-    }
-    v
+    orphans.foreach(n => fs.delete(new Path(rootP, n), true))
+    dead ++ orphans
   }
 }

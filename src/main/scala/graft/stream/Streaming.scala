@@ -39,6 +39,17 @@ object Streaming {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** splitmix64 finalizer — driver-side avalanche for combining the
+    * quantizer-fingerprint aggregate's three longs into one stamped
+    * value. Fixed constants, deterministic across sessions.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Event envelope (T1, `streaming_processor.py:34-43`), aligned with
     * the driver's events table.
     */
@@ -617,6 +628,11 @@ object Streaming {
       val newStore = liveStore.unionByName(admittedShingles)
         .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
       graft.lake.VersionedTable.publish(newStore, storePath)
+      // the new base subsumes the folded deltas; physically drop the
+      // ones no retained-base reader can still need, or every
+      // republish would orphan pruneEvery-1 delta dirs on disk forever
+      if (deltaPaths.nonEmpty)
+        graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
     } else {
       // fold within the batch (appendDelta's unique-key contract: a
       // shingle shared by several admitted docs lands once, newest ts)
@@ -826,16 +842,18 @@ object Streaming {
     * and real deployments GROW it with the corpus (the IVF
     * convention — bucket count scales so per-bucket pair work stays
     * bounded). Store rows therefore carry the fingerprint of the
-    * quantizer that bucketed them (`_qfp`, an order-independent
-    * bit_xor of per-centroid hashes): when a batch arrives with a
+    * quantizer that bucketed them (`_qfp`, an order-independent,
+    * duplicate-safe combine of per-centroid hashes — xor, exact sum
+    * and count, splitmix-finalized): when a batch arrives with a
     * DIFFERENT centroid set, the live store re-buckets on read
     * against the new centroids before the probe join — without this,
     * a probe assigned to a new bucket would never meet a store
     * twin filed under an old bucket id, silently missing near-dups —
     * and the republish stamps the new fingerprint, so the migration
     * pays one O(store·k) assignment pass per quantizer change, not
-    * per batch (a cheap single-column min/max aggregate decides the
-    * fast path). Stores written before this seam (no `_qfp` column)
+    * per batch (every published version is fingerprint-uniform by
+    * construction, so a limit-1 read decides the fast path at O(1)).
+    * Stores written before this seam (no `_qfp` column)
     * conservatively re-bucket.
     */
   def semanticDedupBatchStep(batch: DataFrame, idCol: String, vecCol: String,
@@ -864,15 +882,26 @@ object Streaming {
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    // quantizer fingerprint: order-independent bit_xor of per-centroid
-    // hashes — a k-row aggregate (planning-relation class)
-    val qfp: Long = centroids
+    // quantizer fingerprint: order-independent combine of per-centroid
+    // hashes — a k-row aggregate (planning-relation class). bit_xor
+    // alone is NOT duplicate-safe (duplicate centroid rows cancel
+    // pairwise, so {B} and {B,A,A} would collide and skip the
+    // re-bucket pass), so mix xor with the decimal-exact SUM of the
+    // hashes (duplicates ADD, never cancel; decimal dodges ANSI long
+    // overflow) and the row count.
+    val fpRow = centroids
       .select(xxhash64(to_json(struct(
           col(bucketCol).cast("long").as("b"),
           transform(col(centroidVecCol), x => x.cast("double")).as("v"))))
         .as("_h"))
-      .agg(expr("bit_xor(_h)").as("fp"))
-      .head().getLong(0)
+      .agg(expr("bit_xor(_h)").as("x"),
+        sum(col("_h").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    require(fpRow.getLong(2) > 0,
+      "semantic dedup needs a non-empty quantizer (centroids relation)")
+    val qfp: Long = mix64(mix64(fpRow.getLong(0) ^
+        fpRow.getDecimal(1).toBigInteger.longValue()) ^ fpRow.getLong(2))
     val store0 = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("bucket", LongType),
         StructField("_sid", LongType),
@@ -883,13 +912,14 @@ object Streaming {
     val store =
       if (store0.columns.contains("_qfp")) store0
       else store0.withColumn("_qfp", lit(null).cast("long"))
-    // single-column scan decides the fast path; every publish stamps
-    // one uniform fingerprint, so min==max==qfp ⇔ store is current
-    val fpStats = store.agg(min(col("_qfp")).as("mn"),
-      max(col("_qfp")).as("mx"), count(lit(1)).as("n")).head()
-    val quantizerCurrent = fpStats.getLong(2) == 0L ||
-      (!fpStats.isNullAt(0) && !fpStats.isNullAt(1) &&
-        fpStats.getLong(0) == qfp && fpStats.getLong(1) == qfp)
+    // every published version stamps ONE uniform fingerprint (the
+    // whole new store gets `lit(qfp)` below), so the FIRST row decides
+    // the fast path — a limit(1) that short-circuits after one row
+    // group, instead of a full-column min/max scan on every batch of
+    // the hot path; pre-seam rows read null → conservative re-bucket
+    val fpHead = store.select(col("_qfp")).limit(1).collect()
+    val quantizerCurrent = fpHead.isEmpty ||
+      (!fpHead(0).isNullAt(0) && fpHead(0).getLong(0) == qfp)
     val assigned = graft.textops.Similarity.assignBuckets(
         batch.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, bucketCol, centroidVecCol)

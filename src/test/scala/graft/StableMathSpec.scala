@@ -124,6 +124,28 @@ class StableMathSpec extends SparkSpec {
     }
   }
 
+  test("non-finite inputs propagate unchanged, matching the oracle-side double FLOOR") {
+    // Spark's floor returns LONG, so the bare formula would collapse
+    // NaN → 0 and +Inf → Long.MaxValue/10^k while DuckDB's
+    // double-valued FLOOR propagates them — the guard keeps both
+    // sides identical on the full double domain. (Under the session's
+    // ANSI mode division never yields NaN — it throws — but NaN/Inf
+    // arrive in DATA: an embedding with a NaN component propagates it
+    // through the dot product with no division involved, and that
+    // cosine must stay NaN, not become a rankable 0.0.)
+    val nan = sparkEval(StableMath.gridSnap(lit(Double.NaN), 6))
+    assert(nan.isNaN, s"NaN collapsed to $nan")
+    val pinf = sparkEval(StableMath.gridSnap(lit(Double.PositiveInfinity), 6))
+    assert(pinf.isPosInfinity, s"+Inf collapsed to $pinf")
+    val ninf = sparkEval(StableMath.gridSnap(lit(Double.NegativeInfinity), 6))
+    assert(ninf.isNegInfinity, s"-Inf collapsed to $ninf")
+    // and null stays null (nullable measures flow through the snap)
+    val row = Seq(1).toDF("one")
+      .select(StableMath.gridSnap(lit(null).cast("double"), 6).as("v"))
+      .head()
+    assert(row.isNullAt(0))
+  }
+
   test("gridSnapSql renders the lockstep FLOOR formula") {
     assert(StableMath.gridSnapSql("x / y", 6) ===
       "FLOOR((x / y) * 1000000 + 0.5) / 1000000")

@@ -274,6 +274,84 @@ class StreamingSpec extends SparkSpec {
       "the republished fold must equal the eager store")
   }
 
+  test("amortized novelty republish physically vacuums subsumed deltas past the reader horizon") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    val store = java.nio.file.Files.createTempDirectory("graft_novvac")
+      .toString + "/nv"
+    def step(id: Long) =
+      Streaming.noveltyGateBatchStep(
+        Seq((id, s"fresh words for batch $id", "2024-01-01 10:00:00"))
+          .toDF("doc_id", "text", "tss")
+          .withColumn("ts", col("tss").cast("timestamp")).drop("tss"),
+        "doc_id", "text", "ts", store, minNovelty = 0.0,
+        retention = "1 hour", pruneEvery = 2).count()
+    def deltaDirsOnDisk = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+      .map(_.getName).sorted.toSeq
+    step(1) // bootstrap publish R1
+    step(2) // delta D1
+    val d1 = VersionedTable.listDeltas(spark, store).head
+    step(3) // republish R2 — D1 subsumed but > oldest retained base: kept
+    assert(VersionedTable.pendingDeltas(spark, store).isEmpty)
+    assert(deltaDirsOnDisk.contains(d1),
+      "a delta a retained-base reader could still apply must survive")
+    step(4) // delta D2
+    step(5) // republish R3 — horizon still R1's ts: D1 kept
+    step(6) // delta D3
+    step(7) // republish R4 drops base R1; horizon advances to R2's ts,
+            // which dominates D1 → D1's directory is provably dead
+    assert(!deltaDirsOnDisk.contains(d1),
+      "republish must physically remove deltas past the reader horizon " +
+        "(without this every republish orphans pruneEvery-1 dirs forever)")
+    assert(deltaDirsOnDisk.size === 2, // D2, D3 still inside the horizon
+      s"expected exactly D2+D3 on disk, got $deltaDirsOnDisk")
+  }
+
+  test("quantizer fingerprint is duplicate-safe: XOR-cancelling duplicate centroids still trigger the re-bucket pass") {
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_semqdup").toString
+    val store = dir + "/store"
+    def emb(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def cents(rows: (Long, Seq[Double])*) = rows.toDF("b", "cv")
+    def step(b: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.DataFrame) =
+      Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+        c, "b", "cv", threshold = 0.9, store, retention = "10 days")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    val c1 = cents(0L -> Seq(1.0, 1.0))
+    // grows by TWO IDENTICAL rows: their per-row hashes XOR-cancel, so
+    // a bit_xor-only fingerprint would collide with c1's and silently
+    // skip the re-bucket pass (duplicate centroids happen with
+    // degenerate k-means init); the sum⊕count combine must not
+    val cDup = cents(0L -> Seq(1.0, 1.0),
+      1L -> Seq(0.0, 1.0), 1L -> Seq(0.0, 1.0))
+    assert(step(emb((1L, Seq(0.05, 1.0), "2024-01-01 10:00:00")), c1)
+      === Seq(1L)) // filed under old bucket 0
+    // probe lands in NEW bucket 1; its near-dup twin sits under old
+    // bucket 0 — only the fingerprint-triggered re-bucket finds it
+    assert(step(emb((2L, Seq(0.06, 1.0), "2024-01-01 10:10:00")), cDup)
+      === Seq.empty,
+      "duplicate-grown quantizer read as unchanged — near-dup admitted")
+  }
+
+  test("semantic dedup refuses an empty quantizer") {
+    import graft.stream.Streaming
+    val store = java.nio.file.Files.createTempDirectory("graft_semq0")
+      .toString + "/store"
+    val batch = Seq((1L, Seq(1.0, 0.0), "2024-01-01 10:00:00"))
+      .toDF("vec_id", "embedding", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("b", "cv")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.semanticDedupBatchStep(batch, "vec_id", "embedding", "ts",
+        empty, "b", "cv", threshold = 0.9, store, retention = "1 hour")
+    }
+    assert(e.getMessage.contains("non-empty quantizer"))
+  }
+
   test("semantic dedup: a grown quantizer re-buckets the store on read — cross-bucket near-dups still drop") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_semq").toString
