@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.{bq, bqSql}
 import graft.functions.StableMath.gridSnap
 import org.apache.spark.sql.types.DecimalType
 
@@ -19,11 +20,6 @@ import org.apache.spark.sql.types.DecimalType
   * possibly-zero deviation.
   */
 object Anomaly {
-
-  /** Backtick-quoted attribute reference: caller-supplied names may
-    * contain dots (raw CSV headers), which bare `col(...)` would
-    * dot-split into a nested-field path. */
-  private def bq(name: String) = expr(s"`$name`")
 
   /** Flag rows more than `sigma` sample standard deviations from their
     * group mean. Groups with fewer than 2 rows have undefined variance
@@ -140,16 +136,16 @@ object Anomaly {
       s"input columns ${clash.mkString(", ")} collide with madFlag's " +
         "working names (_med, _mad) — rename them first")
     val med = df.groupBy(bq(keyCol))
-      .agg(expr(s"percentile(`$valueCol`, 0.5D)").as("_med"))
+      .agg(expr(s"percentile(${bqSql(valueCol)}, 0.5D)").as("_med"))
     val withMed = df.as("_mf_t")
       .join(med.as("_mf_m"),
-        col(s"_mf_t.`$keyCol`") <=> col(s"_mf_m.`$keyCol`"))
+        bq("_mf_t", keyCol) <=> bq("_mf_m", keyCol))
       .select(col("_mf_t.*"), col("_mf_m._med").as("_med"))
     val mad = withMed.groupBy(bq(keyCol))
-      .agg(expr(s"percentile(abs(`$valueCol` - _med), 0.5D)").as("_mad"))
+      .agg(expr(s"percentile(abs(${bqSql(valueCol)} - _med), 0.5D)").as("_mad"))
     withMed.as("_mf_w")
       .join(mad.as("_mf_s"),
-        col(s"_mf_w.`$keyCol`") <=> col(s"_mf_s.`$keyCol`"))
+        bq("_mf_w", keyCol) <=> bq("_mf_s", keyCol))
       .select(col("_mf_w.*"), col("_mf_s._mad").as("_mad"))
       .withColumn("robust_z",
         when(col("_mad") > 0,
@@ -179,8 +175,8 @@ object Anomaly {
     require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
       s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
     val bounds = df.groupBy(bq(keyCol)).agg(
-      expr(s"percentile(`$valueCol`, ${loPct}D)").as("_lo"),
-      expr(s"percentile(`$valueCol`, ${hiPct}D)").as("_hi"))
+      expr(s"percentile(${bqSql(valueCol)}, ${loPct}D)").as("_lo"),
+      expr(s"percentile(${bqSql(valueCol)}, ${hiPct}D)").as("_hi"))
     df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_winsor",
         gridSnap(least(greatest(bq(valueCol).cast("double"), col("_lo")),

@@ -3,6 +3,7 @@ package graft.analytics
 import graft.functions.StableMath.gridSnap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 
 /** Composable analytics query functions — the Spark-native equivalent of
   * the reference's demographics analyzer
@@ -34,8 +35,8 @@ object Demographics {
     require(counts.nonEmpty, "need at least one (column, alias) pair")
     require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
     val aggs = counts.map { case (c, a) =>
-      if (exact) countDistinct(expr(s"`$c`")).as(a)
-      else approx_count_distinct(expr(s"`$c`"), rsd).as(a)
+      if (exact) countDistinct(bq(c)).as(a)
+      else approx_count_distinct(bq(c), rsd).as(a)
     } :+ count(lit(1)).as(rowCountAlias)
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -45,10 +46,10 @@ object Demographics {
     * map-side partial counts first.
     */
   def frequencyTable(df: DataFrame, col: String): DataFrame =
-    df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(expr(s"`$col`"))
+    df.filter(bq(col).isNotNull)
+      .groupBy(bq(col))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), expr(s"`$col`").asc)
+      .orderBy(desc("cnt"), bq(col).asc)
 
   /** Top-K frequency (`value_counts().head(k)`). Sort+limit plans as
     * TakeOrderedAndProject — each partition keeps only k rows, the driver
@@ -62,7 +63,7 @@ object Demographics {
     * per key, then bucketed counts in a single second-stage aggregate.
     */
   def groupSizeHistogram(df: DataFrame, key: String): DataFrame = {
-    val sizes = df.groupBy(expr(s"`$key`")).agg(count(lit(1)).as("n"))
+    val sizes = df.groupBy(bq(key)).agg(count(lit(1)).as("n"))
     sizes.agg(
       count(lit(1)).as("n_groups"),
       sum(when($("n") === 1, 1L).otherwise(0L)).as("size_1"),
@@ -81,8 +82,8 @@ object Demographics {
     * differently across engines).
     */
   def lengthStats(df: DataFrame, col: String): DataFrame = {
-    val len = length(expr(s"`$col`"))
-    df.filter(expr(s"`$col`").isNotNull).agg(
+    val len = length(bq(col))
+    df.filter(bq(col).isNotNull).agg(
       gridSnap(avg(len), 6).as("avg_len"),
       min(len).as("min_len"),
       max(len).as("max_len"),
@@ -107,8 +108,8 @@ object Demographics {
     * so the float sum is stable across summation orders.
     */
   def shannonEntropy(df: DataFrame, col: String): DataFrame = {
-    val counts = df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(expr(s"`$col`")).agg(count(lit(1)).as("cnt"))
+    val counts = df.filter(bq(col).isNotNull)
+      .groupBy(bq(col)).agg(count(lit(1)).as("cnt"))
     counts
       .agg(sum($("cnt")).as("tot"),
            sum($("cnt") * log2($("cnt"))).as("wlog"))
@@ -140,8 +141,8 @@ object Demographics {
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     val j = df
-      .where(expr(s"`$xCol`").isNotNull && expr(s"`$yCol`").isNotNull)
-      .groupBy(expr(s"`$xCol`").as("_x"), expr(s"`$yCol`").as("_y"))
+      .where(bq(xCol).isNotNull && bq(yCol).isNotNull)
+      .groupBy(bq(xCol).as("_x"), bq(yCol).as("_y"))
       .agg(count(lit(1)).as("_c"))
     val n = j.agg(sum($("_c")).as("_n"))
     val mx = j.groupBy("_x").agg(sum($("_c")).as("_cx"))
@@ -158,8 +159,8 @@ object Demographics {
 
   /** Gini–Simpson diversity 1 − Σ p² (`demographics_analyzer.py:211-215`). */
   def giniSimpson(df: DataFrame, col: String): DataFrame = {
-    val counts = df.filter(expr(s"`$col`").isNotNull)
-      .groupBy(expr(s"`$col`")).agg(count(lit(1)).as("cnt"))
+    val counts = df.filter(bq(col).isNotNull)
+      .groupBy(bq(col)).agg(count(lit(1)).as("cnt"))
     counts
       .agg(sum($("cnt")).as("tot"), sum($("cnt") * $("cnt")).as("sq"))
       .select(gridSnap(lit(1.0) - $("sq") / ($("tot") * $("tot")), 6).as("gini_simpson"),
@@ -172,7 +173,7 @@ object Demographics {
     */
   def tokenTopK(df: DataFrame, col: String, k: Int,
                 tokenPattern: String = "^[a-zA-Z]{3,}$"): DataFrame =
-    df.select(explode(split(expr(s"`$col`"), " ")).as("word"))
+    df.select(explode(split(bq(col), " ")).as("word"))
       .filter($("word").rlike(tokenPattern))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
@@ -185,7 +186,7 @@ object Demographics {
     df.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap { c =>
-        val cc = expr(s"`$c`")
+        val cc = bq(c)
         Seq(sum(when(cc.isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
             gridSnap(avg(when(cc.isNull, 0.0).otherwise(1.0)) * 100, 4)
               .as(s"${c}_completeness_pct"))

@@ -2,6 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 
 /** Declarative data-quality expectations — the engine form of the
   * reference's scattered quality gates (`ingestion_pipeline.py:54-74`
@@ -78,7 +79,7 @@ object Expectations {
     require(constraints.nonEmpty, "at least one constraint is required")
     val aggs = constraints.map(c => coalesce(c.agg, lit(0L)).as(c.label))
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = constraints.flatMap(c => Seq(lit(c.label), col(s"`${c.label}`")))
+    val pairs = constraints.flatMap(c => Seq(lit(c.label), bq(c.label)))
     one.select(explode(map(pairs: _*)).as(Seq("constraint", "violations")))
       .select(col("constraint"), col("violations"),
         (col("violations") === 0L).as("passed"))

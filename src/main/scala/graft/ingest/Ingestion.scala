@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 import org.apache.spark.sql.types._
 import graft.functions.StableMath.gridSnap
 
@@ -218,14 +219,14 @@ object Ingestion {
     // dots (the frequencyTable convention), and an unquoted
     // col("alias.name.with.dot") would dot-split into a bogus
     // nested-field path instead of resolving the column.
-    val g = col(s"`$groupCol`")
-    val v = col(s"`$valueCol`")
+    val g = bq(groupCol)
+    val v = bq(valueCol)
     val means = df.groupBy(g)
       .agg((floor(sum(v.cast(dec)).cast("double")
         / count(v) * 1e6 + 0.5) / 1e6).as("_grp_mean"))
     df.as("_im_t")
       .join(means.as("_im_m"),
-        col(s"_im_t.`$groupCol`") <=> col(s"_im_m.`$groupCol`"), "left")
+        bq("_im_t", groupCol) <=> bq("_im_m", groupCol), "left")
       .select(col("_im_t.*"), col("_im_m._grp_mean").as("_grp_mean"))
       .withColumn(s"${valueCol}_imputed",
         coalesce(v.cast("double"), col("_grp_mean")))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for every left row, attach the single right row
@@ -83,6 +84,6 @@ object AsOf {
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_r.`$c`").as(c)): _*)
+        payloadCols.map(c => bq("_r", c).as(c)): _*)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 
 /** Privacy-preserving release operators (public k-anonymity model,
   * Sweeney 2002 "k-anonymity: a model for protecting privacy"). The
@@ -30,11 +31,11 @@ object Privacy {
     require(qiCols.nonEmpty, "at least one quasi-identifier column required")
     require(!df.columns.contains("_qi_n"),
       "input already has a _qi_n column — rename it first")
-    val w = Window.partitionBy(qiCols.map(c => expr(s"`$c`")): _*)
+    val w = Window.partitionBy(qiCols.map(c => bq(c)): _*)
     qiCols.foldLeft(df.withColumn("_qi_n", count(lit(1)).over(w))) { (d, c) =>
       d.withColumn(c,
         when(col("_qi_n") < k, lit("*"))
-          .otherwise(expr(s"`$c`").cast("string")))
+          .otherwise(bq(c).cast("string")))
     }.drop("_qi_n")
   }
 
@@ -72,12 +73,12 @@ object Privacy {
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with lDiversify's " +
         "working names (_qi_n, _qi_l) — rename them first")
-    val stats = df.groupBy(qiCols.map(c => expr(s"`$c`")): _*)
+    val stats = df.groupBy(qiCols.map(c => bq(c)): _*)
       .agg(count(lit(1)).as("_qi_n"),
-        countDistinct(expr(s"`$sensitiveCol`")).as("_qi_l"))
+        countDistinct(bq(sensitiveCol)).as("_qi_l"))
     val t = df.as("_ldiv_t")
     val s = stats.as("_ldiv_s")
-    val cond = qiCols.map(c => col(s"_ldiv_t.`$c`") <=> col(s"_ldiv_s.`$c`"))
+    val cond = qiCols.map(c => bq("_ldiv_t", c) <=> bq("_ldiv_s", c))
       .reduce(_ && _)
     val joined = t.join(s, cond)
       .select(col("_ldiv_t.*"),
@@ -85,7 +86,7 @@ object Privacy {
     qiCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c,
         when(col("_qi_n") < k || col("_qi_l") < l, lit("*"))
-          .otherwise(expr(s"`$c`").cast("string")))
+          .otherwise(bq(c).cast("string")))
     }.drop("_qi_n", "_qi_l")
   }
 

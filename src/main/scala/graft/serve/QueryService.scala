@@ -3,6 +3,7 @@ package graft.serve
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Cols.bq
 
 /** The reference's API query surface (`dl/src/api/main.py`) as library
   * functions. An HTTP layer is out of engine scope (SURVEY §3.2); these
@@ -15,7 +16,7 @@ object QueryService {
     * which `filter` drops.
     */
   def search(df: DataFrame, col: String, term: String): DataFrame =
-    df.filter(upper(expr(s"`$col`")).contains(term.toUpperCase))
+    df.filter(upper(bq(col)).contains(term.toUpperCase))
 
   /** Multi-column variant (`api/main.py:135` searches legal name OR
     * owner name): OR of per-column contains; null columns contribute
@@ -23,14 +24,14 @@ object QueryService {
     */
   def searchAny(df: DataFrame, cols: Seq[String], term: String): DataFrame =
     df.filter(cols.map(c =>
-      coalesce(upper(expr(s"`$c`")).contains(term.toUpperCase), lit(false)))
+      coalesce(upper(bq(c)).contains(term.toUpperCase), lit(false)))
       .reduce(_ || _))
 
   /** Point lookup by key (`api/main.py:178`). On a lake table partitioned
     * or bucketed by the key this prunes to one partition/bucket.
     */
   def pointLookup(df: DataFrame, key: String, value: Column): DataFrame =
-    df.filter(expr(s"`$key`") === value)
+    df.filter(bq(key) === value)
 
   /** Offset/limit pagination (`api/main.py:144-156`).
     *
@@ -74,7 +75,7 @@ object QueryService {
     */
   def paginateAfter(df: DataFrame, sortKey: String, lastKey: Option[Column],
                     limit: Int): DataFrame = {
-    val base = lastKey.fold(df)(k => df.filter(expr(s"`$sortKey`") > k))
+    val base = lastKey.fold(df)(k => df.filter(bq(sortKey) > k))
     base.orderBy(asc(sortKey)).limit(limit)
   }
 
@@ -85,8 +86,8 @@ object QueryService {
     */
   def groupCollect(df: DataFrame, key: String, firstCols: Seq[String],
                    listCols: Seq[String]): DataFrame = {
-    val aggs = firstCols.map(c => first(expr(s"`$c`")).as(c)) ++
-      listCols.map(c => sort_array(collect_list(expr(s"`$c`"))).as(s"${c}_list"))
-    df.groupBy(expr(s"`$key`")).agg(aggs.head, aggs.tail: _*)
+    val aggs = firstCols.map(c => first(bq(c)).as(c)) ++
+      listCols.map(c => sort_array(collect_list(bq(c))).as(s"${c}_list"))
+    df.groupBy(bq(key)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -33,6 +33,17 @@ class DottedColumnSpec extends SparkSpec {
     ("b", Some(5.0)), ("b", Some(5.0)))
     .toDF("k.g", "v.x")
 
+  test("the shared bq helper escapes an embedded backtick (and Cols.bqSql doubles it)") {
+    // the inline expr(s"`$c`") copies this helper replaced could not
+    // survive a backtick INSIDE a name; the shared helper doubles it
+    // per the Spark identifier-escape rule
+    assert(graft.functions.Cols.bqSql("a`b") === "`a``b`")
+    val weird = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k`g", "v")
+    val freq = Demographics.frequencyTable(weird, "k`g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freq === Seq(("x", 2L), ("y", 1L)))
+  }
+
   test("frequencyTable / topK group and tie-break on a dotted column") {
     val freq = Demographics.frequencyTable(df, "k.g")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
