@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{abs, floor, isnan, when}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, NullType}
 
 /** Engine-stable decimal rounding for DOUBLE results that cross an
   * engine boundary (Spark result vs an external SQL oracle, a
@@ -33,22 +37,37 @@ import org.apache.spark.sql.functions.{abs, floor, isnan, when}
   * half-up). |x| must stay below 2^53/10^k for the grid to be exact;
   * at k = 6 that is ≈ 9·10^9, far above any snapped measure here.
   * Non-finite inputs propagate unchanged (NaN → NaN, ±Inf → ±Inf):
-  * Spark's `floor` returns LONG, so the bare formula would collapse
-  * NaN to 0 and +Inf to Long.MaxValue/10^k while the oracle-side
-  * double-valued FLOOR propagates them — the guard keeps the two
-  * sides bit-identical on the full double domain, and matches what
-  * `round(_, k)` did before the sweep (a zero-norm embedding's NaN
-  * cosine must stay NaN, not become a rankable 0.0).
+  * Spark's `floor` returns LONG, so the naive Column formula would
+  * collapse NaN to 0 and +Inf to Long.MaxValue/10^k while the
+  * oracle-side double-valued FLOOR propagates them — the guard keeps
+  * the two sides bit-identical on the full double domain, and matches
+  * what `round(_, k)` did before the sweep (a NaN component in an
+  * embedding propagates a NaN cosine, which must stay NaN, not
+  * become a rankable 0.0).
+  *
+  * Implemented as a codegen'd Catalyst expression so the input
+  * evaluates ONCE: the Column-formula guard
+  * (`when(nonFinite(c), c).otherwise(floor(c·p + 0.5)/p)`) references
+  * `c` three times, and `FilterExec` does no subexpression
+  * elimination — in pair-filter hot paths (`cosine ≥ threshold` over
+  * candidate pairs) that re-evaluated the dot products per reference
+  * and measured q_t_cosine_pairs at 2.3× its committed min. One call
+  * into [[StableMath.snap]] restores single evaluation inside
+  * whole-stage codegen.
   */
 object StableMath {
+  /** JVM kernel — shared by interpreted eval and generated code.
+    * `p` is the precomputed 10^k. */
+  def snap(v: Double, p: Double): Double =
+    if (java.lang.Double.isFinite(v)) math.floor(v * p + 0.5) / p else v
+
   /** `floor(x·10^k + 0.5) / 10^k`, non-finite inputs passed through —
     * see object doc. `k` must be a literal scale ≥ 0; the result is
     * DOUBLE. */
   def gridSnap(c: Column, k: Int): Column = {
     require(k >= 0 && k <= 12, s"gridSnap scale $k outside [0,12]")
-    val p = math.pow(10, k)
-    when(isnan(c) || abs(c) === Double.PositiveInfinity, c)
-      .otherwise(floor(c * p + 0.5) / p)
+    ColumnBridge.column(
+      GridSnapExpr(ColumnBridge.expression(c.cast("double")), k))
   }
 
   /** The matching oracle-side SQL fragment, for keeping query and
@@ -59,4 +78,33 @@ object StableMath {
     val p = math.pow(10, k).toLong
     s"FLOOR(($expr) * $p + 0.5) / $p"
   }
+}
+
+/** The [[StableMath.gridSnap]] expression — see the object doc for the
+  * engine-stability derivation and why this is a native expression
+  * (single evaluation of the child in non-subexpression-eliminating
+  * operators like FilterExec).
+  */
+case class GridSnapExpr(child: Expression, k: Int) extends UnaryExpression {
+  private val p: Double = math.pow(10, k)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "grid_snap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      // NullType: a bare NULL literal — result is null, like built-ins.
+      case DoubleType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    StableMath.snap(input.asInstanceOf[Double], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StableMath.snap($c, ${p}D)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
