@@ -40,6 +40,15 @@ object GraftSqlFunctions {
         // width must be a literal int — it is baked into the codegen
         require(args(1).foldable, "poly_window_hash width must be a literal")
         args(1).eval().asInstanceOf[Number].intValue()
+      }))),
+    (FunctionIdentifier("grid_snap"),
+      new ExpressionInfo(classOf[GridSnapExpr].getName, "grid_snap"),
+      arity("grid_snap", 2)(args => GridSnapExpr(args.head, {
+        // scale must be a literal int — it is baked into the codegen
+        require(args(1).foldable, "grid_snap scale must be a literal")
+        val k = args(1).eval().asInstanceOf[Number].intValue()
+        require(k >= 0 && k <= 12, s"grid_snap scale $k outside [0,12]")
+        k
       }))))
 
   /** Register into a live session (tests, notebooks). Sessions built

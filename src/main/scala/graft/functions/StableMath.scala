@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, NullType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Engine-stable decimal rounding for DOUBLE results that cross an
   * engine boundary (Spark result vs an external SQL oracle, a
@@ -85,19 +84,16 @@ object StableMath {
   * (single evaluation of the child in non-subexpression-eliminating
   * operators like FilterExec).
   */
-case class GridSnapExpr(child: Expression, k: Int) extends UnaryExpression {
+case class GridSnapExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
   private val p: Double = math.pow(10, k)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "grid_snap"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      // NullType: a bare NULL literal — result is null, like built-ins.
-      case DoubleType | NullType => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a double argument, got ${other.sql}")
-    }
+  // numeric inputs auto-cast to double during analysis (the Scala
+  // wrapper casts explicitly; this covers SQL callers the same way)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
   override def nullSafeEval(input: Any): Any =
     StableMath.snap(input.asInstanceOf[Double], p)

@@ -29,6 +29,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(folded === 97L * 31 + 98)
   }
 
+  test("grid_snap SQL form: ties, non-finite passthrough, numeric implicit cast") {
+    GraftSqlFunctions.register(spark)
+    // the canonical 6-dp tie (see StableMathSpec): binary value sits
+    // BELOW its rendered tie, so the snap rounds down where round()
+    // rounds up
+    val tie = spark.sql("SELECT grid_snap(4264.78D / 64, 6) AS v")
+      .as[Double].collect().head
+    assert(tie === 66.637187)
+    // non-finite inputs pass through
+    assert(spark.sql("SELECT grid_snap(CAST('NaN' AS DOUBLE), 6) AS v")
+      .as[Double].collect().head.isNaN)
+    assert(spark.sql("SELECT grid_snap(CAST('Infinity' AS DOUBLE), 6) AS v")
+      .as[Double].collect().head.isPosInfinity)
+    // an INT input implicit-casts to double like the Column wrapper
+    assert(spark.sql("SELECT grid_snap(7, 2) AS v")
+      .as[Double].collect().head === 7.0)
+    // SQL form == Column API form
+    val df = Seq(4264.78 / 64, 0.1234565, -0.1234565).toDF("x")
+    df.createOrReplaceTempView("_ext_g")
+    val viaSql = spark.sql("SELECT grid_snap(x, 6) AS v FROM _ext_g")
+      .as[Double].collect().toSeq
+    val viaApi = df.select(
+        graft.functions.StableMath.gridSnap($"x", 6).as("v"))
+      .as[Double].collect().toSeq
+    assert(viaSql === viaApi)
+  }
+
   test("GraftExtensions injects every function into a session-extensions hook") {
     // Builder-path smoke test: applying the extension class to a fresh
     // SparkSessionExtensions must register without error (a brand-new
