@@ -60,20 +60,22 @@ object AsOf {
     // different right rows whenever a payload field is null.
     val rPayloadType = StructType(payloadCols.map(c => right.schema(c)).toArray)
     // Align the two sides on (keys, ts, tag, leftPayload…, _r struct).
+    // Every caller-supplied name goes through bq: keys, timestamps,
+    // payload and carried left columns may all be dotted raw headers.
     val lAligned = left
-      .withColumn("_ts", col(leftTs))
+      .withColumn("_ts", bq(leftTs))
       .withColumn("_tag", lit(1))
-      .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
-        leftCols.filterNot(keys.contains).map(col) :+
+      .select((keys.map(bq(_)) :+ col("_ts") :+ col("_tag")) ++
+        leftCols.filterNot(keys.contains).map(bq(_)) :+
         lit(null).cast(rPayloadType).as("_r"): _*)
     val rAligned = right
-      .filter(col(rightTs).isNotNull)
-      .withColumn("_ts", col(rightTs))
+      .filter(bq(rightTs).isNotNull)
+      .withColumn("_ts", bq(rightTs))
       .withColumn("_tag", lit(0))
-      .select((keys.map(col) :+ col("_ts") :+ col("_tag")) ++
+      .select((keys.map(bq(_)) :+ col("_ts") :+ col("_tag")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payloadCols.map(col): _*).as("_r"): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+        struct(payloadCols.map(bq(_)): _*).as("_r"): _*)
+    val w = Window.partitionBy(keys.map(bq(_)): _*)
       // forward = the same running pass over time reversed; at equal
       // ts the right row (tag 0) is seen first either way, so both
       // directions match exact-timestamp snapshots
@@ -83,7 +85,7 @@ object AsOf {
     lAligned.unionByName(rAligned)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.map(bq(_)) ++
         payloadCols.map(c => bq("_r", c).as(c)): _*)
   }
 }

@@ -42,7 +42,7 @@ object QueryService {
     * should pre-filter (the reference paginates small search results).
     */
   def paginate(df: DataFrame, sortKeys: Seq[String], offset: Int, limit: Int): DataFrame = {
-    val w = Window.orderBy(sortKeys.map(asc): _*)
+    val w = Window.orderBy(sortKeys.map(c => bq(c).asc): _*)
     df.withColumn("row_num", row_number().over(w))
       .filter(col("row_num") > offset && col("row_num") <= offset + limit)
   }
@@ -54,7 +54,7 @@ object QueryService {
     */
   def paginateWithMeta(df: DataFrame, sortKeys: Seq[String],
                        offset: Int, limit: Int): DataFrame = {
-    val w = Window.orderBy(sortKeys.map(asc): _*)
+    val w = Window.orderBy(sortKeys.map(c => bq(c).asc): _*)
     df.withColumn("row_num", row_number().over(w))
       .withColumn("total_count", count(lit(1)).over(Window.partitionBy()))
       .filter(col("row_num") > offset && col("row_num") <= offset + limit)
@@ -76,7 +76,7 @@ object QueryService {
   def paginateAfter(df: DataFrame, sortKey: String, lastKey: Option[Column],
                     limit: Int): DataFrame = {
     val base = lastKey.fold(df)(k => df.filter(bq(sortKey) > k))
-    base.orderBy(asc(sortKey)).limit(limit)
+    base.orderBy(bq(sortKey).asc).limit(limit)
   }
 
   /** Per-business nested record (`api/main.py:138-142`): group rows into

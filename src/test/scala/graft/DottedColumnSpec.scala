@@ -2,7 +2,7 @@ package graft
 
 import graft.analytics.{Anomaly, Demographics}
 import graft.ingest.Ingestion
-import graft.operators.Privacy
+import graft.operators.{AsOf, Privacy}
 import graft.serve.QueryService
 import org.apache.spark.sql.functions._
 
@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * quoting — asserting results, not just survival.
   *
   * CONTRACT BOUNDARY: the quoting guarantee covers the tiers that
-  * face raw external headers — `analytics`, `ingest`, `serve`,
-  * `operators.Privacy`, `operators.AsOf` payloads. The corpus-facing
+  * face raw external headers — `analytics`, `ingest`, `serve` (incl.
+  * the pagination sort keys), `operators.Privacy`, `operators.AsOf`
+  * (keys, timestamps, and payloads). The corpus-facing
   * tiers (`textops`, `stream`, `multimodal`) take their column names
   * from the documents/embeddings schemas, which are identifier-safe
   * by construction; their operators require identifier-safe names
@@ -94,6 +95,41 @@ class DottedColumnSpec extends SparkSpec {
     val g = QueryService.groupCollect(df, "k.g", Seq("v.x"), Seq("v.x"))
     assert(g.count() === 2L)
     assert(g.columns.toSeq === Seq("k.g", "v.x", "v.x_list"))
+  }
+
+  test("paginate / paginateWithMeta / paginateAfter order by a dotted sort key") {
+    // functions.asc(name) builds Column(name), which dot-splits — these
+    // three would throw UNRESOLVED_COLUMN without bq at the orderBy site
+    // (the round-14 serve-tier advisory)
+    val t = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("s.key", "v")
+    val p = QueryService.paginate(t, Seq("s.key"), offset = 1, limit = 1)
+    assert(p.select(col("`s.key`")).as[String].collect().toSeq === Seq("b"))
+    val pm = QueryService.paginateWithMeta(t, Seq("s.key"), offset = 0, limit = 2)
+      .collect()
+    assert(pm.map(_.getAs[String]("s.key")).toSeq === Seq("a", "b"))
+    assert(pm.head.getAs[Long]("total_count") === 3L)
+    assert(pm.head.getAs[Boolean]("has_more"))
+    val pa = QueryService.paginateAfter(t, "s.key", Some(lit("a")), limit = 2)
+    assert(pa.select(col("`s.key`")).as[String].collect().toSeq === Seq("b", "c"))
+  }
+
+  test("asofJoin carries dotted keys, timestamps, and payload columns") {
+    // struct(payloadCols.map(col)) dot-split the payload name before the
+    // quoted _r extraction was ever reached (round-14 advisory); now every
+    // caller-supplied name in AsOf goes through bq
+    val l = Seq(("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k2", 5L, "e3"))
+      .toDF("k.id", "l.ts", "ev.name")
+    val r = Seq(("k1", 10L, 1.0), ("k1", 15L, 2.0), ("k2", 99L, 9.0))
+      .toDF("k.id", "r.ts", "p.val")
+    val out = AsOf.asofJoin(l, r, Seq("k.id"), "l.ts", "r.ts", Seq("p.val"))
+    assert(out.columns.toSeq === Seq("k.id", "l.ts", "ev.name", "p.val"))
+    val m = out.collect().map(row => row.getAs[String]("ev.name") ->
+      Option(row.getAs[Any]("p.val"))).toMap
+    assert(m === Map("e1" -> Some(1.0), "e2" -> Some(2.0), "e3" -> None))
+    val fwd = AsOf.asofJoinForward(l, r, Seq("k.id"), "l.ts", "r.ts", Seq("p.val"))
+    val fm = fwd.collect().map(row => row.getAs[String]("ev.name") ->
+      Option(row.getAs[Any]("p.val"))).toMap
+    assert(fm === Map("e1" -> Some(1.0), "e2" -> None, "e3" -> Some(9.0)))
   }
 
   test("kAnonymize / lDiversify suppress on dotted quasi-identifiers") {
