@@ -628,6 +628,28 @@ object ScaleBench {
             threshold = 0.9999, sdRoot, retention = "3650 days")
             .count(): Unit
         }))
+        // amortized-republish variant (pruneEvery > 1, r15 — the
+        // semdedup twin of q_store_novelty_amortized_batch): probe
+        // batches append O(batch) survivor deltas instead of rewriting
+        // the d-double vector store; the bucketed probe join remains
+        val sdaRoot = fresh(s"/tmp/graft_scale/store/$name/semdedupa")
+        off = 0L
+        while (off < seedN) {
+          val hi = math.min(off + chunk, seedN)
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= off && col("vec_id") < hi),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdaRoot, retention = "3650 days").count()
+          off = hi
+        }
+        timed(name, "q_store_semdedup_amortized_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= 200000L + i * probeN &&
+              col("vec_id") < 200000L + (i + 1) * probeN),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdaRoot, retention = "3650 days",
+            pruneEvery = 10).count(): Unit
+        }))
       }
     }
 
@@ -640,7 +662,8 @@ object ScaleBench {
         Seq("q_store_neardedup_batch", "q_store_novelty_batch",
           "q_store_novelty_amortized_batch",
           "q_store_kmv_batch", "q_store_kmv_group_batch",
-          "q_store_drift_batch", "q_store_semdedup_batch")
+          "q_store_drift_batch", "q_store_semdedup_batch",
+          "q_store_semdedup_amortized_batch")
       else Nil
     for (q <- heavy ++ Seq("q_chain_cc", "q_mor_read", "q_hardneg_batch")
         ++ storeQs) {

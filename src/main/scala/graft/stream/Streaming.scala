@@ -855,31 +855,95 @@ object Streaming {
     * construction, so a limit-1 read decides the fast path at O(1)).
     * Stores written before this seam (no `_qfp` column)
     * conservatively re-bucket.
+    *
+    * AMORTIZED REPUBLISH (`pruneEvery = N > 1`, r15 — the same trade
+    * [[noveltyGateBatchStep]] got in r14): the eager path rewrites the
+    * FULL store (live rows ∪ survivors) every batch — an O(store)
+    * write term that dominates once the retention horizon holds more
+    * vectors than a batch admits. With `pruneEvery = N`, non-republish
+    * batches `appendDelta` only the batch's survivors (an O(batch)
+    * write of d-double rows), and every Nth batch the horizon-filtered
+    * merged view (base ∪ pending deltas) republishes as a fresh base
+    * and vacuums the subsumed delta dirs. The DECISION is unchanged in
+    * both modes — the store read is always base ∪ pending deltas and
+    * the horizon filter applies per batch — so on-time batches drop
+    * and admit identically to eager; what changes is that expiry is
+    * LOGICAL between republishes (physically-retained expired vectors
+    * mean a LATE batch can collide with vectors the eager form would
+    * already have dropped, for up to N−1 batches — the novelty gate's
+    * exact contract). Two semdedup-specific invariants: (a) deltas
+    * are stamped with the SAME `_qfp` as the base they overlay, and a
+    * batch that observes a CHANGED quantizer always republishes
+    * immediately regardless of the delta backlog — so every readable
+    * layer set stays fingerprint-uniform and the limit-1 fast-path
+    * probe stays O(1); (b) the republish fold collapses `_sid`
+    * duplicates (keep-newest), which only the logical-expiry corner
+    * can introduce (a late batch holding both a base row and its
+    * delta re-admission live). Eager (`pruneEvery = 1`) stays the
+    * default: the physical-expiry late-data contract is spec-pinned.
     */
   def semanticDedupBatchStep(batch: DataFrame, idCol: String, vecCol: String,
                              tsCol: String, centroids: DataFrame,
                              bucketCol: String, centroidVecCol: String,
                              threshold: Double, storePath: String,
-                             retention: String = "1 hour"): DataFrame = {
-    val (survivors, newStore) = semanticDedupBatchCompute(batch, idCol,
-      vecCol, tsCol, centroids, bucketCol, centroidVecCol, threshold,
-      storePath, retention)
-    // same manifest-versioned publish as nearDedupBatchStep — no window
-    graft.lake.VersionedTable.publish(newStore, storePath)
+                             retention: String = "1 hour",
+                             pruneEvery: Int = 1): DataFrame = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    val spark = batch.sparkSession
+    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+    val deltaPaths =
+      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+      else Seq.empty[String]
+    val (survivors, newStore, delta, quantizerCurrent) =
+      semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
+        bucketCol, centroidVecCol, threshold, storePath, retention,
+        deltaPaths)
+    semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
+      quantizerCurrent, newStore, delta)
     survivors
   }
 
+  /** Shared republish-vs-delta decision of [[semanticDedupBatchStep]]
+    * and [[semanticDedupWriter]]: republish on bootstrap, in eager
+    * mode, on a quantizer change (fingerprint uniformity — see the
+    * step scaladoc), and every `pruneEvery`-th batch (the pending
+    * backlog counts batches since the last republish); otherwise
+    * append the batch's survivors as an O(batch) delta.
+    */
+  private def semanticPublishOrDelta(spark: SparkSession, storePath: String,
+                                     hasBase: Boolean, deltaPaths: Seq[String],
+                                     pruneEvery: Int, quantizerCurrent: Boolean,
+                                     newStore: DataFrame, delta: DataFrame)
+      : Unit =
+    if (!hasBase || pruneEvery <= 1 || !quantizerCurrent ||
+        deltaPaths.size + 1 >= pruneEvery) {
+      graft.lake.VersionedTable.publish(newStore, storePath)
+      // the new base subsumes the folded deltas (same rationale as the
+      // novelty gate: without the vacuum every republish orphans
+      // pruneEvery-1 delta dirs on disk forever)
+      if (deltaPaths.nonEmpty)
+        graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
+    } else
+      graft.lake.VersionedTable.appendDelta(delta, storePath)
+
   /** Decision half of [[semanticDedupBatchStep]] — survivors plus the
-    * lazy next store, publish deferred to the caller (the
-    * [[semanticDedupWriter]] crash-consistency seam).
+    * lazy next store (full fold) AND the batch-only delta, publish
+    * deferred to the caller (the [[semanticDedupWriter]]
+    * crash-consistency seam and the amortized-republish choice).
+    * `deltaPaths` is the pending overlay the store read must union in
+    * (version names under the root; the callers list it once so the
+    * backlog count and the read agree). The returned Boolean is the
+    * quantizer fast-path verdict: false forces a republish so layers
+    * stay fingerprint-uniform.
     */
   private[graft] def semanticDedupBatchCompute(batch: DataFrame, idCol: String,
                                         vecCol: String, tsCol: String,
                                         centroids: DataFrame, bucketCol: String,
                                         centroidVecCol: String,
                                         threshold: Double, storePath: String,
-                                        retention: String)
-      : (DataFrame, DataFrame) = {
+                                        retention: String,
+                                        deltaPaths: Seq[String] = Seq.empty)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
     // quantizer fingerprint: order-independent combine of per-centroid
@@ -909,9 +973,17 @@ object Streaming {
         StructField("_ts", TimestampType),
         StructField("_qfp", LongType))))
     // pre-seam stores lack the fingerprint column: treat as stale
-    val store =
+    val storeBase =
       if (store0.columns.contains("_qfp")) store0
       else store0.withColumn("_qfp", lit(null).cast("long"))
+    // base ∪ pending deltas (amortized mode): deltas always carry _qfp
+    // and — by the forced-republish-on-change invariant — the SAME one
+    // as the base under them, so the union stays fingerprint-uniform
+    val store =
+      if (deltaPaths.isEmpty) storeBase
+      else storeBase.unionByName(
+        spark.read.parquet(deltaPaths.map(d => s"$storePath/$d"): _*)
+          .select("bucket", "_sid", "_svec", "_ts", "_qfp"))
     // every published version stamps ONE uniform fingerprint (the
     // whole new store gets `lit(qfp)` below), so the FIRST row decides
     // the fast path — a limit(1) that short-circuits after one row
@@ -967,8 +1039,21 @@ object Streaming {
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
         col("_ts"))
+    val merged = liveStore.unionByName(survStore)
+    // _sid duplicates exist only behind a delta overlay (a late batch
+    // can hold a base row AND its logically-expired-then-readmitted
+    // delta twin live at once); fold keep-newest at republish. The
+    // eager path has no overlay and skips the extra shuffle.
+    val folded =
+      if (deltaPaths.isEmpty) merged
+      else merged.groupBy(col("_sid"))
+        .agg(max(struct(col("_ts"), col("bucket"), col("_svec"))).as("_m"))
+        .select(col("_m.bucket").as("bucket"), col("_sid"),
+          col("_m._svec").as("_svec"), col("_m._ts").as("_ts"))
     (survivors,
-      liveStore.unionByName(survStore).withColumn("_qfp", lit(qfp)))
+      folded.withColumn("_qfp", lit(qfp)),
+      survStore.withColumn("_qfp", lit(qfp)),
+      quantizerCurrent)
   }
 
   /** `foreachBatch` wrapper over the semantic batch step — same
@@ -981,17 +1066,30 @@ object Streaming {
                           bucketCol: String, centroidVecCol: String,
                           threshold: Double, storePath: String,
                           survivorsPath: String, retention: String = "1 hour",
-                          compactEvery: Int = 10)
+                          compactEvery: Int = 10, pruneEvery: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val (survivors, newStore) = semanticDedupBatchCompute(batch, idCol,
-          vecCol, tsCol, centroids, bucketCol, centroidVecCol, threshold,
-          storePath, retention)
-        // O(batch) merge-on-read survivors sink (see nearDedupWriter)
+        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        val spark = batch.sparkSession
+        val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+        val deltaPaths =
+          if (hasBase)
+            graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+          else Seq.empty[String]
+        val (survivors, newStore, delta, quantizerCurrent) =
+          semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
+            bucketCol, centroidVecCol, threshold, storePath, retention,
+            deltaPaths)
+        // O(batch) merge-on-read survivors sink (see nearDedupWriter);
+        // sink commits BEFORE state, so a crash between the two
+        // converges on redelivery in both state modes (an amortized
+        // redelivery lands an identical-content delta; the store read
+        // then drops the batch against its own vectors → no-ops)
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
-        graft.lake.VersionedTable.publish(newStore, storePath)
+        semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths,
+          pruneEvery, quantizerCurrent, newStore, delta)
         ()
     }
 

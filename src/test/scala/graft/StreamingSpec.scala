@@ -337,6 +337,111 @@ class StreamingSpec extends SparkSpec {
       "duplicate-grown quantizer read as unchanged — near-dup admitted")
   }
 
+  test("semantic dedup pruneEvery: amortized deltas decide like eager, republish folds on schedule, expiry is logical between republishes") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_semprune").toString
+    val eagerStore = dir + "/eager"
+    val amortStore = dir + "/amort"
+    val cents = Seq(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0)).toDF("b", "cv")
+    def batch(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def ids(store: String, pe: Int) =
+        Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+          cents, "b", "cv", threshold = 0.9, store, retention = "1 hour",
+          pruneEvery = pe)
+          .select("vec_id").as[Long].collect().sorted.toSeq
+      val (e, a) = (ids(eagerStore, 1), ids(amortStore, 3))
+      assert(e === a, "amortized decisions diverged from eager")
+      e
+    }
+    // b1 bootstraps BOTH stores with a published base (no deltas yet)
+    assert(run(batch((1L, Seq(1.0, 0.05), "2024-01-01 10:00:00"))) === Seq(1L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    val baseV1 = VersionedTable.currentVersion(spark, amortStore)
+    // b2: near-dup of stored vec 1 drops, orthogonal vec 3 admits — the
+    // amortized store only appends a delta (base version untouched)
+    assert(run(batch(
+      (2L, Seq(0.995, 0.04), "2024-01-01 10:10:00"),
+      (3L, Seq(0.05, 1.0), "2024-01-01 10:11:00"))) === Seq(3L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 1)
+    assert(VersionedTable.currentVersion(spark, amortStore) === baseV1)
+    // b3 beyond retention: vec 1's twin re-admits (store row expired).
+    // Amortized: the base STILL physically holds vec 1 (logical expiry
+    // — the horizon filter excludes it at decision time); eager pruned
+    // it at publish
+    assert(run(batch((4L, Seq(0.99, 0.06), "2024-01-01 12:30:00")))
+      === Seq(4L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 2)
+    assert(VersionedTable.readCurrent(spark, amortStore)
+      .where(col("_sid") === 1L).count() === 1L,
+      "between republishes the base must retain expired vectors (logical expiry)")
+    assert(VersionedTable.readCurrent(spark, eagerStore)
+      .where(col("_sid") === 1L).count() === 0L,
+      "eager mode prunes physically every batch")
+    // b4 is the 3rd batch since republish → the amortized store folds:
+    // deltas subsumed + vacuumed, base identical to the eager store's
+    assert(run(batch((5L, Seq(0.98, 0.07), "2024-01-01 12:40:00")))
+      === Seq.empty)
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    assert(VersionedTable.currentVersion(spark, amortStore) !== baseV1)
+    def snapshot(store: String) = VersionedTable.readCurrent(spark, store)
+      .select("bucket", "_sid", "_ts", "_qfp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+        r.getLong(3))).sorted.toSeq
+    assert(snapshot(amortStore) === snapshot(eagerStore),
+      "the republished fold must equal the eager store")
+  }
+
+  test("semantic dedup pruneEvery: a quantizer change mid-cycle forces an immediate republish (fingerprint-uniform layers)") {
+    import graft.lake.VersionedTable
+    val store = java.nio.file.Files.createTempDirectory("graft_semqprune")
+      .toString + "/store"
+    def batch(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def cents(rows: (Long, Seq[Double])*) = rows.toDF("b", "cv")
+    val c1 = cents(0L -> Seq(1.0, 1.0))
+    val c4 = cents(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    def step(b: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.DataFrame) =
+      Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+        c, "b", "cv", threshold = 0.9, store, retention = "10 days",
+        pruneEvery = 5)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    // bootstrap base under the 1-bucket quantizer, then one delta
+    assert(step(batch((1L, Seq(1.0, 0.05), "2024-01-01 10:00:00")), c1)
+      === Seq(1L))
+    assert(step(batch((2L, Seq(0.05, 1.0), "2024-01-01 10:10:00")), c1)
+      === Seq(2L))
+    assert(VersionedTable.pendingDeltas(spark, store).size === 1)
+    val oldBase = VersionedTable.currentVersion(spark, store)
+    // the quantizer GROWS with two batches still owed before the next
+    // scheduled republish: the change must republish NOW — vec 3 is a
+    // near-dup of DELTA-resident vec 2 (filed under old bucket 0, now
+    // bucket 0 of a different quantizer) and must still drop, vec 4 is
+    // a new direction and admits
+    assert(step(batch(
+      (3L, Seq(0.06, 1.0), "2024-01-01 10:20:00"),
+      (4L, Seq(-1.0, 0.02), "2024-01-01 10:20:00")), c4) === Seq(4L))
+    assert(VersionedTable.pendingDeltas(spark, store).isEmpty,
+      "a quantizer change must force the republish (uniform _qfp layers)")
+    assert(VersionedTable.currentVersion(spark, store) !== oldBase)
+    val qfps = VersionedTable.readCurrent(spark, store)
+      .select("_qfp").distinct().as[Long].collect()
+    assert(qfps.length === 1, s"republished store must be fingerprint-uniform, got ${qfps.length} values")
+    // same-quantizer follow-up rides the O(1) fast path and appends a
+    // delta again (backlog restarted after the forced republish); an
+    // all-dropped batch's delta is empty — same contract as novelty
+    assert(step(batch((5L, Seq(0.98, 0.07), "2024-01-01 10:30:00")), c4)
+      === Seq.empty)
+    val pend = VersionedTable.pendingDeltas(spark, store)
+    assert(pend.size === 1, "backlog restarts after the forced republish")
+    assert(spark.read.parquet(s"$store/${pend.head}").count() === 0L)
+  }
+
   test("semantic dedup refuses an empty quantizer") {
     import graft.stream.Streaming
     val store = java.nio.file.Files.createTempDirectory("graft_semq0")
