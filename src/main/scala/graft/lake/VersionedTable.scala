@@ -118,6 +118,72 @@ object VersionedTable {
       }
     }
 
+  /** Name of the parameter-fingerprint sidecar ([[requireParams]]).
+    * Underscore-prefixed so every listing path (markers, versions,
+    * deltas, [[requireVersionedOrEmpty]]'s foreign-file scan) ignores
+    * it, like parquet's own `_SUCCESS`.
+    */
+  val ParamsFile = "_params"
+
+  /** Parameter-fingerprint guard for stateful stores whose ROW VALUES
+    * are a function of per-call parameters — shingle width and hash
+    * family (novelty gate), LSH geometry (near-dedup bands), sketch
+    * size k (KMV), hashed feature dimension (online logistic),
+    * tokenizer version (drift monitor). Calling such a step with a
+    * CHANGED parameter silently mixes incompatible rows in one store:
+    * the old rows neither match nor error, they just stop colliding /
+    * bias the estimate — the same bug class the semdedup `_qfp`
+    * fingerprint closes for quantizer growth. Unlike the quantizer
+    * (whose store keeps raw vectors, so it can MIGRATE by
+    * re-bucketing on read), these stores keep one-way hashes or
+    * truncated sketches — no migration is possible, so the choice
+    * here is REJECT: the first batch stamps the parameter string into
+    * a `_params` sidecar at the store root, and a later batch with a
+    * different string fails loudly, telling the operator to rebase on
+    * a fresh store path (or revert the parameters).
+    *
+    * Seams, all deliberate: a pre-seam store (versions but no
+    * sidecar) ADOPTS the calling batch's parameters — legacy rows
+    * can't be verified, and refusing every existing store would force
+    * a rebase on upgrade; a sidecar over an UNPUBLISHED root (crashed
+    * bootstrap) is overwritten, the empty store simply adopts; the
+    * sidecar lands via create-then-rename so a concurrent reader
+    * never sees a partial write (single-writer stores, like every
+    * sink here).
+    */
+  def requireParams(spark: SparkSession, root: String, params: String): Unit = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val pf = new Path(rootP, ParamsFile)
+    val existing: Option[String] =
+      if (fs.exists(pf)) {
+        val in = fs.open(pf)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } else None
+    existing match {
+      case Some(p) if p == params => ()
+      case Some(p) if isVersioned(spark, root) =>
+        throw new IllegalStateException(
+          s"store at $root was built with parameters [$p] but this step " +
+            s"was called with [$params] — its rows are not comparable " +
+            "under the new parameters and cannot be migrated (one-way " +
+            "hashes/sketches). Rebase on a fresh store path, or revert " +
+            "the parameters.")
+      case _ =>
+        // absent, or stale over an unpublished root: (re)stamp
+        val tmp = new Path(rootP,
+          s".${ParamsFile}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.exists(pf)) fs.delete(pf, false)
+        fs.rename(tmp, pf)
+        ()
+    }
+  }
+
   /** Read the current version. Fails (like any read of an absent
     * dataset) when nothing has been published.
     */

@@ -311,6 +311,11 @@ object Streaming {
                                     bands: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
+    // band keys are a one-way function of the LSH geometry — a changed
+    // parameter would silently stop old rows from colliding (O(1)
+    // sidecar check; see requireParams)
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      s"neardedup;shingleN=$shingleN;numHashes=$numHashes;bands=$bands;family=Xx64")
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("band", IntegerType),
         StructField("key", LongType), StructField("_ts", TimestampType))))
@@ -382,6 +387,13 @@ object Streaming {
                             storePath: String): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
+    // the tokenizer is fixed today (NFC-normalize + whitespace split),
+    // but the reference distribution is a function OF it — stamping
+    // the version means a future tokenizer change refuses to fold new
+    // tokens into a distribution counted under the old one, instead
+    // of silently reporting phantom drift
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      "drift;tokenizer=nfc-ws-v1")
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_tok", StringType),
         StructField("_c", LongType))))
@@ -438,6 +450,10 @@ object Streaming {
     import org.apache.spark.sql.types._
     require(k >= 2, s"sketch size must be at least 2, got $k")
     val spark = batch.sparkSession
+    // a k-truncated min-sketch cannot be widened later (the discarded
+    // mins are gone) nor narrowed safely — pin k to the store
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      s"kmv;hash=md5uniform;k=$k")
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_u", DoubleType))))
     val batchMins = batch.where(col(valueCol).isNotNull)
@@ -477,6 +493,9 @@ object Streaming {
     import org.apache.spark.sql.types._
     require(k >= 2, s"sketch size must be at least 2, got $k")
     val spark = batch.sparkSession
+    // same k-pinning rationale as the global sketch above
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      s"kmvgroup;hash=md5uniform;k=$k")
     val store = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_k", batch.schema(keyCol).dataType),
         StructField("_u", DoubleType))))
@@ -580,6 +599,10 @@ object Streaming {
       s"minNovelty must be in [0,1], got $minNovelty")
     require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
+    // stored shingle hashes are a one-way function of (width, family) —
+    // a changed parameter would silently score against incompatible rows
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      s"novelty;shingleN=$shingleN;family=$family")
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
     val deltaPaths =
       if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
@@ -1112,6 +1135,12 @@ object Streaming {
                               lr: Double, storePath: String,
                               batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
+    // weight rows are keyed by md5-hashed feature index mod dim — a
+    // changed dim remaps every index, so the prior weights would be
+    // silently applied to the wrong features (lr is step size only —
+    // deliberately not stamped, tuning it mid-stream is legitimate)
+    graft.lake.VersionedTable.requireParams(spark, storePath,
+      s"logistic;features=md5-token-share;dim=$dim")
     val prior =
       if (graft.lake.VersionedTable.isVersioned(spark, storePath))
         Some(graft.lake.VersionedTable.readCurrent(spark, storePath))

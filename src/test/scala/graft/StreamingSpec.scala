@@ -491,6 +491,59 @@ class StreamingSpec extends SparkSpec {
       === Seq.empty)
   }
 
+  test("stateful stores pin their state-shaping parameters: changed params reject loudly, pre-seam stores adopt") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfp").toString
+    def docBatch(id: Long) =
+      Seq((id, s"some fresh words for document $id", "2024-01-01 10:00:00"))
+        .toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    // novelty: same (shingleN, family) keeps working, a changed width
+    // rejects — stored shingle hashes are one-way, not migratable
+    val nv = dir + "/nv"
+    Streaming.noveltyGateBatchStep(docBatch(1), "doc_id", "text", "ts", nv,
+      minNovelty = 0.5, shingleN = 3).count()
+    Streaming.noveltyGateBatchStep(docBatch(2), "doc_id", "text", "ts", nv,
+      minNovelty = 0.5, shingleN = 3).count()
+    val e1 = intercept[IllegalStateException] {
+      Streaming.noveltyGateBatchStep(docBatch(3), "doc_id", "text", "ts", nv,
+        minNovelty = 0.5, shingleN = 4)
+    }
+    assert(e1.getMessage.contains("shingleN=3") &&
+      e1.getMessage.contains("shingleN=4") &&
+      e1.getMessage.contains("fresh store path"))
+    // KMV: a k-truncated sketch can be neither widened nor narrowed
+    val kv = dir + "/kmv"
+    Streaming.kmvDistinctBatchStep(spark.range(100).select(col("id").as("v")),
+      "v", kv, k = 64).collect()
+    val e2 = intercept[IllegalStateException] {
+      Streaming.kmvDistinctBatchStep(spark.range(100).select(col("id").as("v")),
+        "v", kv, k = 128)
+    }
+    assert(e2.getMessage.contains("k=64") && e2.getMessage.contains("k=128"))
+    // pre-seam adoption: a store that predates the sidecar (versions on
+    // disk, no _params) adopts the calling batch's parameters instead
+    // of refusing the upgrade — and enforces them from then on
+    val legacy = dir + "/legacy"
+    VersionedTable.publish(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("shingle", "_ts"), legacy)
+    assert(!new java.io.File(s"$legacy/${VersionedTable.ParamsFile}").exists())
+    Streaming.noveltyGateBatchStep(docBatch(4), "doc_id", "text", "ts",
+      legacy, minNovelty = 0.5, shingleN = 5).count()
+    assert(new java.io.File(s"$legacy/${VersionedTable.ParamsFile}").exists())
+    intercept[IllegalStateException] {
+      Streaming.noveltyGateBatchStep(docBatch(5), "doc_id", "text", "ts",
+        legacy, minNovelty = 0.5, shingleN = 3)
+    }
+    // an unpublished root (crashed bootstrap: sidecar landed, no
+    // version) re-adopts silently — there is no state to protect
+    val crashed = dir + "/crashed"
+    VersionedTable.requireParams(spark, crashed, "novelty;shingleN=9;family=Xx64")
+    Streaming.noveltyGateBatchStep(docBatch(6), "doc_id", "text", "ts",
+      crashed, minNovelty = 0.5, shingleN = 3).count()
+  }
+
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_driftlate").toString
