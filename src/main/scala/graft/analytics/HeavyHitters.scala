@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.functions.Cols.bq
 import graft.functions.MisraGriesAggregator.mgSketch
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -47,8 +48,8 @@ object HeavyHitters {
     require(topN > 0, s"topN must be positive, got $topN")
     require(counters >= topN,
       s"counter budget $counters cannot resolve a top-$topN")
-    val keyed = df.where(col(keyCol).isNotNull)
-      .select(col(keyCol).cast("string").as("key"))
+    val keyed = df.where(bq(keyCol).isNotNull)
+      .select(bq(keyCol).cast("string").as("key"))
     val cands = keyed.agg(mgSketch(counters, col("key")).as("sketch"))
       .select(explode(map_keys(col("sketch"))).as("key"))
     keyed.join(broadcast(cands), Seq("key"), "left_semi")
@@ -72,8 +73,8 @@ object HeavyHitters {
     require(topN > 0, s"topN must be positive, got $topN")
     require(counters >= topN,
       s"counter budget $counters cannot resolve a top-$topN")
-    val keyed = df.where(col(keyCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(keyCol).cast("string").as("key"))
+    val keyed = df.where(bq(keyCol).isNotNull && bq(groupCol).isNotNull)
+      .select(bq(groupCol).as("grp"), bq(keyCol).cast("string").as("key"))
     val cands = keyed.groupBy("grp")
       .agg(mgSketch(counters, col("key")).as("sketch"))
       .select(col("grp"), explode(map_keys(col("sketch"))).as("key"))

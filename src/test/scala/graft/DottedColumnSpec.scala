@@ -132,6 +132,20 @@ class DottedColumnSpec extends SparkSpec {
     assert(fm === Map("e1" -> Some(1.0), "e2" -> None, "e3" -> Some(9.0)))
   }
 
+  test("topHeavy / topHeavyPerGroup sketch and verify over dotted key columns") {
+    val t = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "z"), ("g2", "z"), ("g2", "z")).toDF("grp.id", "tok.v")
+    val top = graft.analytics.HeavyHitters.topHeavy(t, "tok.v",
+        counters = 8, topN = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("z", 3L)))
+    val per = graft.analytics.HeavyHitters.topHeavyPerGroup(t, "grp.id",
+        "tok.v", counters = 8, topN = 1)
+      .collect().map(r => (r.getAs[String]("grp.id"), r.getAs[String]("key"),
+        r.getAs[Long]("cnt"))).sorted.toSeq
+    assert(per === Seq(("g1", "x", 2L), ("g2", "z", 3L)))
+  }
+
   test("kAnonymize / lDiversify suppress on dotted quasi-identifiers") {
     val t = Seq(("x", "s1", 1), ("x", "s2", 2), ("x", "s3", 3),
       ("y", "s1", 4)).toDF("q.i", "sens.v", "row.id")

@@ -48,6 +48,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_g1_pagerank" -> "iterative PageRank mass sums",
     "q_w14_ewma" -> "EWMA recurrence",
     "q_t_kmeans" -> "k-means centroid reduction",
+    "q_t_jsd" -> "JSD mixture-term DECIMAL sums",
+    "q_t_bm25" -> "BM25 per-term score sums",
+    "q_t_quality_model" -> "logistic-regression GD weight folds",
+    "q_a17_quantiles" -> "percentile interpolation",
   )
 
   /** Bit-exact canonical form: doubles/floats render as raw bit
