@@ -219,6 +219,16 @@ object Streaming {
     * keys ≤ k — the spec's regime); consumers needing exact figures
     * re-count candidates against the at-rest data, as the batch
     * operator does.
+    *
+    * RESTART CONTRACT: `counters` and `shards` are state-shaping and
+    * must not change across a checkpoint restart — a changed shard
+    * count remaps every key to a different state group (old sketches
+    * strand under dead shard ids, the per-shard retention guarantee
+    * silently breaks). This state lives in Spark's own checkpoint, so
+    * the `VersionedTable.requireParams` sidecar that pins the
+    * manifest-versioned stores cannot guard it — restart with changed
+    * parameters REQUIRES a fresh checkpoint location (Spark enforces
+    * state SCHEMA compatibility, not parameter semantics).
     */
   def streamingHeavyHitters(rows: DataFrame, keyCol: String,
                             counters: Int, shards: Int = 32): DataFrame = {
