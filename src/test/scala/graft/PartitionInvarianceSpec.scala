@@ -106,6 +106,86 @@ class PartitionInvarianceSpec extends SparkSpec {
     "spark.sql.files.openCostInBytes" -> "0",
   )
 
+  /** The stateful streaming steps claim the same invariance but WRITE
+    * state, so the comparison runs each step sequence into a FRESH
+    * store per config and compares both the per-batch results and the
+    * final published store contents — this pins the r15 delta-fold
+    * paths (amortized republish) against partition-order sensitivity
+    * too, which the read-only families above can't reach.
+    */
+  test("stateful steps (novelty, semdedup amortized, KMV) publish bit-identical state across partitionings") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_pinv").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text(i: Int) =
+      (0 until 8).map(j => words((i * 3 + j * 5) % words.length)).mkString(" ")
+    def docBatch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, text(i),
+        s"2024-01-01 10:${10 + i % 40}:00"))
+        .toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def vec(i: Int) = (0 until 8).map(d =>
+      math.sin(i % 7 + d).abs + (if (i % 3 == 0) 1.0 else 0.1) * d)
+    def vecBatch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, vec(i),
+        s"2024-01-01 10:${10 + i % 40}:00"))
+        .toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val cents = Seq(0L -> Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)).toDF("b", "cv")
+
+    def runAll(tag: String, conf: Map[String, String]): Seq[String] = {
+      val saved = varied.map(k => k -> spark.conf.getOption(k))
+      try {
+        varied.foreach(spark.conf.unset)
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        // novelty gate, amortized (two batches: append-delta, republish)
+        val nv = s"$base/$tag/nv"
+        for ((lo, hi) <- Seq((0, 60), (40, 120)))
+          out += Streaming.noveltyGateBatchStep(docBatch(lo, hi), "doc_id",
+              "text", "ts", nv, minNovelty = 0.3, retention = "10 days",
+              pruneEvery = 2)
+            .select("doc_id", "novelty").collect().map(canon).sorted
+            .mkString("|")
+        out += VersionedTable.readCurrent(spark, nv)
+          .collect().map(canon).sorted.mkString("|")
+        // semantic dedup, amortized
+        val sd = s"$base/$tag/sd"
+        for ((lo, hi) <- Seq((0, 60), (40, 120)))
+          out += Streaming.semanticDedupBatchStep(vecBatch(lo, hi), "vec_id",
+              "embedding", "ts", cents, "b", "cv", threshold = 0.95, sd,
+              retention = "10 days", pruneEvery = 2)
+            .select("vec_id").as[Long].collect().sorted.mkString(",")
+        out += VersionedTable.readCurrent(spark, sd)
+          .collect().map(canon).sorted.mkString("|")
+        // KMV distinct monitor (two folds)
+        val kv = s"$base/$tag/kmv"
+        for (off <- Seq(0, 5000))
+          out += Streaming.kmvDistinctBatchStep(
+              spark.range(off, off + 9000).select(pmod(col("id"), lit(7000))
+                .as("v")), "v", kv)
+            .collect().map(canon).mkString("|")
+        out += VersionedTable.readCurrent(spark, kv)
+          .collect().map(canon).sorted.mkString("|")
+        out.toSeq
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val a = runAll("A", configA)
+    val b = runAll("B", configB)
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra === rb, s"stateful stage $i diverges across partitionings")
+    }
+    assert(a.exists(_.nonEmpty))
+  }
+
   families.foreach { case (name, family) =>
     test(s"$name ($family) is bit-identical at 3-part/coalesced vs 7-part/split execution") {
       val a = runUnder(name, configA)
