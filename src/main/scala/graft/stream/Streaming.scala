@@ -751,6 +751,13 @@ object Streaming {
                                    compactEvery: Int,
                                    statsColumns: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // the merge KEYS are state-shaping for a MOR table: a later writer
+    // with a different key set silently changes which rows win the
+    // newest-per-key merge and what compaction folds — pin them like
+    // the monitor stores' parameters (same string as morCdcWriter:
+    // CDC and plain upsert share one key contract per table)
+    graft.lake.VersionedTable.requireParams(spark, root,
+      s"morUpsert;keys=${keys.mkString(",")}")
     if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
       graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
       graft.lake.VersionedTable.publish(batch, root,
@@ -789,6 +796,9 @@ object Streaming {
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // same key pinning as morUpsertStep (one contract per table)
+        graft.lake.VersionedTable.requireParams(spark, root,
+          s"morUpsert;keys=${keys.mkString(",")}")
         // materialize the change batch ONCE: the op-split filters, the
         // emptiness decisions, and the delta writes all read the same
         // blocks instead of re-scanning the source up to four times

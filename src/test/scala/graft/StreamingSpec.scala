@@ -542,6 +542,19 @@ class StreamingSpec extends SparkSpec {
     VersionedTable.requireParams(spark, crashed, "novelty;shingleN=9;family=Xx64")
     Streaming.noveltyGateBatchStep(docBatch(6), "doc_id", "text", "ts",
       crashed, minNovelty = 0.5, shingleN = 3).count()
+    // MOR sinks pin their merge KEYS — a later writer with a different
+    // key set would silently change the newest-wins merge
+    val mor = dir + "/mor"
+    Streaming.morUpsertStep(Seq((1L, "a")).toDF("k", "v"), Seq("k"),
+      mor, batchId = 0L, compactEvery = 10)
+    Streaming.morUpsertStep(Seq((1L, "b")).toDF("k", "v"), Seq("k"),
+      mor, batchId = 1L, compactEvery = 10)
+    val e3 = intercept[IllegalStateException] {
+      Streaming.morUpsertStep(Seq((1L, "c")).toDF("k", "v"), Seq("k", "v"),
+        mor, batchId = 2L, compactEvery = 10)
+    }
+    assert(e3.getMessage.contains("keys=k") &&
+      e3.getMessage.contains("keys=k,v"))
   }
 
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
