@@ -150,8 +150,15 @@ object VersionedTable {
     * sidecar lands via create-then-rename so a concurrent reader
     * never sees a partial write (single-writer stores, like every
     * sink here).
+    *
+    * `legacy` lists SUPERSEDED renderings of the SAME parameters (a
+    * caller changed its fingerprint format, not its semantics): a
+    * sidecar holding one of them is silently refreshed to `params`
+    * instead of rejected, so a format-only upgrade never forces a
+    * store rebase.
     */
-  def requireParams(spark: SparkSession, root: String, params: String): Unit = {
+  def requireParams(spark: SparkSession, root: String, params: String,
+                    legacy: Seq[String] = Nil): Unit = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     val pf = new Path(rootP, ParamsFile)
@@ -162,8 +169,26 @@ object VersionedTable {
           java.nio.charset.StandardCharsets.UTF_8))
         finally in.close()
       } else None
+    // the sidecar IS the guard: a delete or rename that fails silently
+    // (some Hadoop filesystems return false instead of throwing) would
+    // leave no — or a stale — pin, and the next batch would adopt
+    // whatever parameters it was called with. Treat both like publish
+    // treats its marker: result-checked, loud on failure.
+    def stamp(): Unit = {
+      val tmp = new Path(rootP,
+        s".${ParamsFile}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(pf))
+        require(fs.delete(pf, false),
+          s"failed to delete stale parameter sidecar $pf")
+      require(fs.rename(tmp, pf),
+        s"failed to publish parameter sidecar $pf (rename returned false)")
+    }
     existing match {
       case Some(p) if p == params => ()
+      case Some(p) if legacy.contains(p) => stamp() // format-only refresh
       case Some(p) if isVersioned(spark, root) =>
         throw new IllegalStateException(
           s"store at $root was built with parameters [$p] but this step " +
@@ -173,14 +198,7 @@ object VersionedTable {
             "the parameters.")
       case _ =>
         // absent, or stale over an unpublished root: (re)stamp
-        val tmp = new Path(rootP,
-          s".${ParamsFile}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = fs.create(tmp, true)
-        try out.write(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.exists(pf)) fs.delete(pf, false)
-        fs.rename(tmp, pf)
-        ()
+        stamp()
     }
   }
 

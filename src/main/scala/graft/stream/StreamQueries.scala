@@ -189,6 +189,56 @@ object StreamQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The incremental NEAR-dedup BATCH STEP (MinHash-LSH band state),
+    // hash-checked: evens admit into an empty store (minus in-batch
+    // smaller-id band collisions), odds then drop on any band
+    // collision with a batch-1 SURVIVOR's stored bands or with a
+    // smaller-id batch-mate. Md5Portable family so DuckDB replays the
+    // signature arithmetic bit-for-bit (the q_t_minhash_lsh
+    // convention); retention long enough that nothing expires.
+    "q_s_neardedup_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"nndstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
+          retention = "10 days",
+          family = graft.textops.HashFamily.Md5Portable)
+      step(docs.where(col("doc_id") % 2 === 0))
+      step(docs.where(col("doc_id") % 2 === 1))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // The AMORTIZED (pruneEvery = 3) twin of q_s_neardedup_step, on a
+    // three-batch mod-3 fold so batch 3's collision probe reads
+    // base ∪ pending delta (see q_s_semdedup_amortized_step's
+    // rationale) — the r16 near-dedup analogue of the novelty/semdedup
+    // amortization, hash-checked to prove the delta overlay is
+    // decision-invisible.
+    "q_s_neardedup_amortized_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"nndastep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
+          retention = "10 days",
+          family = graft.textops.HashFamily.Md5Portable, pruneEvery = 3)
+      step(docs.where(col("doc_id") % 3 === 0))
+      step(docs.where(col("doc_id") % 3 === 1))
+      step(docs.where(col("doc_id") % 3 === 2))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming drift monitor, two-batch fold: the English slice
     // seeds the reference distribution, the German batch then reports
     // its JSD against it — the same divergence q_t_jsd computes in
@@ -457,6 +507,54 @@ object StreamQueries extends QueryPack {
         |  CAST(LEAST(nd, 16) AS INTEGER) AS n_mins
         |FROM r WHERE rn = LEAST(nd, 16)
         |ORDER BY event_type""".stripMargin,
+
+    // Replays the two-batch LSH band-state fold on the shared
+    // MinHash candidate CTEs (TextQueries.minhashCandCtes — the exact
+    // engine arithmetic under Md5Portable): `coll` symmetrizes the
+    // candidate pairs into a collision relation, batch-1 survivors are
+    // evens minus smaller-even collisions, batch 2 drops odds that
+    // collide with a batch-1 SURVIVOR (stored bands) or a smaller odd
+    // batch-mate. No Jaccard verify — band collision IS the engine's
+    // drop criterion.
+    "q_s_neardedup_step" ->
+      s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
+        |coll AS (SELECT doc_a AS da, doc_b AS db FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |surv1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 2 = 0 AND c.da < d.doc_id))
+        |SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 2 = 1 AND c.da < d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The mod-3 amortized twin: tier-1 survivors form the base, tier-2
+    // survivors (decided against the base and smaller tier-2 mates)
+    // form the delta, tier 3 probes base ∪ delta plus its own smaller
+    // mates — identical decision algebra to the eager twin, which is
+    // exactly what makes the delta overlay's invisibility checkable.
+    "q_s_neardedup_amortized_step" ->
+      s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
+        |coll AS (SELECT doc_a AS da, doc_b AS db FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |surv1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 0 AND c.da < d.doc_id)),
+        |surv2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 1 AND c.da < d.doc_id))
+        |SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv2 s2 ON c.da = s2.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 2 AND c.da < d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Mirrors the three-batch amortized novelty fold (mod-3 splits):
     // reference tier 1 = all tier-1 shingles (empty store admits

@@ -289,6 +289,27 @@ object Streaming {
     * per-batch signature work, and the retention horizon bounds the
     * live store at steady state.
     *
+    * AMORTIZED REPUBLISH (`pruneEvery = N > 1`, r16 — the trade
+    * [[noveltyGateBatchStep]] got in r14 and the semdedup store in
+    * r15, closing the last per-batch O(store) write term among the
+    * stateful streaming stores): non-republish batches `appendDelta`
+    * only the SURVIVORS' bands (an O(batch) write), and every Nth
+    * batch the horizon-filtered merged view (base ∪ pending deltas)
+    * republishes as a fresh base and vacuums the subsumed delta dirs.
+    * The DECISION is unchanged in both modes — the store read is
+    * always base ∪ pending deltas and the horizon filter applies per
+    * batch — so on-time batches drop and admit identically to eager;
+    * expiry is LOGICAL between republishes (a LATE batch can collide
+    * with bands the eager form would already have pruned, for up to
+    * N−1 batches — the novelty gate's exact contract). The republish
+    * fold collapses `(band, key)` duplicates keep-newest; only the
+    * logical-expiry corner can introduce them (an expired base row
+    * plus its delta re-admission), because within any read layer set
+    * survivors never band-collide with live state or each other — the
+    * collision IS the drop criterion. Eager (`pruneEvery = 1`) stays
+    * the default: the physical-expiry late-data contract is
+    * spec-pinned.
+    *
     * Every stage is an equi-join or aggregation on hashed keys; the
     * 1-row horizon aggregate rides a broadcast join, nothing collects
     * to the driver. Survivors are `localCheckpoint`ed before the new
@@ -298,43 +319,64 @@ object Streaming {
   def nearDedupBatchStep(batch: DataFrame, idCol: String, textCol: String,
                          tsCol: String, storePath: String,
                          retention: String = "1 hour", shingleN: Int = 3,
-                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val (survivors, newStore) = nearDedupBatchCompute(batch, idCol, textCol,
-      tsCol, storePath, retention, shingleN, numHashes, bands)
-    // manifest-versioned publish: the new store version becomes visible
-    // atomically via marker creation; a crash mid-write leaves the old
-    // version current (orphan dir vacuumed later) — no swap window
-    graft.lake.VersionedTable.publish(newStore, storePath)
+                         numHashes: Int = 64, bands: Int = 16,
+                         family: graft.textops.HashFamily =
+                           graft.textops.HashFamily.Xx64,
+                         pruneEvery: Int = 1): DataFrame = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    val spark = batch.sparkSession
+    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+    val deltaPaths =
+      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+      else Seq.empty[String]
+    val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
+      textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
+      family, deltaPaths)
+    nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
+      pruneEvery, newStore, delta)
     survivors
   }
 
   /** The decision half of [[nearDedupBatchStep]]: survivors (eagerly
-    * materialized) plus the LAZY next store content, with the state
-    * publish left to the caller — the seam that lets [[nearDedupWriter]]
-    * commit the sink BEFORE the state, which is what makes the pair
-    * crash-consistent (see the writer's scaladoc).
+    * materialized) plus the LAZY next store content — the full
+    * horizon-filtered fold AND the O(batch) survivor-band delta — with
+    * the state publish left to the caller — the seam that lets
+    * [[nearDedupWriter]] commit the sink BEFORE the state, which is
+    * what makes the pair crash-consistent (see the writer's scaladoc).
     */
   private[graft] def nearDedupBatchCompute(batch: DataFrame, idCol: String,
                                     textCol: String, tsCol: String,
                                     storePath: String, retention: String,
                                     shingleN: Int, numHashes: Int,
-                                    bands: Int): (DataFrame, DataFrame) = {
+                                    bands: Int,
+                                    family: graft.textops.HashFamily =
+                                      graft.textops.HashFamily.Xx64,
+                                    deltaPaths: Seq[String] = Nil)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
     // band keys are a one-way function of the LSH geometry — a changed
     // parameter would silently stop old rows from colliding (O(1)
     // sidecar check; see requireParams)
     graft.lake.VersionedTable.requireParams(spark, storePath,
-      s"neardedup;shingleN=$shingleN;numHashes=$numHashes;bands=$bands;family=Xx64")
-    val store = readStoreOrEmpty(spark, storePath,
+      s"neardedup;shingleN=$shingleN;numHashes=$numHashes;bands=$bands;family=$family")
+    val base = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("band", IntegerType),
         StructField("key", LongType), StructField("_ts", TimestampType))))
+    // base ∪ pending deltas (amortized mode): cross-layer (band, key)
+    // duplicates only arise in the logical-expiry corner and are
+    // harmless to the collision probe (dropped ids are distinct-ed)
+    val store =
+      if (deltaPaths.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(deltaPaths.map(d => s"$storePath/$d"): _*)
+          .select("band", "key", "_ts"))
     // batch-sized; computed ONCE — four consumers below (store probe,
     // both sides of the in-batch self-join, survivor band extraction)
     // would otherwise each recompute the minhash banding
     val bandsDf = graft.textops.Dedup.bandSignatures(
       batch.select(col(idCol), col(textCol)), idCol, textCol,
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands, family)
       .localCheckpoint()
     // Expire state BEFORE the collision decision, against the batch's
     // own max event time: content older than the retention horizon must
@@ -360,7 +402,39 @@ object Streaming {
     val survBands = bandsDf
       .join(survivors.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select("band", "key", "_ts")
-    (survivors, liveStore.unionByName(survBands))
+    // the republish fold collapses logical-expiry twins keep-newest;
+    // the eager path (no overlay) is duplicate-free by construction
+    // and skips the extra shuffle
+    val merged = liveStore.unionByName(survBands)
+    val folded =
+      if (deltaPaths.isEmpty) merged
+      else merged.groupBy("band", "key").agg(max(col("_ts")).as("_ts"))
+    (survivors, folded, survBands)
+  }
+
+  /** Shared state-publish tail of [[nearDedupBatchStep]] and
+    * [[nearDedupWriter]]: bootstrap and every `pruneEvery`-th batch
+    * (the pending-delta backlog counts batches since the last
+    * republish) publish the full fold and vacuum the subsumed deltas;
+    * every other batch appends the O(batch) survivor-band delta.
+    */
+  private def nearDedupPublishOrDelta(spark: SparkSession, storePath: String,
+                                      hasBase: Boolean,
+                                      deltaPaths: Seq[String],
+                                      pruneEvery: Int, newStore: DataFrame,
+                                      delta: DataFrame): Unit = {
+    if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
+      // manifest-versioned publish: the new store version becomes
+      // visible atomically via marker creation; a crash mid-write
+      // leaves the old version current (orphan dir vacuumed later)
+      graft.lake.VersionedTable.publish(newStore, storePath)
+      // the new base subsumes the folded deltas; physically drop the
+      // ones no retained-base reader can still need, or every
+      // republish would orphan pruneEvery-1 delta dirs on disk forever
+      if (deltaPaths.nonEmpty)
+        graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
+    } else
+      graft.lake.VersionedTable.appendDelta(delta, storePath)
   }
 
   /** One micro-batch step of VOCABULARY-DRIFT MONITORING — the
@@ -702,15 +776,29 @@ object Streaming {
     */
   def nearDedupWriter(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, storePath: String, survivorsPath: String,
-                      retention: String = "1 hour", compactEvery: Int = 10)
+                      retention: String = "1 hour", compactEvery: Int = 10,
+                      pruneEvery: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val (survivors, newStore) = nearDedupBatchCompute(batch, idCol,
-          textCol, tsCol, storePath, retention, 3, 64, 16)
+        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        val spark = batch.sparkSession
+        val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+        val deltaPaths =
+          if (hasBase)
+            graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+          else Seq.empty[String]
+        val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
+          textCol, tsCol, storePath, retention, 3, 64, 16,
+          deltaPaths = deltaPaths)
+        // sink commits BEFORE state (the crash-consistency ordering
+        // above); in amortized mode a redelivered batch lands an
+        // identical-content delta whose bands collide with its own —
+        // the same convergence as the eager republish
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
-        graft.lake.VersionedTable.publish(newStore, storePath)
+        nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
+          pruneEvery, newStore, delta)
         ()
     }
 
@@ -746,23 +834,45 @@ object Streaming {
     * delta-append otherwise, fold the overlay every `compactEvery`
     * batches.
     */
+  /** Canonical `_params` rendering of a MOR table's merge-key SET —
+    * order-insensitive (the pin guards WHICH keys merge, not the order
+    * a caller happened to list them) and injective: each key is
+    * length-prefixed, so a raw external header literally named `"a,b"`
+    * (the repo deliberately supports such names elsewhere) can never
+    * collide with the two keys `a` and `b`. The r15 comma-join had
+    * both flaws; it is kept as a legacy alias so stores stamped with
+    * it refresh in place instead of rejecting — but only in the exact
+    * key order of the calling step (any other legacy ordering needs a
+    * one-time manual sidecar refresh; parsing the ambiguous old format
+    * to accept more would re-open the collision it fixes).
+    */
+  private[graft] def morKeyParams(keys: Seq[String]): String =
+    s"morUpsert;keys=${keys.sorted.map(k => s"${k.length}:$k").mkString(";")}"
+
+  private[graft] def morKeyParamsLegacy(keys: Seq[String]): Seq[String] =
+    Seq(s"morUpsert;keys=${keys.mkString(",")}")
+
   private[graft] def morUpsertStep(batch: DataFrame, keys: Seq[String],
                                    root: String, batchId: Long,
                                    compactEvery: Int,
                                    statsColumns: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    val versioned = graft.lake.VersionedTable.isVersioned(spark, root)
+    // reject a legacy unversioned layout BEFORE the key pin stamps its
+    // sidecar: the guard's own contract is that refused data is never
+    // modified, and the stamp is a write into that directory
+    if (!versioned)
+      graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
     // the merge KEYS are state-shaping for a MOR table: a later writer
     // with a different key set silently changes which rows win the
     // newest-per-key merge and what compaction folds — pin them like
     // the monitor stores' parameters (same string as morCdcWriter:
     // CDC and plain upsert share one key contract per table)
     graft.lake.VersionedTable.requireParams(spark, root,
-      s"morUpsert;keys=${keys.mkString(",")}")
-    if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
-      graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
+      morKeyParams(keys), legacy = morKeyParamsLegacy(keys))
+    if (!versioned)
       graft.lake.VersionedTable.publish(batch, root,
         statsColumns = statsColumns)
-    }
     else
       graft.lake.VersionedTable.appendDelta(batch, root)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -796,9 +906,13 @@ object Streaming {
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // same key pinning as morUpsertStep (one contract per table)
+        val versioned = graft.lake.VersionedTable.isVersioned(spark, root)
+        // legacy-layout rejection BEFORE the key-pin write, as in
+        // morUpsertStep; same key pinning (one contract per table)
+        if (!versioned)
+          graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
         graft.lake.VersionedTable.requireParams(spark, root,
-          s"morUpsert;keys=${keys.mkString(",")}")
+          morKeyParams(keys), legacy = morKeyParamsLegacy(keys))
         // materialize the change batch ONCE: the op-split filters, the
         // emptiness decisions, and the delta writes all read the same
         // blocks instead of re-scanning the source up to four times
@@ -812,11 +926,9 @@ object Streaming {
           count(when(!(col(opCol) <=> lit(deleteOp)), 1)).as("nu"),
           count(when(col(opCol) <=> lit(deleteOp), 1)).as("nd")).head()
         val (nUps, nDels) = (cnts.getLong(0), cnts.getLong(1))
-        if (!graft.lake.VersionedTable.isVersioned(spark, root)) {
-          graft.lake.VersionedTable.requireVersionedOrEmpty(spark, root)
+        if (!versioned)
           graft.lake.VersionedTable.publish(ups, root,
             statsColumns = statsColumns)
-        }
         else if (nUps > 0)
           graft.lake.VersionedTable.appendDelta(ups, root)
         if (nDels > 0)
@@ -919,11 +1031,15 @@ object Streaming {
     * batch that observes a CHANGED quantizer always republishes
     * immediately regardless of the delta backlog — so every readable
     * layer set stays fingerprint-uniform and the limit-1 fast-path
-    * probe stays O(1); (b) the republish fold collapses `_sid`
-    * duplicates (keep-newest), which only the logical-expiry corner
-    * can introduce (a late batch holding both a base row and its
-    * delta re-admission live). Eager (`pruneEvery = 1`) stays the
-    * default: the physical-expiry late-data contract is spec-pinned.
+    * probe stays O(1); (b) the republish fold collapses duplicates
+    * keyed on `(_sid, _svec)` (keep-newest) — exactly the
+    * logical-expiry twin class (a late batch holding both a base row
+    * and its bit-identical delta re-admission live), and nothing
+    * else: a source that REUSES an id for a different vector keeps
+    * both rows, as the eager path does, so the two modes never
+    * diverge on future drop decisions. Eager (`pruneEvery = 1`) stays
+    * the default: the physical-expiry late-data contract is
+    * spec-pinned.
     *
     * MEASURED (SCALING.md STORE tier, two r15 sessions): L-point
     * (200k×64d store) batch 2.75 → 2.39 s — the amortization removes
@@ -1091,16 +1207,22 @@ object Streaming {
       .select(col("bucket"), col(idCol).as("_sid"), col("_v").as("_svec"),
         col("_ts"))
     val merged = liveStore.unionByName(survStore)
-    // _sid duplicates exist only behind a delta overlay (a late batch
-    // can hold a base row AND its logically-expired-then-readmitted
-    // delta twin live at once); fold keep-newest at republish. The
-    // eager path has no overlay and skips the extra shuffle.
+    // Behind a delta overlay, duplicates fall in two classes: a base
+    // row and its logically-expired-then-readmitted delta twin (SAME
+    // vector — the intended fold target), and an id-REUSING source
+    // that admitted a different vector under an old id (eager mode
+    // keeps both rows live, so both must survive the fold too or the
+    // two modes diverge on future drop decisions). Keying keep-newest
+    // on (_sid, _svec) — array grouping keys are exact here, vectors
+    // re-enter the store bit-identically — collapses exactly the twin
+    // class and nothing else. The eager path has no overlay and skips
+    // the extra shuffle.
     val folded =
       if (deltaPaths.isEmpty) merged
-      else merged.groupBy(col("_sid"))
-        .agg(max(struct(col("_ts"), col("bucket"), col("_svec"))).as("_m"))
+      else merged.groupBy(col("_sid"), col("_svec"))
+        .agg(max(struct(col("_ts"), col("bucket"))).as("_m"))
         .select(col("_m.bucket").as("bucket"), col("_sid"),
-          col("_m._svec").as("_svec"), col("_m._ts").as("_ts"))
+          col("_svec"), col("_m._ts").as("_ts"))
     (survivors,
       folded.withColumn("_qfp", lit(qfp)),
       survStore.withColumn("_qfp", lit(qfp)),

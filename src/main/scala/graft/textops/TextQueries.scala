@@ -895,7 +895,7 @@ object TextQueries extends QueryPack {
     * candidates — ends in `cand(doc_a, doc_b)`. Replays the engine's
     * sketch bit-for-bit: permutation mins, band md5 keys, bucket join.
     */
-  private def minhashCandCtes: String = {
+  private[graft] def minhashCandCtes: String = {
     val p = Dedup.MinhashPrime
     val mins = Dedup.minhashCoefficients(64).zipWithIndex.map {
       case ((a, b), i) => s"MIN((h * $a + $b) % $p) AS m$i"

@@ -274,6 +274,65 @@ class StreamingSpec extends SparkSpec {
       "the republished fold must equal the eager store")
   }
 
+  test("near-dedup pruneEvery: amortized deltas decide like eager, republish folds on schedule, expiry is logical between republishes") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_nndprune").toString
+    val eagerStore = dir + "/eager"
+    val amortStore = dir + "/amort"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def ids(store: String, pe: Int) =
+        Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
+          retention = "1 hour", pruneEvery = pe)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      val (e, a) = (ids(eagerStore, 1), ids(amortStore, 3))
+      assert(e === a, "amortized survivors diverged from eager")
+      e
+    }
+    // the crash-convergence spec pins that `cat` band-collides with
+    // `base` under the default Xx64 LSH geometry
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    val cat = base.replace("dog", "cat")
+    val fresh = "completely different words about stars planets moons comets asteroids orbits"
+    // b1 bootstraps BOTH stores with a published base (no deltas yet)
+    assert(run(batch((1L, base, "2024-01-01 10:00:00"))) === Seq(1L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    val baseV1 = VersionedTable.currentVersion(spark, amortStore)
+    // b2: near-dup of stored doc 1 drops, fresh text admits — the
+    // amortized store only appends a delta (base version untouched)
+    assert(run(batch(
+      (2L, cat, "2024-01-01 10:10:00"),
+      (3L, fresh, "2024-01-01 10:11:00"))) === Seq(3L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 1)
+    assert(VersionedTable.currentVersion(spark, amortStore) === baseV1)
+    // b3 beyond retention: doc 1's bands expired, its twin re-admits.
+    // Amortized: the base STILL physically holds the t0 bands (logical
+    // expiry — the horizon filter excludes them at decision time);
+    // eager pruned them at publish
+    assert(run(batch((4L, base, "2024-01-01 12:30:00"))) === Seq(4L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 2)
+    def tsOnDisk(store: String) = VersionedTable.readCurrent(spark, store)
+      .select("_ts").distinct().as[Timestamp].collect().map(_.toString).sorted
+    assert(tsOnDisk(amortStore).contains("2024-01-01 10:00:00.0"),
+      "between republishes the base must retain expired bands (logical expiry)")
+    assert(!tsOnDisk(eagerStore).contains("2024-01-01 10:00:00.0"),
+      "eager mode prunes physically every batch")
+    // b4 is the 3rd batch since republish → the amortized store folds:
+    // deltas subsumed + vacuumed, base identical to the eager store's,
+    // and doc 4's delta-resident bands drop its live twin in BOTH modes
+    assert(run(batch((5L, cat, "2024-01-01 12:40:00"))) === Seq.empty)
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    assert(VersionedTable.currentVersion(spark, amortStore) !== baseV1)
+    def snapshot(store: String) = VersionedTable.readCurrent(spark, store)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getTimestamp(2).toString)).sorted.toSeq
+    assert(snapshot(amortStore) === snapshot(eagerStore),
+      "the republished fold must equal the eager store")
+  }
+
   test("amortized novelty republish physically vacuums subsumed deltas past the reader horizon") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable
@@ -392,6 +451,42 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3))).sorted.toSeq
     assert(snapshot(amortStore) === snapshot(eagerStore),
       "the republished fold must equal the eager store")
+  }
+
+  test("semantic dedup pruneEvery: an id-reusing source keeps BOTH vectors through the republish fold (eager/amortized parity)") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_semreuse").toString
+    val eagerStore = dir + "/eager"
+    val amortStore = dir + "/amort"
+    val cents = Seq(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0)).toDF("b", "cv")
+    def batch(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def ids(store: String, pe: Int) =
+        Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+          cents, "b", "cv", threshold = 0.9, store, retention = "10 days",
+          pruneEvery = pe)
+          .select("vec_id").as[Long].collect().sorted.toSeq
+      val (e, a) = (ids(eagerStore, 1), ids(amortStore, 2))
+      assert(e === a, "amortized decisions diverged from eager")
+      e
+    }
+    // b1 admits id 1 with vector A; b2 REUSES id 1 for an orthogonal
+    // vector B (it survives — not a near-dup of A). Eager mode now
+    // holds two live store rows under _sid=1.
+    assert(run(batch((1L, Seq(1.0, 0.05), "2024-01-01 10:00:00"))) === Seq(1L))
+    assert(run(batch((1L, Seq(0.05, 1.0), "2024-01-01 10:10:00"))) === Seq(1L))
+    // b3 is the amortized store's republish batch: a keep-newest fold
+    // keyed on _sid alone would drop vector A there, so a b4 probe
+    // near A would admit in amortized mode but drop in eager — the
+    // (_sid, _svec)-keyed fold keeps both
+    assert(run(batch((7L, Seq(-1.0, -1.0), "2024-01-01 10:20:00"))) === Seq(7L))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    assert(run(batch((9L, Seq(0.99, 0.06), "2024-01-01 10:30:00"))) === Seq.empty)
+    assert(VersionedTable.readCurrent(spark, amortStore)
+      .where(col("_sid") === 1L).count() === 2L,
+      "the republish fold dropped one of an id-reusing source's vectors")
   }
 
   test("semantic dedup pruneEvery: a quantizer change mid-cycle forces an immediate republish (fingerprint-uniform layers)") {
@@ -553,8 +648,69 @@ class StreamingSpec extends SparkSpec {
       Streaming.morUpsertStep(Seq((1L, "c")).toDF("k", "v"), Seq("k", "v"),
         mor, batchId = 2L, compactEvery = 10)
     }
-    assert(e3.getMessage.contains("keys=k") &&
-      e3.getMessage.contains("keys=k,v"))
+    assert(e3.getMessage.contains("keys=1:k") &&
+      e3.getMessage.contains("keys=1:k;1:v"))
+  }
+
+  test("MOR key pin: order-insensitive, comma-injective, refreshes the r15 legacy stamp in place") {
+    import graft.lake.VersionedTable
+    import graft.stream.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_morpin").toString
+    // (1) the pin guards the key SET — the same keys listed in a
+    // different order are the same merge contract
+    val ab = dir + "/ab"
+    Streaming.morUpsertStep(Seq((1L, 2L, "a")).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"), ab, batchId = 0L, compactEvery = 10)
+    Streaming.morUpsertStep(Seq((1L, 2L, "b")).toDF("k1", "k2", "v"),
+      Seq("k2", "k1"), ab, batchId = 1L, compactEvery = 10)
+    // (2) a single raw-header key literally named "k1,k2" is a
+    // DIFFERENT contract than keys k1+k2 — the r15 comma-join
+    // fingerprint collided exactly here
+    val eComma = intercept[IllegalStateException] {
+      Streaming.morUpsertStep(Seq((3L, "c")).toDF("k1,k2", "v"),
+        Seq("k1,k2"), ab, batchId = 2L, compactEvery = 10)
+    }
+    assert(eComma.getMessage.contains("5:k1,k2"))
+    // (3) a store stamped with the r15 comma format is refreshed in
+    // place on the next write — a format-only upgrade never forces a
+    // store rebase — while a genuinely different key set still rejects
+    val legacy = dir + "/legacy"
+    Streaming.morUpsertStep(Seq((1L, 2L, "a")).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"), legacy, batchId = 0L, compactEvery = 10)
+    val sidecar = java.nio.file.Paths.get(legacy, VersionedTable.ParamsFile)
+    // overwrite through the Hadoop FS (not raw NIO) so the local
+    // filesystem's .crc sidecar stays consistent with the new bytes
+    val hp = new org.apache.hadoop.fs.Path(sidecar.toString)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(hp, true)
+    out.write("morUpsert;keys=k1,k2"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    Streaming.morUpsertStep(Seq((1L, 2L, "b")).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"), legacy, batchId = 1L, compactEvery = 10)
+    assert(new String(java.nio.file.Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8) === "morUpsert;keys=2:k1;2:k2")
+    intercept[IllegalStateException] {
+      Streaming.morUpsertStep(Seq((1L, "c")).toDF("k1", "v"),
+        Seq("k1"), legacy, batchId = 2L, compactEvery = 10)
+    }
+  }
+
+  test("MOR sink refuses a legacy unversioned layout WITHOUT writing its key pin into it") {
+    import graft.lake.VersionedTable
+    import graft.stream.Streaming
+    val root = java.nio.file.Files.createTempDirectory("graft_morlegacy")
+      .toString + "/t"
+    // a pre-versioning plain-parquet dataset at the root
+    Seq((1L, "x")).toDF("k", "v").write.parquet(root)
+    intercept[IllegalArgumentException] {
+      Streaming.morUpsertStep(Seq((2L, "y")).toDF("k", "v"), Seq("k"),
+        root, batchId = 0L, compactEvery = 10)
+    }
+    // the refusal must leave the refused data untouched: no _params
+    // sidecar may have landed before the layout check fired
+    assert(!new java.io.File(s"$root/${VersionedTable.ParamsFile}").exists(),
+      "key pin was stamped into a dataset the guard then refused to touch")
   }
 
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
@@ -662,12 +818,12 @@ class StreamingSpec extends SparkSpec {
         "completely different words about stars planets moons comets asteroids orbits"))
       .toDF("doc_id", "ts", "text")
     // attempt 1: sink commit succeeds, state publish never happens
-    val (surv1, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
+    val (surv1, _, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
       "ts", store, "1 hour", 3, 64, 16)
     Streaming.morUpsertStep(surv1, Seq("doc_id"), sink, 0L, 10)
     assert(!graft.lake.VersionedTable.isVersioned(spark, store)) // "crashed"
     // attempt 2 (re-delivery): the full writer step runs to completion
-    val (surv2, store2) = Streaming.nearDedupBatchCompute(batch, "doc_id",
+    val (surv2, store2, _) = Streaming.nearDedupBatchCompute(batch, "doc_id",
       "text", "ts", store, "1 hour", 3, 64, 16)
     Streaming.morUpsertStep(surv2, Seq("doc_id"), sink, 0L, 10)
     graft.lake.VersionedTable.publish(store2, store)
@@ -677,7 +833,7 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L)) // converged: no loss, no duplicates
     // attempt 3 (re-delivery AFTER state publish): everything collides
     // with its own bands — survivors empty, sink unchanged
-    val (surv3, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
+    val (surv3, _, _) = Streaming.nearDedupBatchCompute(batch, "doc_id", "text",
       "ts", store, "1 hour", 3, 64, 16)
     assert(surv3.isEmpty)
     Streaming.morUpsertStep(surv3, Seq("doc_id"), sink, 0L, 10)
