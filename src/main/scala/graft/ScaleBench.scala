@@ -519,6 +519,17 @@ object ScaleBench {
           Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
             ndRoot, retention = "3650 days").count(): Unit
         }))
+        // amortized-republish variant (pruneEvery > 1, r16 — the
+        // band-store twin of q_store_novelty_amortized_batch): probe
+        // batches append O(batch) survivor-band deltas instead of
+        // rewriting the store; the collision probe join remains
+        val ndaRoot = fresh(s"/tmp/graft_scale/store/$name/nda")
+        Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", ndaRoot, retention = "3650 days").count()
+        timed(name, "q_store_neardedup_amortized_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
+            ndaRoot, retention = "3650 days", pruneEvery = 10).count(): Unit
+        }))
         // novelty shingle store: minNovelty 0 admits the whole seed
         val nvRoot = fresh(s"/tmp/graft_scale/store/$name/nv")
         Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
