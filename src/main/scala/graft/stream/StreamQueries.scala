@@ -515,12 +515,15 @@ object StreamQueries extends QueryPack {
     // evens minus smaller-even collisions, batch 2 drops odds that
     // collide with a batch-1 SURVIVOR (stored bands) or a smaller odd
     // batch-mate. No Jaccard verify — band collision IS the engine's
-    // drop criterion.
+    // drop criterion. `coll`/`surv*` are MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, so the 64-min/16-band signature chain
+    // would otherwise be re-planned inside every NOT EXISTS — the
+    // three-tier twin OOM'd at sf0.1 before the hint.
     "q_s_neardedup_step" ->
       s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
-        |coll AS (SELECT doc_a AS da, doc_b AS db FROM cand
+        |coll AS MATERIALIZED (SELECT doc_a AS da, doc_b AS db FROM cand
         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-        |surv1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 0
+        |surv1 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 0
         |  AND NOT EXISTS (SELECT 1 FROM coll c
         |    WHERE c.db = d.doc_id AND c.da % 2 = 0 AND c.da < d.doc_id))
         |SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1
@@ -537,12 +540,12 @@ object StreamQueries extends QueryPack {
     // exactly what makes the delta overlay's invisibility checkable.
     "q_s_neardedup_amortized_step" ->
       s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
-        |coll AS (SELECT doc_a AS da, doc_b AS db FROM cand
+        |coll AS MATERIALIZED (SELECT doc_a AS da, doc_b AS db FROM cand
         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-        |surv1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
+        |surv1 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
         |  AND NOT EXISTS (SELECT 1 FROM coll c
         |    WHERE c.db = d.doc_id AND c.da % 3 = 0 AND c.da < d.doc_id)),
-        |surv2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+        |surv2 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
         |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
         |    WHERE c.db = d.doc_id)
         |  AND NOT EXISTS (SELECT 1 FROM coll c
