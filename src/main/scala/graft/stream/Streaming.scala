@@ -777,7 +777,10 @@ object Streaming {
   def nearDedupWriter(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, storePath: String, survivorsPath: String,
                       retention: String = "1 hour", compactEvery: Int = 10,
-                      pruneEvery: Int = 1)
+                      pruneEvery: Int = 1, shingleN: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16,
+                      family: graft.textops.HashFamily =
+                        graft.textops.HashFamily.Xx64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -789,8 +792,8 @@ object Streaming {
             graft.lake.VersionedTable.pendingDeltas(spark, storePath)
           else Seq.empty[String]
         val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
-          textCol, tsCol, storePath, retention, 3, 64, 16,
-          deltaPaths = deltaPaths)
+          textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
+          family, deltaPaths)
         // sink commits BEFORE state (the crash-consistency ordering
         // above); in amortized mode a redelivered batch lands an
         // identical-content delta whose bands collide with its own —

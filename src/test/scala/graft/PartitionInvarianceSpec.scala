@@ -113,7 +113,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     * paths (amortized republish) against partition-order sensitivity
     * too, which the read-only families above can't reach.
     */
-  test("stateful steps (novelty, semdedup amortized, KMV) publish bit-identical state across partitionings") {
+  test("stateful steps (novelty, near-dedup, semdedup amortized, KMV) publish bit-identical state across partitionings") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable
     import spark.implicits._
@@ -153,6 +153,14 @@ class PartitionInvarianceSpec extends SparkSpec {
             .select("doc_id", "novelty").collect().map(canon).sorted
             .mkString("|")
         out += VersionedTable.readCurrent(spark, nv)
+          .collect().map(canon).sorted.mkString("|")
+        // near-dedup band store, amortized (r16)
+        val nd = s"$base/$tag/nd"
+        for ((lo, hi) <- Seq((0, 60), (40, 120)))
+          out += Streaming.nearDedupBatchStep(docBatch(lo, hi), "doc_id",
+              "text", "ts", nd, retention = "10 days", pruneEvery = 2)
+            .select("doc_id").as[Long].collect().sorted.mkString(",")
+        out += VersionedTable.readCurrent(spark, nd)
           .collect().map(canon).sorted.mkString("|")
         // semantic dedup, amortized
         val sd = s"$base/$tag/sd"
