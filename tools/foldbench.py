@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Fold quiet bench runs into the committed per-query min map.
+
+Protocol (SCALING.md "Benchmark protocol"): BENCH_QUERIES.json is the
+quiet min-of-N floor map — it only ever moves DOWN, and only from runs
+taken on a quiet box (never concurrently with sbt test or another
+Spark JVM). This tool makes the fold reproducible:
+
+  python3 tools/foldbench.py run1.log [run2.log ...]          # report
+  python3 tools/foldbench.py --apply run1.log [run2.log ...]  # fold
+
+Each argument is a `graft.Bench` stdout log (the sharded
+`queries_part` lines are parsed; `BENCH_LAST_RUN.json` from the most
+recent run works too if passed as a .json file). Per query the MIN
+across all given runs is compared to the committed map: lower values
+fold, queries absent from the map are SEEDED (new bench surface —
+seed only from >= 2 quiet runs per protocol; the tool warns on 1).
+The report prints each run's median per-entry ratio vs the committed
+map first — a median far above ~1.3 means a loaded box; don't --apply
+such runs.
+"""
+import json
+import statistics
+import sys
+
+
+def parse(path):
+    if path.endswith(".json"):
+        return json.load(open(path))["queries"]
+    qs = {}
+    for line in open(path):
+        line = line.strip()
+        if line.startswith('{"metric":"queries_part"'):
+            qs.update(json.loads(line)["queries"])
+    return qs
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--apply"]
+    apply = "--apply" in sys.argv
+    if not args:
+        sys.exit(__doc__)
+    runs = [(a, parse(a)) for a in args]
+    mp = json.load(open("BENCH_QUERIES.json"))
+    committed = mp["queries"]
+    for name, run in runs:
+        ratios = [run[k] / committed[k]
+                  for k in run if k in committed and committed[k] > 0]
+        med = statistics.median(ratios) if ratios else float("nan")
+        print(f"{name}: {len(run)} entries, median ratio vs map {med:.3f}")
+    merged = {}
+    for _, run in runs:
+        for k, v in run.items():
+            merged[k] = min(v, merged.get(k, v))
+    seeds = {k: v for k, v in merged.items() if k not in committed}
+    folds = {k: (committed[k], v) for k, v in merged.items()
+             if k in committed and v < committed[k]}
+    if seeds and len(runs) < 2:
+        print("WARNING: seeding new floors from a single run — protocol "
+              "wants min-of-2 quiet runs for new entries")
+    print("seeds:", json.dumps(seeds, sort_keys=True))
+    print("folds:", json.dumps(
+        {k: [round(a, 3), round(b, 3)] for k, (a, b) in folds.items()},
+        sort_keys=True))
+    if apply:
+        committed.update(seeds)
+        for k, (_, v) in folds.items():
+            committed[k] = v
+        mp["value"] = round(sum(committed.values()), 3)
+        json.dump(mp, open("BENCH_QUERIES.json", "w"),
+                  indent=0, sort_keys=True)
+        print(f"applied: map now {mp['value']} s over {len(committed)}")
+    elif seeds or folds:
+        print("(report only — rerun with --apply to fold)")
+
+
+if __name__ == "__main__":
+    main()
