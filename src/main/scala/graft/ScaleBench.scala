@@ -596,6 +596,20 @@ object ScaleBench {
           Streaming.driftMonitorBatchStep(probe(i), "text", drRoot)
             .collect(): Unit
         }))
+        // amortized-republish variant (pruneEvery > 1, r16): probe
+        // batches append O(batch-vocab) count deltas instead of
+        // rewriting the vocabulary histogram; the JSD alignment READ
+        // stays vocabulary-sized in both modes, so this row isolates
+        // the write term the amortization removes
+        val draRoot = fresh(s"/tmp/graft_scale/store/$name/drifta")
+        for (i <- 0 until folds)
+          Streaming.driftMonitorBatchStep(
+            c.where(col("doc_id") >= i * probeN &&
+              col("doc_id") < (i + 1) * probeN), "text", draRoot).collect()
+        timed(name, "q_store_drift_amortized_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.driftMonitorBatchStep(probe(i), "text", draRoot,
+            pruneEvery = 10).collect(): Unit
+        }))
         // semantic-dedup embedding store: state = admitted vectors, so
         // this is the one monitor whose per-batch pair work is
         // O(batch·store/k) with a FIXED k-bucket quantizer — the
@@ -670,10 +684,11 @@ object ScaleBench {
     println("query,S_sec,M_sec,L_sec,XL_sec,XLV_sec,M_over_S,L_over_M,XL_over_L,XLV_over_L")
     val storeQs =
       if (args.contains("STORE"))
-        Seq("q_store_neardedup_batch", "q_store_novelty_batch",
-          "q_store_novelty_amortized_batch",
+        Seq("q_store_neardedup_batch", "q_store_neardedup_amortized_batch",
+          "q_store_novelty_batch", "q_store_novelty_amortized_batch",
           "q_store_kmv_batch", "q_store_kmv_group_batch",
-          "q_store_drift_batch", "q_store_semdedup_batch",
+          "q_store_drift_batch", "q_store_drift_amortized_batch",
+          "q_store_semdedup_batch",
           "q_store_semdedup_amortized_batch")
       else Nil
     for (q <- heavy ++ Seq("q_chain_cc", "q_mor_read", "q_hardneg_batch")

@@ -466,10 +466,29 @@ object Streaming {
     * manifest-versioned atomic marker as the dedup/novelty stores.
     * Returns 1 row: (jsd_bits, n_a = batch tokens, n_b = reference
     * tokens).
+    *
+    * AMORTIZED REPUBLISH (`pruneEvery = N > 1`, r16 — the
+    * [[noveltyGateBatchStep]] trade, closing the last
+    * vocabulary-proportional per-batch write term among the stateful
+    * stores): non-republish batches `appendDelta` only THIS batch's
+    * (token, count) rows (an O(batch-vocabulary) write); every Nth
+    * batch the re-summed merged view (base ∪ pending deltas)
+    * republishes as a fresh base and vacuums the subsumed delta dirs.
+    * Unlike the retention-horizon stores there is NO logical-expiry
+    * corner here: the reference is an exact long-count fold, so the
+    * merged read is bit-identical to what eager mode would have
+    * published, and every verdict — on-time OR late — is bit-identical
+    * across modes (the per-token JSD terms reduce through the
+    * decimal-exact order-invariant sum, spec-pinned). The per-batch
+    * READ stays vocabulary-sized in both modes (the JSD alignment is
+    * a full-outer join against the whole reference); pruneEvery only
+    * removes the vocabulary-sized WRITE.
     */
   def driftMonitorBatchStep(batch: DataFrame, textCol: String,
-                            storePath: String): DataFrame = {
+                            storePath: String,
+                            pruneEvery: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
     // the tokenizer is fixed today (NFC-normalize + whitespace split),
     // but the reference distribution is a function OF it — stamping
@@ -478,9 +497,22 @@ object Streaming {
     // of silently reporting phantom drift
     graft.lake.VersionedTable.requireParams(spark, storePath,
       "drift;tokenizer=nfc-ws-v1")
-    val store = readStoreOrEmpty(spark, storePath,
+    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+    val deltaPaths =
+      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+      else Seq.empty[String]
+    val base = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("_tok", StringType),
         StructField("_c", LongType))))
+    // base ∪ pending deltas re-summed (amortized mode): the long-count
+    // fold is exact and commutative, so this merged view equals the
+    // store eager mode would have published, bit for bit
+    val store =
+      if (deltaPaths.isEmpty) base
+      else base.unionByName(
+          spark.read.parquet(deltaPaths.map(d => s"$storePath/$d"): _*)
+            .select("_tok", "_c"))
+        .groupBy("_tok").agg(sum(col("_c")).as("_c"))
     val counts = batch
       .select(explode(graft.textops.TextFunctions.tokens(
         graft.textops.TextFunctions.normalized(col(textCol)))).as("_tok"))
@@ -493,7 +525,12 @@ object Streaming {
       .localCheckpoint() // decided against the store version read above
     val newStore = store.unionByName(counts)
       .groupBy("_tok").agg(sum(col("_c")).as("_c"))
-    graft.lake.VersionedTable.publish(newStore, storePath)
+    if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
+      graft.lake.VersionedTable.publish(newStore, storePath)
+      if (deltaPaths.nonEmpty)
+        graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
+    } else
+      graft.lake.VersionedTable.appendDelta(counts, storePath)
     verdict
   }
 

@@ -396,6 +396,55 @@ class StreamingSpec extends SparkSpec {
       "duplicate-grown quantizer read as unchanged — near-dup admitted")
   }
 
+  test("drift monitor pruneEvery: amortized verdicts are BIT-identical to eager, republish folds on schedule and vacuums deltas") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftprune").toString
+    val eagerStore = dir + "/eager"
+    val amortStore = dir + "/amort"
+    def batch(texts: String*) = texts.toDF("text")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def verdict(store: String, pe: Int) =
+        Streaming.driftMonitorBatchStep(b, "text", store, pruneEvery = pe)
+          .collect().map { r =>
+            (if (r.isNullAt(0)) None
+             else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0))),
+              r.getLong(1), r.getLong(2))
+          }.toSeq
+      // raw-double-bit compare: the drift fold is exact (long counts +
+      // decimal-sum JSD), so amortized mode owes eager BIT equality on
+      // EVERY batch — there is no logical-expiry corner to carve out
+      val (e, a) = (verdict(eagerStore, 1), verdict(amortStore, 3))
+      assert(e === a, "amortized drift verdict diverged from eager")
+      e
+    }
+    // b1 bootstraps BOTH stores with a published base (no deltas yet)
+    val v1 = run(batch("alpha beta beta gamma"))
+    assert(v1.head._1 === None && v1.head._3 === 0L)
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    val baseV1 = VersionedTable.currentVersion(spark, amortStore)
+    // b2: judged against b1's distribution; the amortized store only
+    // appends the batch's (token, count) delta (base version untouched)
+    val v2 = run(batch("alpha delta delta epsilon"))
+    assert(v2.head._1.isDefined && v2.head._2 === 4L && v2.head._3 === 4L)
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 1)
+    assert(VersionedTable.currentVersion(spark, amortStore) === baseV1)
+    // b3 judges through base ∪ pending delta: the reference must
+    // already include b2's delta-resident counts
+    val v3 = run(batch("beta delta zeta"))
+    assert(v3.head._3 === 8L,
+      "reference must include the delta-resident b2 counts")
+    assert(VersionedTable.pendingDeltas(spark, amortStore).size === 2)
+    // b4 is the 3rd batch since republish → the amortized store folds:
+    // deltas subsumed + vacuumed, base identical to the eager store's
+    run(batch("alpha beta"))
+    assert(VersionedTable.pendingDeltas(spark, amortStore).isEmpty)
+    assert(VersionedTable.currentVersion(spark, amortStore) !== baseV1)
+    def snapshot(store: String) = VersionedTable.readCurrent(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(snapshot(amortStore) === snapshot(eagerStore),
+      "the republished fold must equal the eager store")
+  }
+
   test("semantic dedup pruneEvery: amortized deltas decide like eager, republish folds on schedule, expiry is logical between republishes") {
     import graft.lake.VersionedTable
     val dir = java.nio.file.Files.createTempDirectory("graft_semprune").toString
