@@ -39,6 +39,44 @@ object Streaming {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Default batch-side row cap for the STORE-SHUFFLE-FREE probe the
+    * stateful dedup/novelty steps use (r16): when the batch's key
+    * relation fits, the store probe runs as
+    * store-scan ⋈ broadcast(batch) — the store streams through a
+    * BroadcastHashJoin with NO exchange on the store side, so a
+    * non-republish batch never shuffles O(store) rows; the only
+    * remaining store-wide shuffle is the every-`pruneEvery`-th
+    * republish fold. Past the cap the classic shuffled probe takes
+    * over (broadcasting unbounded batch rows would sink the driver,
+    * not the executors). ~4M (shingle|band, id) rows ≈ low hundreds
+    * of MB broadcast — sized for a micro-batch, not a backfill.
+    */
+  val ProbeBroadcastMaxRows: Long = 4000000L
+
+  /** [[ProbeBroadcastMaxRows]] for the semantic-dedup probe, whose
+    * batch rows carry a d-double embedding each — 8d bytes/row against
+    * the band probe's ~16, hence the smaller default.
+    */
+  val ProbeBroadcastMaxVecRows: Long = 250000L
+
+  /** The store-vs-batch collision probe shared by
+    * [[noveltyGateBatchStep]], [[nearDedupBatchCompute]] and
+    * [[semanticDedupBatchCompute]]: an inner equi-join of the store
+    * side with the batch's key relation. Below `maxRows` batch rows
+    * the BATCH side broadcasts and the store streams through the
+    * BroadcastHashJoin with no exchange below it (plan-pinned in
+    * PlanSpec); past the cap the classic shuffled join takes over.
+    * Both shapes return the same matched multiset up to the duplicate
+    * store keys a delta overlay can carry — every caller absorbs
+    * those with a distinct or a countDistinct.
+    */
+  private[graft] def storeProbe(storeSide: DataFrame, keys: Seq[String],
+                                batchSide: DataFrame,
+                                maxRows: Long): DataFrame =
+    if (batchSide.count() <= maxRows)
+      storeSide.join(broadcast(batchSide), keys)
+    else batchSide.join(storeSide, keys)
+
   /** splitmix64 finalizer — driver-side avalanche for combining the
     * quantizer-fingerprint aggregate's three longs into one stamped
     * value. Fixed constants, deterministic across sessions.
@@ -312,7 +350,11 @@ object Streaming {
     *
     * Every stage is an equi-join or aggregation on hashed keys; the
     * 1-row horizon aggregate rides a broadcast join, nothing collects
-    * to the driver. Survivors are `localCheckpoint`ed before the new
+    * to the driver. Below `probeBroadcastMaxRows` batch band rows the
+    * store-collision probe broadcasts the BATCH side
+    * ([[ProbeBroadcastMaxRows]]): the store streams through the join
+    * unshuffled, so a non-republish batch's only store-wide work is
+    * one scan. Survivors are `localCheckpoint`ed before the new
     * store version publishes so the returned frame does not depend on
     * store files that may age out under it.
     */
@@ -322,7 +364,9 @@ object Streaming {
                          numHashes: Int = 64, bands: Int = 16,
                          family: graft.textops.HashFamily =
                            graft.textops.HashFamily.Xx64,
-                         pruneEvery: Int = 1): DataFrame = {
+                         pruneEvery: Int = 1,
+                         probeBroadcastMaxRows: Long =
+                           ProbeBroadcastMaxRows): DataFrame = {
     require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
@@ -331,7 +375,7 @@ object Streaming {
       else Seq.empty[String]
     val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
       textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
-      family, deltaPaths)
+      family, deltaPaths, probeBroadcastMaxRows)
     nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
       pruneEvery, newStore, delta)
     survivors
@@ -351,7 +395,9 @@ object Streaming {
                                     bands: Int,
                                     family: graft.textops.HashFamily =
                                       graft.textops.HashFamily.Xx64,
-                                    deltaPaths: Seq[String] = Nil)
+                                    deltaPaths: Seq[String] = Nil,
+                                    probeBroadcastMaxRows: Long =
+                                      ProbeBroadcastMaxRows)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
@@ -388,8 +434,11 @@ object Streaming {
       .filter(col("_mx").isNull ||
         col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
       .select("band", "key", "_ts")
-    val vsStore = bandsDf
-      .join(liveStore.select("band", "key"), Seq("band", "key"))
+    // store-shuffle-free probe (see [[storeProbe]]); `dropped`'s
+    // distinct absorbs the duplicate (band, key) matches a delta
+    // overlay can carry in either join shape
+    val vsStore = storeProbe(liveStore.select("band", "key"),
+        Seq("band", "key"), bandsDf, probeBroadcastMaxRows)
       .select(col(idCol))
     val vsBatch = bandsDf.select(col("band"), col("key"), col(idCol).as("_a"))
       .join(bandsDf.select(col("band"), col("key"), col(idCol).as("_b")),
@@ -704,7 +753,11 @@ object Streaming {
     * shingle's NEWEST timestamp, a late duplicate never rewinds a live
     * shingle's clock. Every stage is an equi-join or
     * aggregation on the 8-byte shingle hash; the 1-row horizon
-    * aggregate rides a broadcast join. Returns the admitted rows with
+    * aggregate rides a broadcast join, and below
+    * `probeBroadcastMaxRows` batch shingles the store probe broadcasts
+    * the BATCH side ([[ProbeBroadcastMaxRows]]) — the store streams
+    * through the join unshuffled, so a non-republish batch's only
+    * store-wide work is one scan. Returns the admitted rows with
     * a `novelty` column; the new store version publishes via the same
     * manifest-versioned atomic marker as the dedup stores.
     */
@@ -714,7 +767,9 @@ object Streaming {
                            shingleN: Int = 3,
                            family: graft.textops.HashFamily =
                              graft.textops.HashFamily.Xx64,
-                           pruneEvery: Int = 1): DataFrame = {
+                           pruneEvery: Int = 1,
+                           probeBroadcastMaxRows: Long =
+                             ProbeBroadcastMaxRows): DataFrame = {
     import org.apache.spark.sql.types._
     require(minNovelty >= 0 && minNovelty <= 1,
       s"minNovelty must be in [0,1], got $minNovelty")
@@ -750,8 +805,14 @@ object Streaming {
       .filter(col("_mx").isNull ||
         col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
       .select("shingle", "_ts")
-    val seen = sh.join(liveStore.select("shingle"), Seq("shingle"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("_seen"))
+    // store-shuffle-free probe (see [[storeProbe]]): countDistinct
+    // equals the pre-r16 semi-join count — shingleTable is distinct
+    // per (id, shingle), and distinct-counting absorbs the duplicate
+    // store shingles a delta overlay can carry in either join shape.
+    // The row-bound count is a cheap job over sh's checkpointed blocks.
+    val seen = storeProbe(liveStore.select("shingle"), Seq("shingle"),
+        sh, probeBroadcastMaxRows)
+      .groupBy(col(idCol)).agg(countDistinct(col("shingle")).as("_seen"))
     val scored = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_nsh"))
       .join(seen, Seq(idCol), "left")
       .withColumn("novelty",
@@ -817,7 +878,8 @@ object Streaming {
                       pruneEvery: Int = 1, shingleN: Int = 3,
                       numHashes: Int = 64, bands: Int = 16,
                       family: graft.textops.HashFamily =
-                        graft.textops.HashFamily.Xx64)
+                        graft.textops.HashFamily.Xx64,
+                      probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -830,7 +892,7 @@ object Streaming {
           else Seq.empty[String]
         val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
           textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
-          family, deltaPaths)
+          family, deltaPaths, probeBroadcastMaxRows)
         // sink commits BEFORE state (the crash-consistency ordering
         // above); in amortized mode a redelivered batch lands an
         // identical-content delta whose bands collide with its own —
@@ -1088,13 +1150,21 @@ object Streaming {
     * the centroid set with the corpus — free under `_qfp`). The two
     * knobs together leave nothing O(store) in the per-batch path but
     * the horizon-filtered scan retention bounds at steady state.
+    *
+    * Below `probeBroadcastMaxRows` batch vectors the store probe
+    * broadcasts the BATCH side ([[ProbeBroadcastMaxVecRows]]): the
+    * store streams through the join unshuffled — the shuffled shape
+    * would exchange the store on `bucket`, a k-value key whose
+    * partitions carry whole buckets (skew by construction).
     */
   def semanticDedupBatchStep(batch: DataFrame, idCol: String, vecCol: String,
                              tsCol: String, centroids: DataFrame,
                              bucketCol: String, centroidVecCol: String,
                              threshold: Double, storePath: String,
                              retention: String = "1 hour",
-                             pruneEvery: Int = 1): DataFrame = {
+                             pruneEvery: Int = 1,
+                             probeBroadcastMaxRows: Long =
+                               ProbeBroadcastMaxVecRows): DataFrame = {
     require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
@@ -1104,7 +1174,7 @@ object Streaming {
     val (survivors, newStore, delta, quantizerCurrent) =
       semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
         bucketCol, centroidVecCol, threshold, storePath, retention,
-        deltaPaths)
+        deltaPaths, probeBroadcastMaxRows)
     semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
       quantizerCurrent, newStore, delta)
     survivors
@@ -1149,7 +1219,9 @@ object Streaming {
                                         centroidVecCol: String,
                                         threshold: Double, storePath: String,
                                         retention: String,
-                                        deltaPaths: Seq[String] = Seq.empty)
+                                        deltaPaths: Seq[String] = Seq.empty,
+                                        probeBroadcastMaxRows: Long =
+                                          ProbeBroadcastMaxVecRows)
       : (DataFrame, DataFrame, DataFrame, Boolean) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
@@ -1229,8 +1301,14 @@ object Streaming {
       val dot = graft.textops.Similarity.dot _
       gridSnap(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
     }
-    val vsStore = vecs
-      .join(liveStore.select(col("bucket"), col("_svec")), Seq("bucket"))
+    // store-shuffle-free probe (see [[storeProbe]]). Doubly important
+    // here: the shuffled shape exchanges the store on `bucket` — a
+    // k-value key whose partitions carry whole buckets (skew by
+    // construction); the broadcast shape never repartitions the store
+    // at all. The per-pair cosine is the identical expression either
+    // way, and `dropped`'s distinct absorbs overlay duplicates.
+    val vsStore = storeProbe(liveStore.select(col("bucket"), col("_svec")),
+        Seq("bucket"), vecs, probeBroadcastMaxRows)
       .filter(cos(col("_v"), col("_svec")) >= threshold)
       .select(col(idCol))
     val vsBatch = vecs.select(col("bucket"), col(idCol).as("_a"), col("_v").as("_va"))
@@ -1279,7 +1357,9 @@ object Streaming {
                           bucketCol: String, centroidVecCol: String,
                           threshold: Double, storePath: String,
                           survivorsPath: String, retention: String = "1 hour",
-                          compactEvery: Int = 10, pruneEvery: Int = 1)
+                          compactEvery: Int = 10, pruneEvery: Int = 1,
+                          probeBroadcastMaxRows: Long =
+                            ProbeBroadcastMaxVecRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1293,7 +1373,7 @@ object Streaming {
         val (survivors, newStore, delta, quantizerCurrent) =
           semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
             bucketCol, centroidVecCol, threshold, storePath, retention,
-            deltaPaths)
+            deltaPaths, probeBroadcastMaxRows)
         // O(batch) merge-on-read survivors sink (see nearDedupWriter);
         // sink commits BEFORE state, so a crash between the two
         // converges on redelivery in both state modes (an amortized

@@ -360,4 +360,67 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("stateful store probe: the store streams through a broadcast join — no store-side shuffle, store never the build side") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plan_probe").toString + "/store"
+    VersionedTable.publish(
+      spark.range(50000L).select(col("id").as("shingle")), root)
+    val store = VersionedTable.readCurrent(spark, root) // real parquet scan
+    val batchSide = spark.range(200L)
+      .select((col("id") * 7L).as("shingle"), col("id").as("doc_id"))
+      .localCheckpoint() // production shape: sh/bandsDf/vecs checkpoint
+    val probed = Streaming.storeProbe(store, Seq("shingle"), batchSide,
+        Streaming.ProbeBroadcastMaxRows)
+      .groupBy("doc_id").count() // the batch-bounded agg callers hang above
+    val viaBroadcast = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // Walk the adaptive plan: on the chain from the store's parquet
+    // scan up to the root, a BroadcastHashJoin must appear BEFORE any
+    // shuffle (the post-join agg exchange is batch-bounded — what
+    // matters at 100 TB is that O(store) rows never enter an
+    // exchange), and no broadcast exchange may sit between scan and
+    // join (the store must be the STREAMED side — broadcasting it
+    // would collect the store to the driver).
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case o => o.children
+    }
+    def chainToScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_plan_probe")) =>
+        Some(List(p))
+      case _ => expand(p).view.flatMap(chainToScan).headOption.map(p :: _)
+    }
+    val chain = chainToScan(probed.queryExecution.executedPlan)
+    assert(chain.isDefined, "store parquet scan not found in executed plan:\n" +
+      probed.queryExecution.executedPlan)
+    val up = chain.get.reverse // scan first, root last
+    val bhjIdx = up.indexWhere(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    val shufIdx = up.indexWhere(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(bhjIdx >= 0, "store probe must plan a BroadcastHashJoin:\n" +
+      probed.queryExecution.executedPlan)
+    assert(shufIdx < 0 || bhjIdx < shufIdx,
+      s"store rows shuffled BELOW the probe join:\n${probed.queryExecution.executedPlan}")
+    assert(!up.slice(0, bhjIdx).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeLike]),
+      "the store must be the STREAMED side of the probe join:\n" +
+        probed.queryExecution.executedPlan)
+    // decision parity: the shuffled fallback (maxRows = 0) returns the
+    // same matched multiset
+    val viaShuffle = Streaming.storeProbe(store, Seq("shingle"), batchSide, 0L)
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaBroadcast === viaShuffle)
+  }
 }
