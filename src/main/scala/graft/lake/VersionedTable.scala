@@ -159,6 +159,15 @@ object VersionedTable {
     */
   def requireParams(spark: SparkSession, root: String, params: String,
                     legacy: Seq[String] = Nil): Unit = {
+    // layout guard BEFORE the stamp (r16): every pinned root is a
+    // versioned store by contract, and a call against a legacy
+    // plain-parquet directory must reject WITHOUT writing a `_params`
+    // sidecar into data the caller's own contract says it must not
+    // touch — the MOR sinks gained this ordering individually earlier
+    // in r16; doing it here covers every pinned store (the monitor
+    // steps stamped before their readStoreOrEmpty rejection) and every
+    // future caller.
+    requireVersionedOrEmpty(spark, root)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     val pf = new Path(rootP, ParamsFile)

@@ -770,19 +770,44 @@ object Streaming {
                            pruneEvery: Int = 1,
                            probeBroadcastMaxRows: Long =
                              ProbeBroadcastMaxRows): DataFrame = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    val spark = batch.sparkSession
+    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+    val deltaPaths =
+      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+      else Seq.empty[String]
+    val (admitted, newStore, delta) = noveltyGateBatchCompute(batch, idCol,
+      textCol, tsCol, storePath, minNovelty, retention, shingleN, family,
+      deltaPaths, probeBroadcastMaxRows)
+    noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
+      newStore, delta)
+    admitted
+  }
+
+  /** The decision half of [[noveltyGateBatchStep]]: admitted rows
+    * (eagerly materialized) plus the LAZY next store content — the
+    * horizon-filtered full fold AND the O(batch) admitted-shingle
+    * delta — with the state publish left to the caller; the seam that
+    * lets [[noveltyGateWriter]] commit the sink BEFORE the state.
+    */
+  private[graft] def noveltyGateBatchCompute(batch: DataFrame, idCol: String,
+                                      textCol: String, tsCol: String,
+                                      storePath: String, minNovelty: Double,
+                                      retention: String, shingleN: Int,
+                                      family: graft.textops.HashFamily =
+                                        graft.textops.HashFamily.Xx64,
+                                      deltaPaths: Seq[String] = Nil,
+                                      probeBroadcastMaxRows: Long =
+                                        ProbeBroadcastMaxRows)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     require(minNovelty >= 0 && minNovelty <= 1,
       s"minNovelty must be in [0,1], got $minNovelty")
-    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
     val spark = batch.sparkSession
     // stored shingle hashes are a one-way function of (width, family) —
     // a changed parameter would silently score against incompatible rows
     graft.lake.VersionedTable.requireParams(spark, storePath,
       s"novelty;shingleN=$shingleN;family=$family")
-    val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
-    val deltaPaths =
-      if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
-      else Seq.empty[String]
     val base = readStoreOrEmpty(spark, storePath,
       StructType(Seq(StructField("shingle", LongType),
         StructField("_ts", TimestampType))))
@@ -825,28 +850,81 @@ object Streaming {
     val admittedShingles = sh
       .join(admitted.select(col(idCol), col(tsCol).as("_ts")), Seq(idCol))
       .select("shingle", "_ts")
-    // Republish (horizon-filtered full fold) on the bootstrap batch,
-    // in eager mode, and every pruneEvery-th batch thereafter (the
-    // pending-delta backlog counts batches since the last republish);
-    // otherwise append only this batch's shingles as an O(batch) delta.
+    val newStore = liveStore.unionByName(admittedShingles)
+      .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
+    // the batch-local delta fold (appendDelta's unique-key contract: a
+    // shingle shared by several admitted docs lands once, newest ts)
+    val delta = admittedShingles
+      .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
+    (admitted, newStore, delta)
+  }
+
+  /** Shared state-publish tail of [[noveltyGateBatchStep]] and
+    * [[noveltyGateWriter]]: bootstrap and every `pruneEvery`-th batch
+    * (the pending-delta backlog counts batches since the last
+    * republish) publish the horizon-filtered full fold and vacuum the
+    * subsumed deltas; every other batch appends the O(batch)
+    * admitted-shingle delta.
+    */
+  private def noveltyPublishOrDelta(spark: SparkSession, storePath: String,
+                                    hasBase: Boolean, deltaPaths: Seq[String],
+                                    pruneEvery: Int, newStore: DataFrame,
+                                    delta: DataFrame): Unit =
     if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
-      val newStore = liveStore.unionByName(admittedShingles)
-        .groupBy("shingle").agg(max(col("_ts")).as("_ts"))
       graft.lake.VersionedTable.publish(newStore, storePath)
       // the new base subsumes the folded deltas; physically drop the
       // ones no retained-base reader can still need, or every
       // republish would orphan pruneEvery-1 delta dirs on disk forever
       if (deltaPaths.nonEmpty)
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
-    } else {
-      // fold within the batch (appendDelta's unique-key contract: a
-      // shingle shared by several admitted docs lands once, newest ts)
-      graft.lake.VersionedTable.appendDelta(
-        admittedShingles.groupBy("shingle").agg(max(col("_ts")).as("_ts")),
-        storePath)
+    } else
+      graft.lake.VersionedTable.appendDelta(delta, storePath)
+
+  /** `foreachBatch` streaming novelty gate, crash-consistent end to
+    * end — the [[nearDedupWriter]] ordering applied to the novelty
+    * store: admitted rows are UPSERTED by `idCol` into a
+    * [[graft.lake.VersionedTable]] at `admittedPath` FIRST, and the
+    * shingle state publishes to `storePath` only after the sink
+    * commit. Crash-point convergence under Spark's batch re-delivery
+    * mirrors the near-dedup writer case analysis: a crash before the
+    * sink commit recomputes the same admitted set (state unchanged); a
+    * crash between sink and state re-upserts the same keys
+    * (idempotent) and completes the state publish; a crash after the
+    * state publish re-scores the batch against its OWN admitted
+    * shingles — near-zero novelty drops everything re-scorable, and
+    * the null-novelty shingle-less documents that re-admit land on
+    * their existing sink keys as no-op upserts. Read the sink with
+    * `VersionedTable.readCurrentMerged(spark, admittedPath, Seq(idCol))`.
+    */
+  def noveltyGateWriter(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, storePath: String,
+                        admittedPath: String, minNovelty: Double,
+                        retention: String = "1 hour",
+                        compactEvery: Int = 10, pruneEvery: Int = 1,
+                        shingleN: Int = 3,
+                        family: graft.textops.HashFamily =
+                          graft.textops.HashFamily.Xx64,
+                        probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        val spark = batch.sparkSession
+        val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
+        val deltaPaths =
+          if (hasBase)
+            graft.lake.VersionedTable.pendingDeltas(spark, storePath)
+          else Seq.empty[String]
+        val (admitted, newStore, delta) = noveltyGateBatchCompute(batch,
+          idCol, textCol, tsCol, storePath, minNovelty, retention, shingleN,
+          family, deltaPaths, probeBroadcastMaxRows)
+        // sink commits BEFORE state (crash-consistency ordering above)
+        morUpsertStep(admitted, Seq(idCol), admittedPath, batchId,
+          compactEvery)
+        noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths,
+          pruneEvery, newStore, delta)
+        ()
     }
-    admitted
-  }
 
   /** `foreachBatch` streaming near-dedup, crash-consistent end to end:
     * per batch, survivors are UPSERTED by key into a

@@ -762,6 +762,24 @@ class StreamingSpec extends SparkSpec {
       "key pin was stamped into a dataset the guard then refused to touch")
   }
 
+  test("monitor steps refuse a legacy unversioned layout WITHOUT stamping their parameter pin into it") {
+    // the MOR-sink ordering, now enforced inside requireParams itself
+    // (r16): every pinned store rejects a legacy plain-parquet root
+    // before any side effect — exercised through a monitor step, whose
+    // pre-r16 order stamped first and rejected second
+    import graft.lake.VersionedTable
+    import graft.stream.Streaming
+    val root = java.nio.file.Files.createTempDirectory("graft_monlegacy")
+      .toString + "/t"
+    Seq((1L, "x")).toDF("k", "v").write.parquet(root)
+    intercept[IllegalArgumentException] {
+      Streaming.kmvDistinctBatchStep(
+        Seq(1L).toDF("v"), "v", root, k = 16)
+    }
+    assert(!new java.io.File(s"$root/${VersionedTable.ParamsFile}").exists(),
+      "parameter pin was stamped into a dataset the guard then refused to touch")
+  }
+
   test("drift monitor: reference fold is arrival-order-invariant; only verdicts follow arrival order") {
     import graft.stream.Streaming
     val dir = java.nio.file.Files.createTempDirectory("graft_driftlate").toString
@@ -890,6 +908,72 @@ class StreamingSpec extends SparkSpec {
       .readCurrentMerged(spark, sink, Seq("doc_id"))
       .select("doc_id").as[Long].collect().sorted
     assert(out3.toSeq === Seq(1L, 3L))
+  }
+
+  test("streaming novelty gate writer: admitted rows land in the MOR sink, state advances across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_novwr").toString
+    val q = Streaming.noveltyGateWriter(docs, "doc_id", "text", "ts",
+        dir + "/store", dir + "/admitted", minNovelty = 0.5,
+        retention = "10 days")
+      .option("checkpointLocation", dir + "/chk").start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "rivers mountains valleys forests deserts plains islands caves cliffs dunes"
+    input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), base))
+    q.processAllAvailable()
+    // batch 2: a near-repeat of batch-1 content refuses, fresh admits
+    input.addData(
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"),
+        base.replace("kappa", "lambda")),
+      (3L, Timestamp.valueOf("2024-01-01 10:11:00"), fresh))
+    q.processAllAvailable()
+    val kept = graft.lake.VersionedTable
+      .readCurrentMerged(spark, dir + "/admitted", Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("novelty writer converges when a crash lands between sink commit and state publish") {
+    // the nearDedupWriter middle-crash argument, applied to the
+    // novelty store — including the null-novelty wrinkle: a
+    // shingle-less doc re-admits on every redelivery and must land as
+    // a no-op upsert on its existing sink key
+    val dir = java.nio.file.Files.createTempDirectory("graft_novcrash").toString
+    val store = dir + "/store"
+    val sink = dir + "/admitted"
+    val batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "tiny doc"))
+      .toDF("doc_id", "ts", "text")
+    // attempt 1: sink commit succeeds, state publish never happens
+    val (adm1, _, _) = Streaming.noveltyGateBatchCompute(batch, "doc_id",
+      "text", "ts", store, 0.5, "10 days", 3)
+    Streaming.morUpsertStep(adm1, Seq("doc_id"), sink, 0L, 10)
+    assert(!graft.lake.VersionedTable.isVersioned(spark, store)) // "crashed"
+    // attempt 2 (re-delivery): the full writer step runs to completion
+    val (adm2, store2, _) = Streaming.noveltyGateBatchCompute(batch, "doc_id",
+      "text", "ts", store, 0.5, "10 days", 3)
+    Streaming.morUpsertStep(adm2, Seq("doc_id"), sink, 0L, 10)
+    graft.lake.VersionedTable.publish(store2, store)
+    val out = graft.lake.VersionedTable
+      .readCurrentMerged(spark, sink, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L)) // converged: no loss, no duplicates
+    // attempt 3 (re-delivery AFTER state publish): doc 1 scores zero
+    // novelty against its own shingles and drops; shingle-less doc 2
+    // re-admits (null novelty) and lands on its existing key
+    val (adm3, _, _) = Streaming.noveltyGateBatchCompute(batch, "doc_id",
+      "text", "ts", store, 0.5, "10 days", 3)
+    Streaming.morUpsertStep(adm3, Seq("doc_id"), sink, 0L, 10)
+    assert(adm3.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    val out3 = graft.lake.VersionedTable
+      .readCurrentMerged(spark, sink, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out3.toSeq === Seq(1L, 2L))
   }
 
   test("stream-stream interval join attributes within the lookback, drops beyond it") {
