@@ -113,7 +113,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     * paths (amortized republish) against partition-order sensitivity
     * too, which the read-only families above can't reach.
     */
-  test("stateful steps (novelty, near-dedup, semdedup amortized, KMV) publish bit-identical state across partitionings") {
+  test("stateful steps (novelty, near-dedup, semdedup, drift amortized, KMV) publish bit-identical state across partitionings") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable
     import spark.implicits._
@@ -170,6 +170,17 @@ class PartitionInvarianceSpec extends SparkSpec {
               retention = "10 days", pruneEvery = 2)
             .select("vec_id").as[Long].collect().sorted.mkString(",")
         out += VersionedTable.readCurrent(spark, sd)
+          .collect().map(canon).sorted.mkString("|")
+        // vocab-drift monitor, amortized (r16): the JSD verdict's
+        // decimal-sum reduction AND the delta-overlay re-sum both
+        // cross partition boundaries — the store fold must land
+        // bit-identically too
+        val dr = s"$base/$tag/drift"
+        for ((lo, hi) <- Seq((0, 60), (40, 120)))
+          out += Streaming.driftMonitorBatchStep(docBatch(lo, hi), "text",
+              dr, pruneEvery = 2)
+            .collect().map(canon).mkString("|")
+        out += VersionedTable.readCurrent(spark, dr)
           .collect().map(canon).sorted.mkString("|")
         // KMV distinct monitor (two folds)
         val kv = s"$base/$tag/kmv"
