@@ -554,6 +554,19 @@ object ScaleBench {
             nvaRoot, minNovelty = 0.5, retention = "3650 days",
             pruneEvery = 10).count(): Unit
         }))
+        // segment-mode variant (pruneEvery = 0, r16): probe batches
+        // append one STAMPED segment and vacuum expired ones — the
+        // expected reading equals the amortized row (same probe, same
+        // O(batch) write) with the scheduled fold gone entirely
+        val nvsRoot = fresh(s"/tmp/graft_scale/store/$name/nvs")
+        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", nvsRoot, minNovelty = 0.0,
+          retention = "3650 days").count()
+        timed(name, "q_store_novelty_segmented_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
+            nvsRoot, minNovelty = 0.5, retention = "3650 days",
+            pruneEvery = 0).count(): Unit
+        }))
         // KMV global: axis = batches already folded (state O(k) always)
         val folds = name match { case "S" => 1; case "M" => 10; case _ => 100 }
         val kvRoot = fresh(s"/tmp/graft_scale/store/$name/kmv")
@@ -686,6 +699,7 @@ object ScaleBench {
       if (args.contains("STORE"))
         Seq("q_store_neardedup_batch", "q_store_neardedup_amortized_batch",
           "q_store_novelty_batch", "q_store_novelty_amortized_batch",
+          "q_store_novelty_segmented_batch",
           "q_store_kmv_batch", "q_store_kmv_group_batch",
           "q_store_drift_batch", "q_store_drift_amortized_batch",
           "q_store_semdedup_batch",

@@ -826,6 +826,62 @@ object VersionedTable {
     writeDelta(batch, root)
   }
 
+  /** Name of the segment-expiry stamp a delta directory may carry
+    * ([[appendDeltaStamped]]); underscore-prefixed so parquet readers
+    * ignore it.
+    */
+  val MaxTsFile = "_maxts"
+
+  /** [[appendDelta]] with a segment-expiry stamp (segment mode, r16):
+    * `maxTs` — the writing batch's max event time — lands as a
+    * [[MaxTsFile]] file inside the delta directory BEFORE the commit
+    * marker (atomic with the append), so [[vacuumExpiredDeltas]] can
+    * later drop the whole segment from metadata alone, without reading
+    * a row. `None` (an empty batch) stamps `Long.MinValue`: the empty
+    * segment is vacuumable at the first opportunity.
+    */
+  def appendDeltaStamped(batch: DataFrame, root: String,
+                         maxTs: Option[java.sql.Timestamp]): String = {
+    require(!batch.columns.contains(TombstoneCol),
+      s"$TombstoneCol is reserved for delete deltas — use appendDeleteDelta")
+    writeDelta(batch, root,
+      Some(maxTs.map(_.getTime).getOrElse(Long.MinValue)))
+  }
+
+  /** Physically drop the PENDING delta segments whose stamped max
+    * event time falls STRICTLY before `horizon` — the segment-mode
+    * (`pruneEvery = 0`) expiry path: per batch the stateful steps
+    * append one stamped segment and drop the segments that fell fully
+    * behind the batch's retention horizon, so state maintenance never
+    * rewrites live rows. Un-stamped deltas (a pruneEvery-fold backlog,
+    * or pre-seam appends) are never touched by this path — only a
+    * republish's [[vacuumDeltas]] subsumes those. Single-writer
+    * contract, like the steps that call it: the caller must be the
+    * store's only concurrent reader, since a pending segment vanishes
+    * from under any other reader's plan.
+    */
+  def vacuumExpiredDeltas(spark: SparkSession, root: String,
+                          horizon: java.sql.Timestamp): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val h = horizon.getTime
+    val dead = pendingDeltas(spark, root).filter { d =>
+      val mf = new Path(rootP, s"$d/$MaxTsFile")
+      fs.exists(mf) && {
+        val in = fs.open(mf)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        s.toLong < h
+      }
+    }
+    dead.foreach { d =>
+      fs.delete(new Path(rootP, s"$MarkerPrefix$d"), false)
+      fs.delete(new Path(rootP, d), true)
+    }
+    dead
+  }
+
   /** Publish a DELETE delta: `keysBatch` holds the key columns of the
     * rows to remove (extra columns are ignored by the merge and should
     * be dropped by the caller; duplicates are collapsed). The rows stop
@@ -845,7 +901,8 @@ object VersionedTable {
       root)
   }
 
-  private def writeDelta(batch: DataFrame, root: String): String = {
+  private def writeDelta(batch: DataFrame, root: String,
+                         maxTsMs: Option[Long] = None): String = {
     val spark = batch.sparkSession
     require(isVersioned(spark, root),
       s"appendDelta needs a published base at $root — publish() the first snapshot")
@@ -857,6 +914,14 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val delta = f"$DeltaPrefix$ts%013d-$token"
     batch.write.mode("errorifexists").parquet(new Path(rootP, delta).toString)
+    // the expiry stamp rides INSIDE the directory, before the marker —
+    // a segment is never visible without its stamp
+    maxTsMs.foreach { ms =>
+      val out = fs.create(new Path(rootP, s"$delta/$MaxTsFile"), true)
+      try out.write(ms.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     fs.create(new Path(rootP, s"$MarkerPrefix$delta"), false).close()
     delta
   }

@@ -134,6 +134,34 @@ object StreamQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // The SEGMENT-mode (pruneEvery = 0) twin: the same three-batch
+    // fold, but batches 2/3 land as STAMPED segments and no republish
+    // ever happens — the merged read is the amortized twin's, so the
+    // SAME oracle SQL hash-proves the LSM segment layout
+    // decision-invisible too (not just spec-asserted).
+    "q_s_semdedup_segmented_step" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.orderBy("vec_id").limit(4)
+        .select(col("vec_id").cast("long").as("b"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val withTs = emb.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"semsegstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+          cent, "b", "cv", threshold = 0.35, store, retention = "10 days",
+          pruneEvery = 0)
+      step(withTs.where(col("vec_id") % 3 === 0))
+      step(withTs.where(col("vec_id") % 3 === 1))
+      step(withTs.where(col("vec_id") % 3 === 2))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Incremental novelty gate, two-batch fold: evens admit into an
     // empty store (everything is novel), odds score against the
     // admitted evens' shingles and gate at novelty ≥ 0.5 — near-dup
@@ -189,6 +217,28 @@ object StreamQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The SEGMENT-mode (pruneEvery = 0) novelty twin — same mod-3
+    // fold through stamped segments, no republish; same oracle SQL as
+    // the amortized twin (see q_s_semdedup_segmented_step).
+    "q_s_novelty_segmented_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"novsegstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts",
+          store, minNovelty = 0.5, retention = "10 days", shingleN = 5,
+          family = graft.textops.HashFamily.Md5Portable, pruneEvery = 0)
+      step(docs.where(col("doc_id") % 3 === 0))
+      step(docs.where(col("doc_id") % 3 === 1))
+      step(docs.where(col("doc_id") % 3 === 2))
+        .select("doc_id", "novelty")
+        .orderBy("doc_id")
+    }),
+
     // The incremental NEAR-dedup BATCH STEP (MinHash-LSH band state),
     // hash-checked: evens admit into an empty store (minus in-batch
     // smaller-id band collisions), odds then drop on any band
@@ -232,6 +282,28 @@ object StreamQueries extends QueryPack {
         Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
           retention = "10 days",
           family = graft.textops.HashFamily.Md5Portable, pruneEvery = 3)
+      step(docs.where(col("doc_id") % 3 === 0))
+      step(docs.where(col("doc_id") % 3 === 1))
+      step(docs.where(col("doc_id") % 3 === 2))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // The SEGMENT-mode (pruneEvery = 0) near-dedup twin — same mod-3
+    // fold through stamped segments, no republish; same oracle SQL as
+    // the amortized twin (see q_s_semdedup_segmented_step).
+    "q_s_neardedup_segmented_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"nndsegstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
+          retention = "10 days",
+          family = graft.textops.HashFamily.Md5Portable, pruneEvery = 0)
       step(docs.where(col("doc_id") % 3 === 0))
       step(docs.where(col("doc_id") % 3 === 1))
       step(docs.where(col("doc_id") % 3 === 2))
@@ -381,6 +453,108 @@ object StreamQueries extends QueryPack {
         .orderBy("wav_id", "feat_idx")
     }),
   )
+
+  // Shared by the amortized AND segment-mode twins: the two modes
+  // differ only in state LAYOUT (delta backlog vs stamped LSM
+  // segments) — the three-batch decision algebra is identical, which
+  // is exactly what hash-matching both against ONE SQL replay proves.
+  private lazy val nearDedupOverlaySql: String =
+    s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
+        |coll AS MATERIALIZED (SELECT doc_a AS da, doc_b AS db FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |surv1 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 0 AND c.da < d.doc_id)),
+        |surv2 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 1 AND c.da < d.doc_id))
+        |SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv2 s2 ON c.da = s2.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 3 = 2 AND c.da < d.doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  private lazy val noveltyOverlaySql: String =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    word || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS s FROM (
+        |  SELECT doc_id, word,
+        |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+        |    LEAD(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3,
+        |    LEAD(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS l4 FROM tok)
+        |  WHERE l4 IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh),
+        |ref1 AS (SELECT DISTINCT hs FROM h WHERE doc_id % 3 = 0),
+        |sc2 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref1 r ON h.hs = r.hs
+        |  WHERE h.doc_id % 3 = 1 GROUP BY h.doc_id),
+        |adm2 AS (SELECT doc_id FROM sc2
+        |  WHERE FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 >= 0.5
+        |  UNION ALL SELECT d.doc_id FROM documents d
+        |  WHERE d.doc_id % 3 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM h)),
+        |ref2 AS (SELECT hs FROM ref1
+        |  UNION SELECT h.hs FROM h JOIN adm2 a2 ON h.doc_id = a2.doc_id),
+        |sc3 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref2 r ON h.hs = r.hs
+        |  WHERE h.doc_id % 3 = 2 GROUP BY h.doc_id),
+        |gated AS (SELECT doc_id, FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS novelty
+        |  FROM sc3),
+        |shless AS (SELECT d.doc_id, CAST(NULL AS DOUBLE) AS novelty
+        |  FROM documents d
+        |  WHERE d.doc_id % 3 = 2 AND d.doc_id NOT IN (SELECT doc_id FROM h))
+        |SELECT doc_id, novelty FROM gated WHERE novelty >= 0.5
+        |UNION ALL SELECT doc_id, novelty FROM shless
+        |ORDER BY doc_id""".stripMargin
+
+  private lazy val semdedupOverlaySql: String =
+    """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a),
+        |t1Losers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
+        |    AND FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t1Surv AS (SELECT vec_id, bucket, v FROM asg
+        |  WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM t1Losers)),
+        |t2All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 3 = 1),
+        |t2VsStore AS (SELECT DISTINCT b.vec_id FROM t2All b JOIN t1Surv s2
+        |  ON b.bucket = s2.bucket
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t2VsBatch AS (SELECT DISTINCT b2.vec_id FROM t2All b1 JOIN t2All b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t2Surv AS (SELECT vec_id, bucket, v FROM t2All
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM t2VsStore)
+        |    AND vec_id NOT IN (SELECT vec_id FROM t2VsBatch)),
+        |store2 AS (SELECT bucket, v FROM t1Surv UNION ALL SELECT bucket, v FROM t2Surv),
+        |t3All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 3 = 2),
+        |t3VsStore AS (SELECT DISTINCT b.vec_id FROM t3All b JOIN store2 s3
+        |  ON b.bucket = s3.bucket
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s3.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t3VsBatch AS (SELECT DISTINCT b2.vec_id FROM t3All b1 JOIN t3All b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35)
+        |SELECT vec_id FROM t3All
+        |WHERE vec_id NOT IN (SELECT vec_id FROM t3VsStore)
+        |  AND vec_id NOT IN (SELECT vec_id FROM t3VsBatch)
+        |ORDER BY vec_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q_s_funnel" ->
@@ -583,68 +757,16 @@ object StreamQueries extends QueryPack {
     // form the delta, tier 3 probes base ∪ delta plus its own smaller
     // mates — identical decision algebra to the eager twin, which is
     // exactly what makes the delta overlay's invisibility checkable.
-    "q_s_neardedup_amortized_step" ->
-      s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
-        |coll AS MATERIALIZED (SELECT doc_a AS da, doc_b AS db FROM cand
-        |  UNION ALL SELECT doc_b, doc_a FROM cand),
-        |surv1 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 0
-        |  AND NOT EXISTS (SELECT 1 FROM coll c
-        |    WHERE c.db = d.doc_id AND c.da % 3 = 0 AND c.da < d.doc_id)),
-        |surv2 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
-        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
-        |    WHERE c.db = d.doc_id)
-        |  AND NOT EXISTS (SELECT 1 FROM coll c
-        |    WHERE c.db = d.doc_id AND c.da % 3 = 1 AND c.da < d.doc_id))
-        |SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
-        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
-        |    WHERE c.db = d.doc_id)
-        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv2 s2 ON c.da = s2.doc_id
-        |    WHERE c.db = d.doc_id)
-        |  AND NOT EXISTS (SELECT 1 FROM coll c
-        |    WHERE c.db = d.doc_id AND c.da % 3 = 2 AND c.da < d.doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_s_neardedup_amortized_step" -> nearDedupOverlaySql,
+    "q_s_neardedup_segmented_step" -> nearDedupOverlaySql,
 
     // Mirrors the three-batch amortized novelty fold (mod-3 splits):
     // reference tier 1 = all tier-1 shingles (empty store admits
     // everything), tier 2 gates against tier 1 and its ADMITTED
     // shingles extend the reference (on the Spark side: as a pending
     // delta), tier 3 gates against the two-tier union.
-    "q_s_novelty_amortized_step" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-        |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    word || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS s FROM (
-        |  SELECT doc_id, word,
-        |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
-        |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
-        |    LEAD(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3,
-        |    LEAD(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS l4 FROM tok)
-        |  WHERE l4 IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh),
-        |ref1 AS (SELECT DISTINCT hs FROM h WHERE doc_id % 3 = 0),
-        |sc2 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
-        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
-        |  FROM h LEFT JOIN ref1 r ON h.hs = r.hs
-        |  WHERE h.doc_id % 3 = 1 GROUP BY h.doc_id),
-        |adm2 AS (SELECT doc_id FROM sc2
-        |  WHERE FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 >= 0.5
-        |  UNION ALL SELECT d.doc_id FROM documents d
-        |  WHERE d.doc_id % 3 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM h)),
-        |ref2 AS (SELECT hs FROM ref1
-        |  UNION SELECT h.hs FROM h JOIN adm2 a2 ON h.doc_id = a2.doc_id),
-        |sc3 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
-        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
-        |  FROM h LEFT JOIN ref2 r ON h.hs = r.hs
-        |  WHERE h.doc_id % 3 = 2 GROUP BY h.doc_id),
-        |gated AS (SELECT doc_id, FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS novelty
-        |  FROM sc3),
-        |shless AS (SELECT d.doc_id, CAST(NULL AS DOUBLE) AS novelty
-        |  FROM documents d
-        |  WHERE d.doc_id % 3 = 2 AND d.doc_id NOT IN (SELECT doc_id FROM h))
-        |SELECT doc_id, novelty FROM gated WHERE novelty >= 0.5
-        |UNION ALL SELECT doc_id, novelty FROM shless
-        |ORDER BY doc_id""".stripMargin,
+    "q_s_novelty_amortized_step" -> noveltyOverlaySql,
+    "q_s_novelty_segmented_step" -> noveltyOverlaySql,
 
     // Mirrors the novelty-gate fold: reference = admitted evens'
     // distinct shingle hashes (everything admits into an empty store),
@@ -685,45 +807,8 @@ object StreamQueries extends QueryPack {
     // decision algebra to the eager twin — that the Spark side reads
     // tier-2 survivors through the delta overlay is exactly what this
     // hash check proves invisible.
-    "q_s_semdedup_amortized_step" ->
-      """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings ORDER BY vec_id LIMIT 4),
-        |e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT e.vec_id, e.v, c0.bucket,
-        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
-        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
-        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
-        |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a),
-        |t1Losers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
-        |    AND FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
-        |t1Surv AS (SELECT vec_id, bucket, v FROM asg
-        |  WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM t1Losers)),
-        |t2All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 3 = 1),
-        |t2VsStore AS (SELECT DISTINCT b.vec_id FROM t2All b JOIN t1Surv s2
-        |  ON b.bucket = s2.bucket
-        |  WHERE FLOOR((list_cosine_similarity(b.v, s2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
-        |t2VsBatch AS (SELECT DISTINCT b2.vec_id FROM t2All b1 JOIN t2All b2
-        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
-        |t2Surv AS (SELECT vec_id, bucket, v FROM t2All
-        |  WHERE vec_id NOT IN (SELECT vec_id FROM t2VsStore)
-        |    AND vec_id NOT IN (SELECT vec_id FROM t2VsBatch)),
-        |store2 AS (SELECT bucket, v FROM t1Surv UNION ALL SELECT bucket, v FROM t2Surv),
-        |t3All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 3 = 2),
-        |t3VsStore AS (SELECT DISTINCT b.vec_id FROM t3All b JOIN store2 s3
-        |  ON b.bucket = s3.bucket
-        |  WHERE FLOOR((list_cosine_similarity(b.v, s3.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
-        |t3VsBatch AS (SELECT DISTINCT b2.vec_id FROM t3All b1 JOIN t3All b2
-        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35)
-        |SELECT vec_id FROM t3All
-        |WHERE vec_id NOT IN (SELECT vec_id FROM t3VsStore)
-        |  AND vec_id NOT IN (SELECT vec_id FROM t3VsBatch)
-        |ORDER BY vec_id""".stripMargin,
+    "q_s_semdedup_amortized_step" -> semdedupOverlaySql,
+    "q_s_semdedup_segmented_step" -> semdedupOverlaySql,
 
     // Mirrors the two-batch fold: bucket assignment is the
     // q_t_semantic_dedup argmax convention; batch-1 survivors (even

@@ -77,6 +77,21 @@ object Streaming {
       storeSide.join(broadcast(batchSide), keys)
     else batchSide.join(storeSide, keys)
 
+  /** Segment-mode (`pruneEvery = 0`) expiry coordinates: the batch's
+    * max event time (the new segment's conservative stamp — rows can
+    * only be older) and the same horizon the step's logical filter
+    * uses (max ts − retention, computed with Spark's own interval
+    * arithmetic so stamp expiry and row expiry can never disagree).
+    * (None, None) on an empty batch: no stamp advance, no vacuum.
+    */
+  private def segmentBounds(batch: DataFrame, tsCol: String,
+                            retention: String)
+      : (Option[Timestamp], Option[Timestamp]) = {
+    val r = batch.agg(max(col(tsCol)).as("_mx"),
+      (max(col(tsCol)) - expr(s"INTERVAL $retention")).as("_h")).head()
+    (Option(r.getTimestamp(0)), Option(r.getTimestamp(1)))
+  }
+
   /** splitmix64 finalizer — driver-side avalanche for combining the
     * quantizer-fingerprint aggregate's three longs into one stamped
     * value. Fixed constants, deterministic across sessions.
@@ -367,7 +382,8 @@ object Streaming {
                          pruneEvery: Int = 1,
                          probeBroadcastMaxRows: Long =
                            ProbeBroadcastMaxRows): DataFrame = {
-    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(pruneEvery >= 0,
+      s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
     val deltaPaths =
@@ -376,8 +392,10 @@ object Streaming {
     val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
       textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
       family, deltaPaths, probeBroadcastMaxRows)
+    val seg = if (pruneEvery == 0 && hasBase)
+      Some(segmentBounds(batch, tsCol, retention)) else None
     nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-      pruneEvery, newStore, delta)
+      pruneEvery, newStore, delta, seg)
     survivors
   }
 
@@ -465,14 +483,20 @@ object Streaming {
     * [[nearDedupWriter]]: bootstrap and every `pruneEvery`-th batch
     * (the pending-delta backlog counts batches since the last
     * republish) publish the full fold and vacuum the subsumed deltas;
-    * every other batch appends the O(batch) survivor-band delta.
+    * every other batch appends the O(batch) survivor-band delta. In
+    * SEGMENT mode (`seg` present, pruneEvery = 0) the delta lands
+    * stamped and fully-expired segments are physically dropped — see
+    * the [[noveltyGateBatchStep]] SEGMENT MODE contract.
     */
   private def nearDedupPublishOrDelta(spark: SparkSession, storePath: String,
                                       hasBase: Boolean,
                                       deltaPaths: Seq[String],
                                       pruneEvery: Int, newStore: DataFrame,
-                                      delta: DataFrame): Unit = {
-    if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
+                                      delta: DataFrame,
+                                      seg: Option[(Option[Timestamp],
+                                        Option[Timestamp])] = None): Unit = {
+    if (!hasBase || pruneEvery == 1 ||
+        (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
       // manifest-versioned publish: the new store version becomes
       // visible atomically via marker creation; a crash mid-write
       // leaves the old version current (orphan dir vacuumed later)
@@ -482,8 +506,14 @@ object Streaming {
       // republish would orphan pruneEvery-1 delta dirs on disk forever
       if (deltaPaths.nonEmpty)
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
-    } else
-      graft.lake.VersionedTable.appendDelta(delta, storePath)
+    } else seg match {
+      case Some((mx, hz)) =>
+        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
+        hz.foreach(h =>
+          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+      case None =>
+        graft.lake.VersionedTable.appendDelta(delta, storePath)
+    }
   }
 
   /** One micro-batch step of VOCABULARY-DRIFT MONITORING — the
@@ -738,6 +768,27 @@ object Streaming {
     * (`pruneEvery = 1`) stays the default because that physical-expiry
     * late-data contract is spec-pinned.
     *
+    * SEGMENT MODE (`pruneEvery = 0`, r16): no republish ever happens
+    * after the bootstrap — the LSM trade. Each batch appends its
+    * admitted shingles as ONE segment stamped with the batch's max
+    * event time ([[graft.lake.VersionedTable.appendDeltaStamped]]),
+    * and drops whole segments whose stamp fell fully behind this
+    * batch's horizon ([[graft.lake.VersionedTable.vacuumExpiredDeltas]]
+    * — an O(segments) metadata pass, no rows rewritten). Scoring is
+    * the same merged read as amortized mode, so decisions on on-time
+    * batches equal eager's; the late-data window is "until the
+    * CONTAINING segment fully expires" (≤ one batch's event-time span
+    * past the horizon — tighter than a long pruneEvery backlog). Live
+    * segment count is bounded by retention/batch-interval; a shingle
+    * re-admitted after expiry lands in a newer segment, so duplicate
+    * store keys exist exactly where amortized mode has them (the
+    * probes absorb them by construction). This removes the LAST
+    * store-proportional write from the steady-state path: per batch =
+    * one store scan (probe) + O(batch) append + O(segments) metadata.
+    * The bootstrap base is one batch's fold and persists physically
+    * (logically dead once past the horizon) — run a one-off
+    * `pruneEvery >= 1` batch to compact if it ever matters.
+    *
     * LATE DATA: the horizon derives from each batch's OWN max event
     * time — processing-order micro-batch semantics with no watermark
     * (mirroring the near-dedup store; contrast [[dedupeEvents]], which
@@ -770,7 +821,8 @@ object Streaming {
                            pruneEvery: Int = 1,
                            probeBroadcastMaxRows: Long =
                              ProbeBroadcastMaxRows): DataFrame = {
-    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(pruneEvery >= 0,
+      s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
     val deltaPaths =
@@ -779,8 +831,10 @@ object Streaming {
     val (admitted, newStore, delta) = noveltyGateBatchCompute(batch, idCol,
       textCol, tsCol, storePath, minNovelty, retention, shingleN, family,
       deltaPaths, probeBroadcastMaxRows)
+    val seg = if (pruneEvery == 0 && hasBase)
+      Some(segmentBounds(batch, tsCol, retention)) else None
     noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
-      newStore, delta)
+      newStore, delta, seg)
     admitted
   }
 
@@ -864,21 +918,34 @@ object Streaming {
     * (the pending-delta backlog counts batches since the last
     * republish) publish the horizon-filtered full fold and vacuum the
     * subsumed deltas; every other batch appends the O(batch)
-    * admitted-shingle delta.
+    * admitted-shingle delta. In SEGMENT mode (`seg` present,
+    * pruneEvery = 0) the delta lands stamped with the batch's max
+    * event time and whole segments that fell fully behind this batch's
+    * horizon are physically dropped — no republish ever happens after
+    * the bootstrap.
     */
   private def noveltyPublishOrDelta(spark: SparkSession, storePath: String,
                                     hasBase: Boolean, deltaPaths: Seq[String],
                                     pruneEvery: Int, newStore: DataFrame,
-                                    delta: DataFrame): Unit =
-    if (!hasBase || pruneEvery <= 1 || deltaPaths.size + 1 >= pruneEvery) {
+                                    delta: DataFrame,
+                                    seg: Option[(Option[Timestamp],
+                                      Option[Timestamp])] = None): Unit =
+    if (!hasBase || pruneEvery == 1 ||
+        (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
       graft.lake.VersionedTable.publish(newStore, storePath)
       // the new base subsumes the folded deltas; physically drop the
       // ones no retained-base reader can still need, or every
       // republish would orphan pruneEvery-1 delta dirs on disk forever
       if (deltaPaths.nonEmpty)
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
-    } else
-      graft.lake.VersionedTable.appendDelta(delta, storePath)
+    } else seg match {
+      case Some((mx, hz)) =>
+        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
+        hz.foreach(h =>
+          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+      case None =>
+        graft.lake.VersionedTable.appendDelta(delta, storePath)
+    }
 
   /** `foreachBatch` streaming novelty gate, crash-consistent end to
     * end — the [[nearDedupWriter]] ordering applied to the novelty
@@ -908,7 +975,8 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        require(pruneEvery >= 0,
+          s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
         val spark = batch.sparkSession
         val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
         val deltaPaths =
@@ -921,8 +989,10 @@ object Streaming {
         // sink commits BEFORE state (crash-consistency ordering above)
         morUpsertStep(admitted, Seq(idCol), admittedPath, batchId,
           compactEvery)
+        val seg = if (pruneEvery == 0 && hasBase)
+          Some(segmentBounds(batch, tsCol, retention)) else None
         noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, newStore, delta)
+          pruneEvery, newStore, delta, seg)
         ()
     }
 
@@ -961,7 +1031,8 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        require(pruneEvery >= 0,
+          s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
         val spark = batch.sparkSession
         val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
         val deltaPaths =
@@ -972,13 +1043,15 @@ object Streaming {
           textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
           family, deltaPaths, probeBroadcastMaxRows)
         // sink commits BEFORE state (the crash-consistency ordering
-        // above); in amortized mode a redelivered batch lands an
-        // identical-content delta whose bands collide with its own —
+        // above); in amortized/segment mode a redelivered batch lands
+        // an identical-content delta whose bands collide with its own —
         // the same convergence as the eager republish
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
+        val seg = if (pruneEvery == 0 && hasBase)
+          Some(segmentBounds(batch, tsCol, retention)) else None
         nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, newStore, delta)
+          pruneEvery, newStore, delta, seg)
         ()
     }
 
@@ -1243,7 +1316,8 @@ object Streaming {
                              pruneEvery: Int = 1,
                              probeBroadcastMaxRows: Long =
                                ProbeBroadcastMaxVecRows): DataFrame = {
-    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(pruneEvery >= 0,
+      s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
     val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
     val deltaPaths =
@@ -1253,8 +1327,10 @@ object Streaming {
       semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
         bucketCol, centroidVecCol, threshold, storePath, retention,
         deltaPaths, probeBroadcastMaxRows)
+    val seg = if (pruneEvery == 0 && hasBase)
+      Some(segmentBounds(batch, tsCol, retention)) else None
     semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
-      quantizerCurrent, newStore, delta)
+      quantizerCurrent, newStore, delta, seg)
     survivors
   }
 
@@ -1263,23 +1339,36 @@ object Streaming {
     * mode, on a quantizer change (fingerprint uniformity — see the
     * step scaladoc), and every `pruneEvery`-th batch (the pending
     * backlog counts batches since the last republish); otherwise
-    * append the batch's survivors as an O(batch) delta.
+    * append the batch's survivors as an O(batch) delta. In SEGMENT
+    * mode (`seg` present, pruneEvery = 0) the delta lands stamped and
+    * fully-expired segments are physically dropped
+    * ([[noveltyGateBatchStep]] SEGMENT MODE contract) — EXCEPT on a
+    * quantizer change, which still forces an immediate republish so
+    * every readable layer stays fingerprint-uniform.
     */
   private def semanticPublishOrDelta(spark: SparkSession, storePath: String,
                                      hasBase: Boolean, deltaPaths: Seq[String],
                                      pruneEvery: Int, quantizerCurrent: Boolean,
-                                     newStore: DataFrame, delta: DataFrame)
+                                     newStore: DataFrame, delta: DataFrame,
+                                     seg: Option[(Option[Timestamp],
+                                       Option[Timestamp])] = None)
       : Unit =
-    if (!hasBase || pruneEvery <= 1 || !quantizerCurrent ||
-        deltaPaths.size + 1 >= pruneEvery) {
+    if (!hasBase || pruneEvery == 1 || !quantizerCurrent ||
+        (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
       graft.lake.VersionedTable.publish(newStore, storePath)
       // the new base subsumes the folded deltas (same rationale as the
       // novelty gate: without the vacuum every republish orphans
       // pruneEvery-1 delta dirs on disk forever)
       if (deltaPaths.nonEmpty)
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
-    } else
-      graft.lake.VersionedTable.appendDelta(delta, storePath)
+    } else seg match {
+      case Some((mx, hz)) =>
+        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
+        hz.foreach(h =>
+          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+      case None =>
+        graft.lake.VersionedTable.appendDelta(delta, storePath)
+    }
 
   /** Decision half of [[semanticDedupBatchStep]] — survivors plus the
     * lazy next store (full fold) AND the batch-only delta, publish
@@ -1441,7 +1530,8 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+        require(pruneEvery >= 0,
+          s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
         val spark = batch.sparkSession
         val hasBase = graft.lake.VersionedTable.isVersioned(spark, storePath)
         val deltaPaths =
@@ -1454,13 +1544,15 @@ object Streaming {
             deltaPaths, probeBroadcastMaxRows)
         // O(batch) merge-on-read survivors sink (see nearDedupWriter);
         // sink commits BEFORE state, so a crash between the two
-        // converges on redelivery in both state modes (an amortized
+        // converges on redelivery in every state mode (a delta-mode
         // redelivery lands an identical-content delta; the store read
         // then drops the batch against its own vectors → no-ops)
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
+        val seg = if (pruneEvery == 0 && hasBase)
+          Some(segmentBounds(batch, tsCol, retention)) else None
         semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, quantizerCurrent, newStore, delta)
+          pruneEvery, quantizerCurrent, newStore, delta, seg)
         ()
     }
 

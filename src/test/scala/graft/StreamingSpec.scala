@@ -333,6 +333,55 @@ class StreamingSpec extends SparkSpec {
       "the republished fold must equal the eager store")
   }
 
+  test("novelty gate segment mode (pruneEvery = 0): decisions match eager, no republish after bootstrap, expired segments drop whole") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_novseg").toString
+    val eagerStore = dir + "/eager"
+    val segStore = dir + "/seg"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      def ids(store: String, pe: Int) =
+        Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts", store,
+          minNovelty = 0.5, retention = "1 hour", pruneEvery = pe)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      val (e, a) = (ids(eagerStore, 1), ids(segStore, 0))
+      assert(e === a, "segment-mode admissions diverged from eager")
+      e
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "rivers mountains valleys forests deserts plains islands caves cliffs dunes"
+    // b1 bootstraps BOTH stores with a published base
+    assert(run(batch((1L, base, "2024-01-01 10:00:00"))) === Seq(1L))
+    val baseV1 = VersionedTable.currentVersion(spark, segStore)
+    // b2: near-repeat refuses against the base, fresh admits — the
+    // segment store appends ONE stamped segment, base untouched
+    assert(run(batch(
+      (2L, base.replace("kappa", "lambda"), "2024-01-01 10:10:00"),
+      (3L, fresh, "2024-01-01 10:11:00"))) === Seq(3L))
+    assert(VersionedTable.pendingDeltas(spark, segStore).size === 1)
+    assert(VersionedTable.currentVersion(spark, segStore) === baseV1)
+    // b3 beyond retention: b2's segment (stamp 10:11) fell fully
+    // behind the 12:30 horizon — decisions see it as expired (near-
+    // repeat of doc 3's content admits) and the tail drops the WHOLE
+    // segment physically, leaving only b3's own new segment
+    assert(run(batch(
+      (4L, fresh.replace("dunes", "reefs"), "2024-01-01 12:30:00")))
+      === Seq(4L))
+    assert(VersionedTable.pendingDeltas(spark, segStore).size === 1,
+      "expired segment must vacuum whole; the new batch appends one")
+    // ... and STILL no republish: the bootstrap base version persists
+    // (its rows logically dead past the horizon — the documented
+    // segment-mode residue)
+    assert(VersionedTable.currentVersion(spark, segStore) === baseV1)
+    // b4: near-repeat of b3's admitted content refuses in BOTH modes
+    // (the live segment carries it)
+    assert(run(batch(
+      (5L, fresh.replace("dunes", "reefs").replace("caves", "coves"),
+        "2024-01-01 12:40:00"))) === Seq.empty)
+  }
+
   test("amortized novelty republish physically vacuums subsumed deltas past the reader horizon") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable
@@ -584,6 +633,46 @@ class StreamingSpec extends SparkSpec {
     val pend = VersionedTable.pendingDeltas(spark, store)
     assert(pend.size === 1, "backlog restarts after the forced republish")
     assert(spark.read.parquet(s"$store/${pend.head}").count() === 0L)
+  }
+
+  test("semantic dedup segment mode: never republishes on schedule, but a quantizer change still does") {
+    import graft.lake.VersionedTable
+    val store = java.nio.file.Files.createTempDirectory("graft_semqseg")
+      .toString + "/store"
+    def batch(rows: (Long, Seq[Double], String)*) =
+      rows.toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def cents(rows: (Long, Seq[Double])*) = rows.toDF("b", "cv")
+    val c1 = cents(0L -> Seq(1.0, 1.0))
+    val c4 = cents(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    def step(b: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.DataFrame) =
+      Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+        c, "b", "cv", threshold = 0.9, store, retention = "10 days",
+        pruneEvery = 0)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(step(batch((1L, Seq(1.0, 0.05), "2024-01-01 10:00:00")), c1)
+      === Seq(1L))
+    val baseV1 = VersionedTable.currentVersion(spark, store)
+    // two more same-quantizer batches: both land as stamped segments
+    // (segment mode has NO scheduled republish)
+    assert(step(batch((2L, Seq(0.05, 1.0), "2024-01-01 10:10:00")), c1)
+      === Seq(2L))
+    assert(step(batch((3L, Seq(-0.9, 0.4), "2024-01-01 10:20:00")), c1)
+      === Seq(3L))
+    assert(VersionedTable.pendingDeltas(spark, store).size === 2)
+    assert(VersionedTable.currentVersion(spark, store) === baseV1)
+    // the quantizer grows: segment mode must STILL republish now so
+    // every readable layer carries one fingerprint — vec 4 near
+    // SEGMENT-resident vec 2 drops through the re-bucketed read
+    assert(step(batch((4L, Seq(0.06, 1.0), "2024-01-01 10:30:00")), c4)
+      === Seq.empty)
+    assert(VersionedTable.pendingDeltas(spark, store).isEmpty,
+      "quantizer change must republish even in segment mode")
+    assert(VersionedTable.currentVersion(spark, store) !== baseV1)
+    assert(VersionedTable.readCurrent(spark, store)
+      .select("_qfp").distinct().count() === 1L)
   }
 
   test("semantic dedup refuses an empty quantizer") {

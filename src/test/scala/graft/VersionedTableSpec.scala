@@ -722,6 +722,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(m === Map(1L -> "a", 2L -> "w1", 3L -> "w2"))
   }
 
+  test("segment stamps: vacuumExpiredDeltas drops only fully-expired stamped segments, never unstamped deltas") {
+    val root = tmpRoot("segvac")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    val dOld = VersionedTable.appendDeltaStamped(
+      Seq((1L, "old")).toDF("k", "v"), root, Some(ts("2024-01-01 10:00:00")))
+    val dLive = VersionedTable.appendDeltaStamped(
+      Seq((2L, "live")).toDF("k", "v"), root, Some(ts("2024-01-01 11:00:00")))
+    val dUnstamped = VersionedTable.appendDelta(
+      Seq((3L, "unstamped")).toDF("k", "v"), root)
+    val dEmpty = VersionedTable.appendDeltaStamped(
+      Seq.empty[(Long, String)].toDF("k", "v"), root, None) // empty batch
+    assert(VersionedTable.pendingDeltas(spark, root).size === 4)
+    val dead = VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 10:30:00"))
+    // dOld fully behind the horizon and dEmpty (MinValue stamp) drop;
+    // dLive survives (stamp >= horizon); the unstamped delta is a
+    // pruneEvery-backlog artifact this path must never touch
+    assert(dead.toSet === Set(dOld, dEmpty))
+    assert(VersionedTable.pendingDeltas(spark, root).toSet
+      === Set(dLive, dUnstamped))
+    // an exactly-at-horizon stamp is NOT expired (strict inequality,
+    // matching the steps' `_ts >= horizon` keep-filter)
+    assert(VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 11:00:00")).isEmpty)
+  }
+
   test("a legacy plain-parquet dataset at a sink path fails loudly, not silently reset") {
     val root = tmpRoot("legacy")
     Seq((1L, "old-state")).toDF("k", "v").write.parquet(root)
