@@ -786,8 +786,11 @@ object Streaming {
     * store-proportional write from the steady-state path: per batch =
     * one store scan (probe) + O(batch) append + O(segments) metadata.
     * The bootstrap base is one batch's fold and persists physically
-    * (logically dead once past the horizon) — run a one-off
-    * `pruneEvery >= 1` batch to compact if it ever matters.
+    * (logically dead once past the horizon), and a crash between a
+    * segment's parquet write and its commit marker leaves an
+    * unmarked orphan dir that only a republish's vacuum sweeps — run
+    * a one-off `pruneEvery >= 1` batch to compact if either residue
+    * ever matters.
     *
     * LATE DATA: the horizon derives from each batch's OWN max event
     * time — processing-order micro-batch semantics with no watermark
