@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // calibration (SCALING.md "Benchmark protocol"): a loaded box
+    // inflates every cell ~uniformly, so the run stamps enough context
+    // to self-describe — /proc/loadavg at start/end and, after the
+    // run, the median per-entry ratio vs the committed quiet-min map.
+    // A median far above ~1.3 means the box was busy and the run's
+    // absolute numbers are environmental, not code.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,11 +53,32 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val slowest = results.sortBy(-_._2).take(8)
+    // median per-entry ratio vs BENCH_QUERIES.json (the committed
+    // quiet min-of-N map — the same statistic tools/foldbench.py
+    // computes); the map is a flat {"queries":{name:sec,...}} so a
+    // regex pair-scan suffices, filtered to names this run produced
+    val committed: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_QUERIES.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val ratios = results.flatMap { case (n, v) =>
+      committed.get(n).filter(_ > 0).map(v / _) }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    val calib = s""""calibration":{"median_ratio_vs_quiet_map":${fmt(medianRatio)},""" +
+      s""""entries_compared":${ratios.size},""" +
+      s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())}}"""
     // Early queries_part lines can scroll out of the driver's bounded tail
     // capture, so the complete map is also written to a file — the one
     // durable record of every per-query timing.
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},$calib,"sf":"$sfDir"}"""
     // Single-run timings land in BENCH_LAST_RUN.json — NOT in
     // BENCH_QUERIES.json, which holds the protocol-governed quiet
     // min-of-N map (SCALING.md "Benchmark protocol") and must not be
@@ -57,7 +89,7 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // `slowest` (not `queries`): this is a subset — summing it would NOT
     // reproduce the total. Full map: BENCH_LAST_RUN.json + the part lines.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},"queries_file":"BENCH_LAST_RUN.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":${toJson(slowest)},$calib,"queries_file":"BENCH_LAST_RUN.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

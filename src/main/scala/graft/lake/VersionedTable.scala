@@ -832,6 +832,35 @@ object VersionedTable {
     */
   val MaxTsFile = "_maxts"
 
+  /** Read a delta directory's [[MaxTsFile]] expiry stamp. None when
+    * absent (an un-stamped pruneEvery-fold delta — silent, that's the
+    * republish path's property) and ALSO when present but unreadable
+    * or unparsable (a torn write on a store without atomic create, or
+    * a checksum error on the re-read): the segment is skipped LOUDLY
+    * rather than throwing, because one bad sidecar must not
+    * permanently fail every later maintenance call against the store —
+    * delete the named file or the segment dir to reclaim it.
+    */
+  private def readStamp(fs: org.apache.hadoop.fs.FileSystem, rootP: Path,
+                        d: String): Option[Long] = {
+    val mf = new Path(rootP, s"$d/$MaxTsFile")
+    if (!fs.exists(mf)) None
+    else {
+      val parsed = scala.util.Try {
+        val in = fs.open(mf)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        s.trim.toLong
+      }.toOption
+      if (parsed.isEmpty)
+        System.err.println(s"[graft] unreadable/unparsable $MaxTsFile " +
+          s"stamp at $mf — segment skipped; delete the file or the " +
+          "segment dir to reclaim it")
+      parsed
+    }
+  }
+
   /** [[appendDelta]] with a segment-expiry stamp (segment mode, r16):
     * `maxTs` — the writing batch's max event time — lands as a
     * [[MaxTsFile]] file inside the delta directory BEFORE the commit
@@ -853,33 +882,110 @@ object VersionedTable {
     * (`pruneEvery = 0`) expiry path: per batch the stateful steps
     * append one stamped segment and drop the segments that fell fully
     * behind the batch's retention horizon, so state maintenance never
-    * rewrites live rows. Un-stamped deltas (a pruneEvery-fold backlog,
-    * or pre-seam appends) are never touched by this path — only a
-    * republish's [[vacuumDeltas]] subsumes those. Single-writer
-    * contract, like the steps that call it: the caller must be the
-    * store's only concurrent reader, since a pending segment vanishes
-    * from under any other reader's plan.
+    * rewrites live rows. Un-stamped MARKED deltas (a pruneEvery-fold
+    * backlog, or pre-seam appends) are never touched by this path —
+    * only a republish's [[vacuumDeltas]] subsumes those. A stamp that
+    * exists but does not parse (a torn write on a filesystem without
+    * atomic create — the marker-commit discipline makes this a
+    * should-not-happen, but an object store can tear it) is treated as
+    * unstamped: the segment is SKIPPED, loudly, instead of throwing —
+    * an unparsable stamp must not permanently fail every later batch
+    * against the store (delete the named file or the segment dir to
+    * clear the warning).
+    *
+    * UNMARKED delta-prefixed dirs (parquet written, marker never
+    * created — a crashed append) are swept too, mirroring
+    * [[vacuumDeltas]]'s orphan pass: since segment mode never
+    * republishes, nothing else would ever reclaim them and they
+    * accumulate without bound. An orphan is provably dead garbage once
+    * a LATER write committed — [[writeDelta]] assigns strictly
+    * increasing timestamps, so under the steps' single-writer contract
+    * any unmarked dir older than the newest COMMITTED write belongs to
+    * a crashed (hence replayed) batch whose re-delivery landed its own
+    * delta; the newest unmarked dir is left alone, since with
+    * concurrent callers it could be an append in flight. The event-time
+    * horizon is deliberately NOT consulted for orphans: commit state,
+    * not content age, is what makes them garbage.
+    *
+    * Single-writer contract, like the steps that call it: the caller
+    * must be the store's only concurrent reader, since a pending
+    * segment vanishes from under any other reader's plan.
     */
   def vacuumExpiredDeltas(spark: SparkSession, root: String,
                           horizon: java.sql.Timestamp): Seq[String] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     val h = horizon.getTime
-    val dead = pendingDeltas(spark, root).filter { d =>
-      val mf = new Path(rootP, s"$d/$MaxTsFile")
-      fs.exists(mf) && {
-        val in = fs.open(mf)
-        val s = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-        s.toLong < h
-      }
-    }
+    val dead = pendingDeltas(spark, root)
+      .filter(d => readStamp(fs, rootP, d).exists(_ < h))
     dead.foreach { d =>
       fs.delete(new Path(rootP, s"$MarkerPrefix$d"), false)
       fs.delete(new Path(rootP, d), true)
     }
-    dead
+    // orphan pass (see scaladoc): unmarked delta dirs strictly older
+    // than the newest committed write are crashed appends
+    val marked = listDeltas(spark, root).toSet
+    val newestCommitted = (listVersions(spark, root) ++ marked.toSeq)
+      .map(versionTs).foldLeft(Long.MinValue)(math.max)
+    val orphans =
+      if (!fs.exists(rootP)) Seq.empty[String]
+      else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(DeltaPrefix) && !marked.contains(n))
+        .filter(n => versionTsOpt(n).exists(_ < newestCommitted))
+    orphans.foreach(n => fs.delete(new Path(rootP, n), true))
+    dead ++ orphans
+  }
+
+  /** L1 MERGE for segment mode (r17): fold the oldest pending STAMPED
+    * segments into one, so a long retention over a short batch
+    * interval (7 days at 1-minute batches ≈ 10k segments) cannot grow
+    * the per-batch metadata pass and the merged read's file list
+    * without bound. When more than `maxSegments` stamped segments are
+    * pending, the oldest `(count − maxSegments + 1)` are read once,
+    * written as ONE new delta stamped with the MAX of their stamps
+    * (conservative: the merged segment expires when its youngest
+    * constituent would have), and the constituents are dropped — an
+    * O(rows-in-merged-segments) rewrite, bounded by retention, and
+    * never O(store) because the base is untouched.
+    *
+    * SOUND ONLY FOR ROW-SET OVERLAYS — the stateful monitors' stores,
+    * where the overlay is a bag of rows the readers union and fold
+    * commutatively (distinct / keep-newest / count-sum). A keyed
+    * merge-on-read overlay ([[readCurrentMerged]]) resolves newest-wins
+    * by DELTA ORDER, which this fold collapses — use [[compactDeltas]]
+    * there instead. Un-stamped and unparsable-stamp segments are left
+    * alone (they belong to the republish path). Expiry granularity
+    * coarsens for merged rows — they now leave the store only when the
+    * merged stamp expires — which is decision-invisible for the same
+    * reason amortized mode's logical expiry is: the steps' horizon
+    * filter drops expired rows on READ.
+    *
+    * Crash-safe under the single-writer contract: the merged segment
+    * commits (marker) BEFORE the constituents are dropped, so a crash
+    * between the two leaves duplicate rows across layers — exactly the
+    * overlay-duplicate class every reader already absorbs — and the
+    * next merge converges. Returns the names of the folded segments
+    * (empty when the backlog is within bound).
+    */
+  def compactSegments(spark: SparkSession, root: String,
+                      maxSegments: Int): Seq[String] = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    // pendingDeltas is ascending by construction → oldest first
+    val stamped = pendingDeltas(spark, root)
+      .flatMap(d => readStamp(fs, rootP, d).map(d -> _))
+    if (stamped.size <= maxSegments) return Seq.empty
+    val fold = stamped.take(stamped.size - maxSegments + 1)
+    val mergedRows = spark.read.parquet(
+      fold.map { case (d, _) => new Path(rootP, d).toString }: _*)
+    val mergedStamp = fold.map(_._2).max
+    writeDelta(mergedRows, root, Some(mergedStamp))
+    fold.map(_._1).foreach { d =>
+      fs.delete(new Path(rootP, s"$MarkerPrefix$d"), false)
+      fs.delete(new Path(rootP, d), true)
+    }
+    fold.map(_._1)
   }
 
   /** Publish a DELETE delta: `keysBatch` holds the key columns of the

@@ -77,12 +77,24 @@ object Streaming {
       storeSide.join(broadcast(batchSide), keys)
     else batchSide.join(storeSide, keys)
 
-  /** Segment-mode (`pruneEvery = 0`) expiry coordinates: the batch's
-    * max event time (the new segment's conservative stamp — rows can
-    * only be older) and the same horizon the step's logical filter
-    * uses (max ts − retention, computed with Spark's own interval
+  /** Per-batch expiry coordinates, computed ONCE per step: the batch's
+    * max event time (in segment mode, the new segment's conservative
+    * stamp — rows can only be older) and the retention horizon
+    * (max ts − retention, computed with Spark's own interval
     * arithmetic so stamp expiry and row expiry can never disagree).
-    * (None, None) on an empty batch: no stamp advance, no vacuum.
+    * (None, None) on an empty batch: keep the store untouched — no
+    * expiry filter, no stamp advance, no vacuum.
+    *
+    * The steps collect this 1-row aggregate up front and thread the
+    * SAME values into both the compute half's live-store filter and
+    * the segment stamp/vacuum (r17): pre-r17 the filter re-derived the
+    * horizon from a second aggregation over the raw batch, so a source
+    * whose re-read is not bit-deterministic could vacuum under a
+    * horizon that disagrees with the one the drop decisions used.
+    * Collecting it also turns the store's expiry filter into a LITERAL
+    * predicate — pushable into the store's parquet scan (row-group
+    * stats skip fully-expired files), where the old
+    * crossJoin(broadcast(1-row)) shape blocked pushdown entirely.
     */
   private def segmentBounds(batch: DataFrame, tsCol: String,
                             retention: String)
@@ -389,11 +401,13 @@ object Streaming {
     val deltaPaths =
       if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
       else Seq.empty[String]
+    // ONE bounds collection per batch, shared by the decision filter
+    // and (in segment mode) the stamp/vacuum — see [[segmentBounds]]
+    val bounds = segmentBounds(batch, tsCol, retention)
     val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
       textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
-      family, deltaPaths, probeBroadcastMaxRows)
-    val seg = if (pruneEvery == 0 && hasBase)
-      Some(segmentBounds(batch, tsCol, retention)) else None
+      family, deltaPaths, probeBroadcastMaxRows, Some(bounds))
+    val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
       pruneEvery, newStore, delta, seg)
     survivors
@@ -415,7 +429,9 @@ object Streaming {
                                       graft.textops.HashFamily.Xx64,
                                     deltaPaths: Seq[String] = Nil,
                                     probeBroadcastMaxRows: Long =
-                                      ProbeBroadcastMaxRows)
+                                      ProbeBroadcastMaxRows,
+                                    bounds: Option[(Option[Timestamp],
+                                      Option[Timestamp])] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
@@ -446,11 +462,12 @@ object Streaming {
     // own max event time: content older than the retention horizon must
     // not suppress admission (the exact-path analogue finalizes state at
     // the watermark the same way). An empty batch has a null horizon —
-    // keep the store untouched rather than wiping it.
-    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
-    val liveStore = store.crossJoin(broadcast(batchMax))
-      .filter(col("_mx").isNull ||
-        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+    // keep the store untouched rather than wiping it. The horizon is
+    // the step's ONCE-collected [[segmentBounds]] (the same values the
+    // segment stamp/vacuum uses), applied as a literal predicate the
+    // store scan can push down.
+    val hzNd = bounds.getOrElse(segmentBounds(batch, tsCol, retention))._2
+    val liveStore = hzNd.fold(store)(h => store.filter(col("_ts") >= lit(h)))
       .select("band", "key", "_ts")
     // store-shuffle-free probe (see [[storeProbe]]); `dropped`'s
     // distinct absorbs the duplicate (band, key) matches a delta
@@ -831,11 +848,13 @@ object Streaming {
     val deltaPaths =
       if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
       else Seq.empty[String]
+    // ONE bounds collection per batch, shared by the decision filter
+    // and (in segment mode) the stamp/vacuum — see [[segmentBounds]]
+    val bounds = segmentBounds(batch, tsCol, retention)
     val (admitted, newStore, delta) = noveltyGateBatchCompute(batch, idCol,
       textCol, tsCol, storePath, minNovelty, retention, shingleN, family,
-      deltaPaths, probeBroadcastMaxRows)
-    val seg = if (pruneEvery == 0 && hasBase)
-      Some(segmentBounds(batch, tsCol, retention)) else None
+      deltaPaths, probeBroadcastMaxRows, Some(bounds))
+    val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
       newStore, delta, seg)
     admitted
@@ -855,7 +874,9 @@ object Streaming {
                                         graft.textops.HashFamily.Xx64,
                                       deltaPaths: Seq[String] = Nil,
                                       probeBroadcastMaxRows: Long =
-                                        ProbeBroadcastMaxRows)
+                                        ProbeBroadcastMaxRows,
+                                      bounds: Option[(Option[Timestamp],
+                                        Option[Timestamp])] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     require(minNovelty >= 0 && minNovelty <= 1,
@@ -882,10 +903,11 @@ object Streaming {
         batch.select(col(idCol), col(textCol)), idCol, textCol,
         shingleN, family)
       .localCheckpoint()
-    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
-    val liveStore = store.crossJoin(broadcast(batchMax))
-      .filter(col("_mx").isNull ||
-        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+    // the step's ONCE-collected horizon ([[segmentBounds]]) as a
+    // literal, store-scan-pushable predicate; None (empty batch) keeps
+    // the store untouched
+    val hzNv = bounds.getOrElse(segmentBounds(batch, tsCol, retention))._2
+    val liveStore = hzNv.fold(store)(h => store.filter(col("_ts") >= lit(h)))
       .select("shingle", "_ts")
     // store-shuffle-free probe (see [[storeProbe]]): countDistinct
     // equals the pre-r16 semi-join count — shingleTable is distinct
@@ -986,14 +1008,14 @@ object Streaming {
           if (hasBase)
             graft.lake.VersionedTable.pendingDeltas(spark, storePath)
           else Seq.empty[String]
+        val bounds = segmentBounds(batch, tsCol, retention)
         val (admitted, newStore, delta) = noveltyGateBatchCompute(batch,
           idCol, textCol, tsCol, storePath, minNovelty, retention, shingleN,
-          family, deltaPaths, probeBroadcastMaxRows)
+          family, deltaPaths, probeBroadcastMaxRows, Some(bounds))
         // sink commits BEFORE state (crash-consistency ordering above)
         morUpsertStep(admitted, Seq(idCol), admittedPath, batchId,
           compactEvery)
-        val seg = if (pruneEvery == 0 && hasBase)
-          Some(segmentBounds(batch, tsCol, retention)) else None
+        val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths,
           pruneEvery, newStore, delta, seg)
         ()
@@ -1042,17 +1064,17 @@ object Streaming {
           if (hasBase)
             graft.lake.VersionedTable.pendingDeltas(spark, storePath)
           else Seq.empty[String]
+        val bounds = segmentBounds(batch, tsCol, retention)
         val (survivors, newStore, delta) = nearDedupBatchCompute(batch, idCol,
           textCol, tsCol, storePath, retention, shingleN, numHashes, bands,
-          family, deltaPaths, probeBroadcastMaxRows)
+          family, deltaPaths, probeBroadcastMaxRows, Some(bounds))
         // sink commits BEFORE state (the crash-consistency ordering
         // above); in amortized/segment mode a redelivered batch lands
         // an identical-content delta whose bands collide with its own —
         // the same convergence as the eager republish
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
-        val seg = if (pruneEvery == 0 && hasBase)
-          Some(segmentBounds(batch, tsCol, retention)) else None
+        val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
           pruneEvery, newStore, delta, seg)
         ()
@@ -1326,12 +1348,14 @@ object Streaming {
     val deltaPaths =
       if (hasBase) graft.lake.VersionedTable.pendingDeltas(spark, storePath)
       else Seq.empty[String]
+    // ONE bounds collection per batch, shared by the decision filter
+    // and (in segment mode) the stamp/vacuum — see [[segmentBounds]]
+    val bounds = segmentBounds(batch, tsCol, retention)
     val (survivors, newStore, delta, quantizerCurrent) =
       semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
         bucketCol, centroidVecCol, threshold, storePath, retention,
-        deltaPaths, probeBroadcastMaxRows)
-    val seg = if (pruneEvery == 0 && hasBase)
-      Some(segmentBounds(batch, tsCol, retention)) else None
+        deltaPaths, probeBroadcastMaxRows, Some(bounds))
+    val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
       quantizerCurrent, newStore, delta, seg)
     survivors
@@ -1391,7 +1415,9 @@ object Streaming {
                                         retention: String,
                                         deltaPaths: Seq[String] = Seq.empty,
                                         probeBroadcastMaxRows: Long =
-                                          ProbeBroadcastMaxVecRows)
+                                          ProbeBroadcastMaxVecRows,
+                                        bounds: Option[(Option[Timestamp],
+                                          Option[Timestamp])] = None)
       : (DataFrame, DataFrame, DataFrame, Boolean) = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
@@ -1452,10 +1478,11 @@ object Streaming {
       .select(col(idCol), transform(col(vecCol), v => v.cast("double")).as("_v"))
       .join(assigned, idCol)
       .localCheckpoint()
-    val batchMax = batch.agg(max(col(tsCol)).as("_mx"))
-    val liveRaw = store.crossJoin(broadcast(batchMax))
-      .filter(col("_mx").isNull ||
-        col("_ts") >= col("_mx") - expr(s"INTERVAL $retention"))
+    // the step's ONCE-collected horizon ([[segmentBounds]]) as a
+    // literal, store-scan-pushable predicate; None (empty batch) keeps
+    // the store untouched
+    val hzSd = bounds.getOrElse(segmentBounds(batch, tsCol, retention))._2
+    val liveRaw = hzSd.fold(store)(h => store.filter(col("_ts") >= lit(h)))
       .select("bucket", "_sid", "_svec", "_ts")
     // re-bucket on read when the quantizer changed (see scaladoc) —
     // one O(store·k) assignment pass per change, then fast-path again
@@ -1541,10 +1568,11 @@ object Streaming {
           if (hasBase)
             graft.lake.VersionedTable.pendingDeltas(spark, storePath)
           else Seq.empty[String]
+        val bounds = segmentBounds(batch, tsCol, retention)
         val (survivors, newStore, delta, quantizerCurrent) =
           semanticDedupBatchCompute(batch, idCol, vecCol, tsCol, centroids,
             bucketCol, centroidVecCol, threshold, storePath, retention,
-            deltaPaths, probeBroadcastMaxRows)
+            deltaPaths, probeBroadcastMaxRows, Some(bounds))
         // O(batch) merge-on-read survivors sink (see nearDedupWriter);
         // sink commits BEFORE state, so a crash between the two
         // converges on redelivery in every state mode (a delta-mode
@@ -1552,8 +1580,7 @@ object Streaming {
         // then drops the batch against its own vectors → no-ops)
         morUpsertStep(survivors, Seq(idCol), survivorsPath, batchId,
           compactEvery)
-        val seg = if (pruneEvery == 0 && hasBase)
-          Some(segmentBounds(batch, tsCol, retention)) else None
+        val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths,
           pruneEvery, quantizerCurrent, newStore, delta, seg)
         ()

@@ -205,6 +205,112 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(a.exists(_.nonEmpty))
   }
 
+  /** SEGMENT mode (`pruneEvery = 0`, the r16 LSM layout) has different
+    * PHYSICAL state than the amortized mode the test above pins —
+    * stamped segment files plus `_maxts` expiry metadata, vacuumed per
+    * batch — so its invariance needs its own pin: per-batch decisions,
+    * the MERGED state (base ∪ pending segments — the relation every
+    * future decision reads), and the vacuum's outcome (how many
+    * segments remain live and under which event-time stamps; segment
+    * NAMES carry wall-clock and legitimately differ across runs) must
+    * all be bit-identical at 3-part vs 7-part execution. Event times
+    * advance across batches against a short retention so a segment
+    * actually EXPIRES inside the sequence — the vacuum decision under
+    * test is the physical drop, not just the logical filter.
+    */
+  test("segment-mode steps (novelty, near-dedup, semdedup at pruneEvery = 0) publish bit-identical merged state and vacuum decisions across partitionings") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_pinv_seg").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text(i: Int) =
+      (0 until 8).map(j => words((i * 3 + j * 5) % words.length)).mkString(" ")
+    // batch b's event times sit on day 1+3b: with a 2-day retention,
+    // batch 2 (day 7) expires batch 1's segment (stamped day 4)
+    def docBatch(b: Int, lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, text(i),
+        f"2024-01-0${1 + 3 * b}%s 10:${10 + i % 40}%02d:00"))
+        .toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def vec(i: Int) = (0 until 8).map(d =>
+      math.sin(i % 7 + d).abs + (if (i % 3 == 0) 1.0 else 0.1) * d)
+    def vecBatch(b: Int, lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, vec(i),
+        f"2024-01-0${1 + 3 * b}%s 10:${10 + i % 40}%02d:00"))
+        .toDF("vec_id", "embedding", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val cents = Seq(0L -> Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)).toDF("b", "cv")
+    // merged state + vacuum outcome, event-time-keyed (never names)
+    def stateOf(root: String): String = {
+      val pending = VersionedTable.pendingDeltas(spark, root)
+      val stamps = pending.map { d =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, d, "_maxts"))).trim
+      }.sorted
+      val merged =
+        if (pending.isEmpty) VersionedTable.readCurrent(spark, root)
+        else VersionedTable.readCurrent(spark, root).unionByName(
+          spark.read.parquet(pending.map(d => s"$root/$d"): _*),
+          allowMissingColumns = true)
+      s"segments=${pending.size};stamps=${stamps.mkString(",")};rows=" +
+        merged.collect().map(canon).sorted.mkString("|")
+    }
+    val batches = Seq((0, 0, 60), (1, 40, 120), (2, 100, 160))
+    def runAll(tag: String, conf: Map[String, String]): Seq[String] = {
+      val saved = varied.map(k => k -> spark.conf.getOption(k))
+      try {
+        varied.foreach(spark.conf.unset)
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        val nv = s"$base/$tag/nv"
+        for ((b, lo, hi) <- batches)
+          out += Streaming.noveltyGateBatchStep(docBatch(b, lo, hi), "doc_id",
+              "text", "ts", nv, minNovelty = 0.3, retention = "2 days",
+              pruneEvery = 0)
+            .select("doc_id", "novelty").collect().map(canon).sorted
+            .mkString("|")
+        out += stateOf(nv)
+        val nd = s"$base/$tag/nd"
+        for ((b, lo, hi) <- batches)
+          out += Streaming.nearDedupBatchStep(docBatch(b, lo, hi), "doc_id",
+              "text", "ts", nd, retention = "2 days", pruneEvery = 0)
+            .select("doc_id").as[Long].collect().sorted.mkString(",")
+        out += stateOf(nd)
+        val sd = s"$base/$tag/sd"
+        for ((b, lo, hi) <- batches)
+          out += Streaming.semanticDedupBatchStep(vecBatch(b, lo, hi),
+              "vec_id", "embedding", "ts", cents, "b", "cv",
+              threshold = 0.95, sd, retention = "2 days", pruneEvery = 0)
+            .select("vec_id").as[Long].collect().sorted.mkString(",")
+        out += stateOf(sd)
+        out.toSeq
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val a = runAll("A", configA)
+    val b = runAll("B", configB)
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra === rb, s"segment-mode stage $i diverges across partitionings")
+    }
+    // the sequence must actually exercise the layout: at least one
+    // segment pending at the end, and at least one expired mid-run
+    // (3 batches = bootstrap publish + 2 appends; fewer than 2 pending
+    // means a vacuum fired)
+    assert(a.exists(_.startsWith("segments=")))
+    val segCounts = a.filter(_.startsWith("segments=")).map(
+      _.stripPrefix("segments=").takeWhile(_ != ';').toInt)
+    // bootstrap publish + 2 stamped appends, of which the first must
+    // have expired under the third batch's horizon: exactly 1 pending
+    assert(segCounts === Seq(1, 1, 1),
+      s"expected vacuum to have dropped the expired segment: $segCounts")
+  }
+
   families.foreach { case (name, family) =>
     test(s"$name ($family) is bit-identical at 3-part/coalesced vs 7-part/split execution") {
       val a = runUnder(name, configA)

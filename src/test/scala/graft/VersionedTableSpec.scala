@@ -749,6 +749,106 @@ class VersionedTableSpec extends AnyFunSuite {
       ts("2024-01-01 11:00:00")).isEmpty)
   }
 
+  test("a corrupt _maxts stamp skips its segment loudly instead of failing every later vacuum") {
+    val root = tmpRoot("segcorrupt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    val dCorrupt = VersionedTable.appendDeltaStamped(
+      Seq((1L, "x")).toDF("k", "v"), root, Some(ts("2024-01-01 10:00:00")))
+    val dGood = VersionedTable.appendDeltaStamped(
+      Seq((2L, "y")).toDF("k", "v"), root, Some(ts("2024-01-01 10:05:00")))
+    // tear the first stamp: a partial write on a non-atomic store.
+    // The stale .crc sidecar makes the READ itself throw (checksum
+    // mismatch) — the unreadable-stamp flavor of the failure
+    val p = java.nio.file.Paths.get(root, dCorrupt, "_maxts")
+    java.nio.file.Files.write(p, "17040junk".getBytes())
+    // horizon past BOTH stamps: the good segment drops, the corrupt
+    // one is treated as unstamped (skipped), and no exception escapes
+    val dead = VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 12:00:00"))
+    assert(dead === Seq(dGood))
+    assert(VersionedTable.pendingDeltas(spark, root) === Seq(dCorrupt))
+    // now make the bytes READABLE garbage (drop the checksum sidecar):
+    // the parse-failure flavor must skip just as non-fatally
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, dCorrupt, "._maxts.crc"))
+    assert(VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 12:00:00")).isEmpty)
+    // and the segment's rows are still readable meanwhile
+    assert(spark.read.parquet(s"$root/$dCorrupt").count() === 1)
+  }
+
+  test("segment-mode vacuum sweeps crashed-append orphans once a later write commits") {
+    val root = tmpRoot("segorphan")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    val d1 = VersionedTable.appendDeltaStamped(
+      Seq((1L, "live")).toDF("k", "v"), root, Some(ts("2024-01-01 10:00:00")))
+    // simulate a crashed append: parquet (and stamp) written, marker
+    // never created — an OLD orphan (ts below the next committed write)
+    // and a NEW one (ts above everything committed; could be in flight)
+    val oldTs = graft.lake.VersionedTable.listDeltas(spark, root)
+      .map(_.stripPrefix("d-").takeWhile(_ != '-').toLong).max
+    def fakeOrphan(tsMs: Long, tok: String): String = {
+      val name = f"d-$tsMs%013d-$tok"
+      Seq((9L, "orphan")).toDF("k", "v").write.parquet(s"$root/$name")
+      name
+    }
+    val orphOld = fakeOrphan(oldTs - 5, "orpho")
+    val orphNew = fakeOrphan(oldTs + 1000000, "orphn")
+    val swept = VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2020-01-01 00:00:00")) // horizon expires nothing stamped
+    // the old orphan is garbage (a later write committed ⇒ its writer
+    // crashed and the batch was replayed); the new one could be an
+    // append in flight and must survive
+    assert(swept === Seq(orphOld))
+    assert(!new java.io.File(s"$root/$orphOld").exists())
+    assert(new java.io.File(s"$root/$orphNew").exists())
+    assert(VersionedTable.pendingDeltas(spark, root) === Seq(d1))
+  }
+
+  test("compactSegments folds the oldest stamped segments into one, stamped max-of-folded") {
+    val root = tmpRoot("segcompact")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    val stamps = (1 to 5).map(i => ts(f"2024-01-01 10:0$i:00"))
+    val names = stamps.zipWithIndex.map { case (s, i) =>
+      VersionedTable.appendDeltaStamped(
+        Seq((i.toLong + 1, s"seg$i")).toDF("k", "v"), root, Some(s))
+    }
+    val dUnstamped = VersionedTable.appendDelta(
+      Seq((99L, "unstamped")).toDF("k", "v"), root)
+    // bound 3: the oldest 3 stamped segments fold into ONE (leaving
+    // merged + 2 newest = 3 stamped); the unstamped delta — republish
+    // path property — is never touched or counted
+    val folded = VersionedTable.compactSegments(spark, root, maxSegments = 3)
+    assert(folded === names.take(3))
+    val pending = VersionedTable.pendingDeltas(spark, root)
+    assert(pending.size === 4) // merged + seg3 + seg4 + unstamped
+    assert(pending.contains(dUnstamped))
+    names.take(3).foreach(n => assert(!pending.contains(n)))
+    // row content is preserved exactly (a row-set overlay: union)
+    val rows = spark.read.parquet(
+        pending.filterNot(_ == dUnstamped).map(d => s"$root/$d"): _*)
+      .as[(Long, String)].collect().toSet
+    assert(rows === (0 until 5).map(i => (i.toLong + 1, s"seg$i")).toSet)
+    // the merged segment is stamped with the MAX of its constituents:
+    // a horizon past stamp 3 (but not 4) must drop it whole
+    val deadEarly = VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 10:03:00"))
+    assert(deadEarly.isEmpty, "merged stamp must be max, not min")
+    val dead = VersionedTable.vacuumExpiredDeltas(spark, root,
+      ts("2024-01-01 10:03:30"))
+    assert(dead.size === 1)
+    assert(spark.read.parquet(
+        VersionedTable.pendingDeltas(spark, root)
+          .filterNot(_ == dUnstamped).map(d => s"$root/$d"): _*)
+      .as[(Long, String)].collect().toSet
+      === Set((4L, "seg3"), (5L, "seg4")))
+    // within bound → no-op
+    assert(VersionedTable.compactSegments(spark, root, maxSegments = 3).isEmpty)
+  }
+
   test("a legacy plain-parquet dataset at a sink path fails loudly, not silently reset") {
     val root = tmpRoot("legacy")
     Seq((1L, "old-state")).toDF("k", "v").write.parquet(root)
