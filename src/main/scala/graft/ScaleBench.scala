@@ -530,6 +530,16 @@ object ScaleBench {
           Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
             ndaRoot, retention = "3650 days", pruneEvery = 10).count(): Unit
         }))
+        // segment-mode variant (pruneEvery = 0, r17 row — the band-store
+        // twin of q_store_novelty_segmented_batch): probe batches append
+        // one STAMPED segment; no republish ever after bootstrap
+        val ndsRoot = fresh(s"/tmp/graft_scale/store/$name/nds")
+        Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
+          "doc_id", "text", "ts", ndsRoot, retention = "3650 days").count()
+        timed(name, "q_store_neardedup_segmented_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
+            ndsRoot, retention = "3650 days", pruneEvery = 0).count(): Unit
+        }))
         // novelty shingle store: minNovelty 0 admits the whole seed
         val nvRoot = fresh(s"/tmp/graft_scale/store/$name/nv")
         Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
@@ -688,6 +698,95 @@ object ScaleBench {
             threshold = 0.9999, sdaRoot, retention = "3650 days",
             pruneEvery = 10).count(): Unit
         }))
+        // segment-mode variant (pruneEvery = 0, r17 row — the vector-
+        // store twin): probe batches append one STAMPED survivor
+        // segment; the quantizer is unchanged, so no republish fires
+        val sdsRoot = fresh(s"/tmp/graft_scale/store/$name/semdedups")
+        off = 0L
+        while (off < seedN) {
+          val hi = math.min(off + chunk, seedN)
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= off && col("vec_id") < hi),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdsRoot, retention = "3650 days").count()
+          off = hi
+        }
+        timed(name, "q_store_semdedup_segmented_batch")(Seq(0L, 1L).map(i => () => {
+          Streaming.semanticDedupBatchStep(
+            e.where(col("vec_id") >= 200000L + i * probeN &&
+              col("vec_id") < 200000L + (i + 1) * probeN),
+            "vec_id", "embedding", "ts", cent, "b", "cv",
+            threshold = 0.9999, sdsRoot, retention = "3650 days",
+            pruneEvery = 0).count(): Unit
+        }))
+      }
+    }
+
+    // Many-segment metadata sweep (opt-in: `runMain graft.ScaleBench
+    // SEGSWEEP`): segment mode's live segment count = retention /
+    // batch-interval — ~60 at 1-hour/1-minute, ~10k at 7-day/1-minute.
+    // Per batch the maintenance pass lists pending segments and opens
+    // each _maxts stamp, and the merged store read unions every
+    // segment's files — both O(segments). This sweep measures a probe
+    // batch against a store whose overlay is pre-split into many
+    // single-batch segments, then the same store after compactSegments
+    // bounds the backlog, pinning (a) how the per-batch cost grows
+    // with segment count and (b) that the L1 merge restores it.
+    if (args.contains("SEGSWEEP")) {
+      import graft.stream.Streaming
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def fresh(p: String): String = {
+        fs.delete(new org.apache.hadoop.fs.Path(p), true); p
+      }
+      val probeN = 2000L
+      val corpusPath = "/tmp/graft_scale/store/corpus.parquet"
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        docs(spark, 200000L + 2 * probeN, vocab = 15000)
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+          .write.mode("overwrite").parquet(corpusPath)
+      val c = spark.read.parquet(corpusPath)
+      for (segs <- Seq(10, 100, 500)) {
+        val root = fresh(s"/tmp/graft_scale/segsweep/$segs/nv")
+        // bootstrap base with 2000 docs, then land `segs` single-doc
+        // stamped segments (tiny on purpose: the axis is segment
+        // COUNT — metadata and file-listing cost — not row volume)
+        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < 2000L),
+          "doc_id", "text", "ts", root, minNovelty = 0.0,
+          retention = "3650 days").count()
+        for (i <- 0 until segs)
+          Streaming.noveltyGateBatchStep(
+            c.where(col("doc_id") === 2000L + i), "doc_id", "text", "ts",
+            root, minNovelty = 0.0, retention = "3650 days",
+            pruneEvery = 0).count()
+        isolate(spark)
+        val times = Seq(0L, 1L).map { i =>
+          val t0 = System.nanoTime()
+          Streaming.noveltyGateBatchStep(
+            c.where(col("doc_id") >= 200000L + i * probeN &&
+              col("doc_id") < 200000L + (i + 1) * probeN),
+            "doc_id", "text", "ts", root, minNovelty = 0.5,
+            retention = "3650 days", pruneEvery = 0).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"""{"segments":$segs,"query":"q_segsweep_probe","sec":${times.min}%.3f}""")
+        // L1 merge down to 8 segments, then re-probe
+        val t0 = System.nanoTime()
+        val folded = graft.lake.VersionedTable.compactSegments(
+          spark, root, maxSegments = 8)
+        val tm = (System.nanoTime() - t0) / 1e9
+        println(f"""{"segments":$segs,"query":"q_segsweep_compact","folded":${folded.size},"sec":$tm%.3f}""")
+        isolate(spark)
+        val times2 = Seq(0L, 1L).map { i =>
+          val t0b = System.nanoTime()
+          Streaming.noveltyGateBatchStep(
+            c.where(col("doc_id") >= 200000L + i * probeN &&
+              col("doc_id") < 200000L + (i + 1) * probeN),
+            "doc_id", "text", "ts", root, minNovelty = 0.5,
+            retention = "3650 days", pruneEvery = 0).count()
+          (System.nanoTime() - t0b) / 1e9
+        }
+        println(f"""{"segments":$segs,"query":"q_segsweep_probe_compacted","sec":${times2.min}%.3f}""")
       }
     }
 
@@ -698,12 +797,14 @@ object ScaleBench {
     val storeQs =
       if (args.contains("STORE"))
         Seq("q_store_neardedup_batch", "q_store_neardedup_amortized_batch",
+          "q_store_neardedup_segmented_batch",
           "q_store_novelty_batch", "q_store_novelty_amortized_batch",
           "q_store_novelty_segmented_batch",
           "q_store_kmv_batch", "q_store_kmv_group_batch",
           "q_store_drift_batch", "q_store_drift_amortized_batch",
           "q_store_semdedup_batch",
-          "q_store_semdedup_amortized_batch")
+          "q_store_semdedup_amortized_batch",
+          "q_store_semdedup_segmented_batch")
       else Nil
     for (q <- heavy ++ Seq("q_chain_cc", "q_mor_read", "q_hardneg_batch")
         ++ storeQs) {
