@@ -58,7 +58,9 @@ object SparkEntry {
     * reference.
     */
   private def materializeMultiRefCtes(sql: String): String = {
-    val names = """(\w+) AS \(""".r.findAllMatchIn(sql)
+    // negative lookbehind: a named `WINDOW w AS (...)` clause is not a
+    // CTE definition — hinting it would be a syntax error
+    val names = """(?<!WINDOW )(\w+) AS \(""".r.findAllMatchIn(sql)
       .map(_.group(1)).toSeq.distinct
     names.foldLeft(sql) { (acc, n) =>
       val refs = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r

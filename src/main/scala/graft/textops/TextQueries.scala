@@ -870,6 +870,42 @@ object TextQueries extends QueryPack {
     */
   private val DecomposedTail = " cafe\u0301 A\u030Angstro\u0308m"
 
+  /** One-pass DuckDB replay of the engine's 30-char polynomial rolling
+    * hash (the codegen'd PolyWindowHash behind q_t_repsub /
+    * q_t_boilerplate) — ends in `g(doc_id, pos, gh)` with `d` still in
+    * scope for fragment extraction. The original per-window form
+    * (`list_reduce` over a regex char split of every `substr(t,i,30)`)
+    * also carried the FULL document string on every window row, so its
+    * memory traffic was O(len²) per document — 1518 s for the
+    * boilerplate oracle alone at sf0.1. This form splits each document
+    * into chars ONCE and computes the hash as a 30-term LEAD-weighted
+    * sum in one window pass (1.4 s at sf0.1). Algebraically identical:
+    * the fold ((0·31+c₀)·31+c₁)… mod p equals Σ cⱼ·31^(w−1−j) mod p —
+    * the per-term powers are reduced mod p in Scala (BigInt modPow),
+    * each term ≤ ord_max·p < 2^51, and the 30-term sum stays far below
+    * BIGINT range, so `% p` at the end lands on the same residue.
+    * Verified bit-equal against the fold form at sf0.01 and sf0.1.
+    */
+  private def polyWindowHashCtes: String = {
+    val p = 1000000007L
+    val terms = (0 until 30).map { dj =>
+      val pw = BigInt(31).modPow(BigInt(29 - dj), BigInt(p)).toLong
+      if (dj == 0) s"o * $pw" else s"LEAD(o, $dj) OVER w * $pw"
+    }.mkString(" + ")
+    """d AS (SELECT doc_id,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |ch AS (SELECT doc_id, length(t) AS len,
+      |    UNNEST(list_transform(string_split_regex(t, ''),
+      |      c -> CAST(ord(c) AS BIGINT))) AS o,
+      |    generate_subscripts(string_split_regex(t, ''), 1) AS j
+      |  FROM d WHERE length(t) >= 30),""".stripMargin + "\n" +
+      s"""g AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+        |    ($terms) % $p AS gh
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+        |  QUALIFY j <= len - 29)""".stripMargin
+  }
+
   // DuckDB-side 3-shingle relation (LEAD-based; equivalent to the
   // Spark transform/slice construction).
   private val shingleCte =
@@ -1083,16 +1119,7 @@ object TextQueries extends QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_t_repsub" ->
-      """WITH d AS (SELECT doc_id,
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
-        |g0 AS (SELECT doc_id, t,
-        |    UNNEST(range(1, CAST(length(t) AS BIGINT) - 28)) AS i FROM d),
-        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split_regex(substr(t, CAST(i AS INT), 30), ''),
-        |        c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS gh
-        |  FROM g0),
+      s"""WITH $polyWindowHashCtes,
         |r AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
         |h AS (SELECT doc_id, pos FROM g JOIN r USING (gh)),
         |isl AS (SELECT doc_id, pos,
@@ -1106,24 +1133,20 @@ object TextQueries extends QueryPack {
         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_t_boilerplate" ->
-      """WITH d AS (SELECT doc_id,
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
-        |g0 AS (SELECT doc_id, t,
-        |    UNNEST(range(1, CAST(length(t) AS BIGINT) - 28)) AS i FROM d),
-        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split_regex(substr(t, CAST(i AS INT), 30), ''),
-        |        c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS gh
-        |  FROM g0),
+      // the representative argmin is MIN over (doc_id·2^32 + pos) — the
+      // same lexicographic (id, pos) minimum as MIN(struct_pack(...)),
+      // since 0 <= pos < 2^32 — because DuckDB 1.0 executes a DISTINCT
+      // aggregate NEXT TO a struct MIN in one GROUP BY catastrophically
+      // (322 s at sf0.1 vs 3.5 s packed; either aggregate alone <= 4 s)
+      s"""WITH $polyWindowHashCtes,
         |a AS (SELECT gh, COUNT(*) AS n_occurrences,
         |    COUNT(DISTINCT doc_id) AS n_docs,
-        |    MIN(struct_pack(id := doc_id, pos := pos)) AS rep
+        |    MIN(doc_id * 4294967296 + pos) AS rp
         |  FROM g GROUP BY gh HAVING COUNT(*) > 1
         |  ORDER BY n_occurrences DESC, gh LIMIT 10)
-        |SELECT substr(d.t, CAST(a.rep.pos + 1 AS INT), 30) AS fragment,
+        |SELECT substr(d.t, CAST(a.rp % 4294967296 + 1 AS INT), 30) AS fragment,
         |  a.n_occurrences, a.n_docs
-        |FROM a JOIN d ON d.doc_id = a.rep.id
+        |FROM a JOIN d ON d.doc_id = a.rp // 4294967296
         |ORDER BY n_occurrences DESC, fragment""".stripMargin,
 
     "q_t_jaccard_pairs" ->
