@@ -393,7 +393,8 @@ object Streaming {
                            graft.textops.HashFamily.Xx64,
                          pruneEvery: Int = 1,
                          probeBroadcastMaxRows: Long =
-                           ProbeBroadcastMaxRows): DataFrame = {
+                           ProbeBroadcastMaxRows,
+                         maxSegments: Int = 0): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -409,7 +410,7 @@ object Streaming {
       family, deltaPaths, probeBroadcastMaxRows, Some(bounds))
     val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-      pruneEvery, newStore, delta, seg)
+      pruneEvery, newStore, delta, seg, maxSegments)
     survivors
   }
 
@@ -511,7 +512,8 @@ object Streaming {
                                       pruneEvery: Int, newStore: DataFrame,
                                       delta: DataFrame,
                                       seg: Option[(Option[Timestamp],
-                                        Option[Timestamp])] = None): Unit = {
+                                        Option[Timestamp])] = None,
+                                      maxSegments: Int = 0): Unit = {
     if (!hasBase || pruneEvery == 1 ||
         (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
       // manifest-versioned publish: the new store version becomes
@@ -525,12 +527,39 @@ object Streaming {
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
     } else seg match {
       case Some((mx, hz)) =>
-        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
-        hz.foreach(h =>
-          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+        segmentAppendAndMaintain(spark, storePath, delta, mx, hz, maxSegments)
       case None =>
         graft.lake.VersionedTable.appendDelta(delta, storePath)
     }
+  }
+
+  /** The segment-mode state-maintenance tail shared by all three
+    * retention-horizon stores: append the batch's stamped segment,
+    * physically drop the segments that fell fully behind this batch's
+    * horizon, and — when `maxSegments > 0` (r17) — fold the oldest
+    * stamped segments into one ([[graft.lake.VersionedTable
+    * .compactSegments]]) so the live segment count stays at the
+    * caller's bound without a separate maintenance job. Vacuum runs
+    * BEFORE the merge: expired segments should drop from metadata
+    * alone, not be rewritten into the merged one. The merge is
+    * decision-invisible (these overlays are row SETS the readers union
+    * and fold commutatively; expiry granularity coarsens to the merged
+    * stamp, the same logical-expiry contract amortized mode already
+    * carries). `maxSegments = 0` leaves the backlog unbounded — the
+    * SEGSWEEP-measured O(segments) metadata term is gentle locally,
+    * but a 7-day-retention / 1-minute-batch deployment (~10k live
+    * segments) should set a bound.
+    */
+  private def segmentAppendAndMaintain(spark: SparkSession,
+                                       storePath: String, delta: DataFrame,
+                                       mx: Option[Timestamp],
+                                       hz: Option[Timestamp],
+                                       maxSegments: Int): Unit = {
+    graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
+    hz.foreach(h =>
+      graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+    if (maxSegments > 0)
+      graft.lake.VersionedTable.compactSegments(spark, storePath, maxSegments)
   }
 
   /** One micro-batch step of VOCABULARY-DRIFT MONITORING — the
@@ -840,7 +869,8 @@ object Streaming {
                              graft.textops.HashFamily.Xx64,
                            pruneEvery: Int = 1,
                            probeBroadcastMaxRows: Long =
-                             ProbeBroadcastMaxRows): DataFrame = {
+                             ProbeBroadcastMaxRows,
+                           maxSegments: Int = 0): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -856,7 +886,7 @@ object Streaming {
       deltaPaths, probeBroadcastMaxRows, Some(bounds))
     val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
-      newStore, delta, seg)
+      newStore, delta, seg, maxSegments)
     admitted
   }
 
@@ -954,7 +984,8 @@ object Streaming {
                                     pruneEvery: Int, newStore: DataFrame,
                                     delta: DataFrame,
                                     seg: Option[(Option[Timestamp],
-                                      Option[Timestamp])] = None): Unit =
+                                      Option[Timestamp])] = None,
+                                    maxSegments: Int = 0): Unit =
     if (!hasBase || pruneEvery == 1 ||
         (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
       graft.lake.VersionedTable.publish(newStore, storePath)
@@ -965,9 +996,7 @@ object Streaming {
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
     } else seg match {
       case Some((mx, hz)) =>
-        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
-        hz.foreach(h =>
-          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+        segmentAppendAndMaintain(spark, storePath, delta, mx, hz, maxSegments)
       case None =>
         graft.lake.VersionedTable.appendDelta(delta, storePath)
     }
@@ -996,7 +1025,8 @@ object Streaming {
                         shingleN: Int = 3,
                         family: graft.textops.HashFamily =
                           graft.textops.HashFamily.Xx64,
-                        probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows)
+                        probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows,
+                        maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1017,7 +1047,7 @@ object Streaming {
           compactEvery)
         val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         noveltyPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, newStore, delta, seg)
+          pruneEvery, newStore, delta, seg, maxSegments)
         ()
     }
 
@@ -1052,7 +1082,8 @@ object Streaming {
                       numHashes: Int = 64, bands: Int = 16,
                       family: graft.textops.HashFamily =
                         graft.textops.HashFamily.Xx64,
-                      probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows)
+                      probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows,
+                      maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1076,7 +1107,7 @@ object Streaming {
           compactEvery)
         val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         nearDedupPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, newStore, delta, seg)
+          pruneEvery, newStore, delta, seg, maxSegments)
         ()
     }
 
@@ -1340,7 +1371,8 @@ object Streaming {
                              retention: String = "1 hour",
                              pruneEvery: Int = 1,
                              probeBroadcastMaxRows: Long =
-                               ProbeBroadcastMaxVecRows): DataFrame = {
+                               ProbeBroadcastMaxVecRows,
+                             maxSegments: Int = 0): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -1357,7 +1389,7 @@ object Streaming {
         deltaPaths, probeBroadcastMaxRows, Some(bounds))
     val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
     semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths, pruneEvery,
-      quantizerCurrent, newStore, delta, seg)
+      quantizerCurrent, newStore, delta, seg, maxSegments)
     survivors
   }
 
@@ -1378,7 +1410,8 @@ object Streaming {
                                      pruneEvery: Int, quantizerCurrent: Boolean,
                                      newStore: DataFrame, delta: DataFrame,
                                      seg: Option[(Option[Timestamp],
-                                       Option[Timestamp])] = None)
+                                       Option[Timestamp])] = None,
+                                     maxSegments: Int = 0)
       : Unit =
     if (!hasBase || pruneEvery == 1 || !quantizerCurrent ||
         (pruneEvery > 1 && deltaPaths.size + 1 >= pruneEvery)) {
@@ -1390,9 +1423,7 @@ object Streaming {
         graft.lake.VersionedTable.vacuumDeltas(spark, storePath)
     } else seg match {
       case Some((mx, hz)) =>
-        graft.lake.VersionedTable.appendDeltaStamped(delta, storePath, mx)
-        hz.foreach(h =>
-          graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
+        segmentAppendAndMaintain(spark, storePath, delta, mx, hz, maxSegments)
       case None =>
         graft.lake.VersionedTable.appendDelta(delta, storePath)
     }
@@ -1556,7 +1587,8 @@ object Streaming {
                           survivorsPath: String, retention: String = "1 hour",
                           compactEvery: Int = 10, pruneEvery: Int = 1,
                           probeBroadcastMaxRows: Long =
-                            ProbeBroadcastMaxVecRows)
+                            ProbeBroadcastMaxVecRows,
+                          maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1582,7 +1614,7 @@ object Streaming {
           compactEvery)
         val seg = if (pruneEvery == 0 && hasBase) Some(bounds) else None
         semanticPublishOrDelta(spark, storePath, hasBase, deltaPaths,
-          pruneEvery, quantizerCurrent, newStore, delta, seg)
+          pruneEvery, quantizerCurrent, newStore, delta, seg, maxSegments)
         ()
     }
 

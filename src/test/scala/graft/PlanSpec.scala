@@ -423,4 +423,42 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaBroadcast === viaShuffle)
   }
+
+  test("stateful store expiry: the retention horizon pushes into the store's parquet scan as a literal filter") {
+    import graft.stream.Streaming
+    import graft.lake.VersionedTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // r17: the steps collect (max ts, horizon) ONCE and filter the
+    // store with a LITERAL predicate — the old
+    // crossJoin(broadcast(1-row max)) shape blocked pushdown, so a
+    // year-long store was fully decompressed by a 1-hour-retention
+    // step; with the literal, row groups whose _ts stats fall wholly
+    // behind the horizon are skipped at the scan.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plan_horizon").toString + "/nv"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    // bootstrap a real novelty store, then take the lazy next-store
+    // relation of a later batch (it contains the horizon-filtered
+    // store scan; the step's other outputs are checkpointed)
+    Streaming.noveltyGateBatchStep(
+      batch((1L, "alpha beta gamma delta epsilon zeta eta theta", "2024-01-01 10:00:00")),
+      "doc_id", "text", "ts", root, minNovelty = 0.0, retention = "1 hour")
+      .count()
+    val (_, newStore, _) = Streaming.noveltyGateBatchCompute(
+      batch((2L, "one two three four five six seven eight", "2024-01-02 09:00:00")),
+      "doc_id", "text", "ts", root, minNovelty = 0.0, retention = "1 hour",
+      shingleN = 3)
+    // string-level assert (the AQE wrapper hides the scan from plan
+    // collectors until finalization): the store's FileScan must carry
+    // the horizon as a PUSHED filter, not only a post-scan Filter
+    val p = newStore.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("graft_plan_horizon"))
+    assert(scanLine.isDefined, s"store scan not found:\n$p")
+    assert(scanLine.get.contains("GreaterThanOrEqual(_ts"),
+      s"horizon must reach the store scan as a pushed filter:\n$p")
+  }
 }

@@ -382,6 +382,56 @@ class StreamingSpec extends SparkSpec {
         "2024-01-01 12:40:00"))) === Seq.empty)
   }
 
+  test("segment mode with maxSegments: backlog stays bounded via in-step L1 merges, decisions and state match the unbounded run") {
+    import graft.lake.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_novsegb").toString
+    val unb = dir + "/unbounded"
+    val bnd = dir + "/bounded"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    // per-batch-unique vocabulary: every shingle of text(i) is new to
+    // the store, so the fresh doc always admits (novelty 1.0) and its
+    // one-word variant always refuses (1 of 8 shingles novel)
+    def text(i: Int) = (0 until 10).map(j => s"w${i}x$j").mkString(" ")
+    def step(store: String, ms: Int, b: org.apache.spark.sql.DataFrame) =
+      Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts", store,
+        minNovelty = 0.5, retention = "3650 days", pruneEvery = 0,
+        maxSegments = ms)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch i: one fresh doc + one near-repeat of the PREVIOUS batch's
+    // admitted doc — every decision probes the full merged state, so a
+    // merge that lost or duplicated effective rows would diverge
+    for (i <- 1 to 6) {
+      val prev = if (i == 1) text(1) else text(i - 1)
+      val b = batch(
+        (2L * i, text(i), f"2024-01-01 10:0${i - 1}%d:00"),
+        (2L * i + 1, prev.replaceFirst("\\w+$", "omega"),
+          f"2024-01-01 10:0${i - 1}%d:30"))
+      val u = step(unb, 0, b)
+      val v = step(bnd, 2, b)
+      assert(u === v, s"bounded segment mode diverged at batch $i")
+      assert(u === (if (i == 1) Seq(2L * i, 2L * i + 1) else Seq(2L * i)),
+        s"unexpected admissions at batch $i: $u")
+    }
+    // 6 batches: bootstrap publish + 5 stamped segments unbounded; the
+    // bound holds the bounded store at <= 2 pending segments
+    assert(VersionedTable.pendingDeltas(spark, unb).size === 5)
+    assert(VersionedTable.pendingDeltas(spark, bnd).size <= 2)
+    // the MERGED state (base ∪ pending segments) is row-identical —
+    // compactSegments only re-packages, never folds or re-stamps rows
+    def rows(store: String) = {
+      val pending = VersionedTable.pendingDeltas(spark, store)
+      val base = VersionedTable.readCurrent(spark, store)
+      val all = if (pending.isEmpty) base
+        else base.unionByName(
+          spark.read.parquet(pending.map(d => s"$store/$d"): _*))
+      all.collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+        .sorted.toSeq
+    }
+    assert(rows(unb) === rows(bnd))
+  }
+
   test("amortized novelty republish physically vacuums subsumed deltas past the reader horizon") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable
