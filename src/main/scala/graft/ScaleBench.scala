@@ -459,6 +459,23 @@ object ScaleBench {
       def fresh(p: String): String = {
         fs.delete(new org.apache.hadoop.fs.Path(p), true); p
       }
+      // One SEED per store family, copied per state-mode variant
+      // (r17): the eager/amortized/segmented probes start from
+      // bit-identical store trees (a VersionedTable root is
+      // location-independent files + markers), and the L-point seeding
+      // cost — minutes of chunked admission at 200k rows — is paid
+      // once instead of three times per family. Seeds are rebuilt
+      // every session on purpose: caching them across sessions would
+      // silently measure probes against state a code change no longer
+      // produces.
+      def copyStore(src: String, dst: String): String = {
+        fresh(dst)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(src),
+          fs, new org.apache.hadoop.fs.Path(dst),
+          false, spark.sparkContext.hadoopConfiguration)
+        dst
+      }
       def timed(name: String, q: String)(runs: Seq[() => Unit]): Unit = {
         isolate(spark)
         val times = runs.flatMap { r =>
@@ -509,10 +526,12 @@ object ScaleBench {
       def probe(i: Long) = c.where(col("doc_id") >= 200000L + i * probeN &&
         col("doc_id") < 200000L + (i + 1) * probeN)
       for ((name, seedN) <- Seq(("S", 2000L), ("M", 20000L), ("L", 200000L))) {
-        // near-dedup band store: seed admits seedN unique docs
-        val ndRoot = fresh(s"/tmp/graft_scale/store/$name/nd")
+        // near-dedup band store: seed admits seedN unique docs (once;
+        // the three variants copy it — see copyStore)
+        val ndSeed = fresh(s"/tmp/graft_scale/store/$name/nd_seed")
         Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", ndRoot, retention = "3650 days").count()
+          "doc_id", "text", "ts", ndSeed, retention = "3650 days").count()
+        val ndRoot = copyStore(ndSeed, s"/tmp/graft_scale/store/$name/nd")
         val ndRows = graft.lake.VersionedTable.readCurrent(spark, ndRoot).count()
         println(s"""{"size":"$name","query":"q_store_neardedup_rows","rows":$ndRows}""")
         timed(name, "q_store_neardedup_batch")(Seq(0L, 1L).map(i => () => {
@@ -523,9 +542,7 @@ object ScaleBench {
         // band-store twin of q_store_novelty_amortized_batch): probe
         // batches append O(batch) survivor-band deltas instead of
         // rewriting the store; the collision probe join remains
-        val ndaRoot = fresh(s"/tmp/graft_scale/store/$name/nda")
-        Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", ndaRoot, retention = "3650 days").count()
+        val ndaRoot = copyStore(ndSeed, s"/tmp/graft_scale/store/$name/nda")
         timed(name, "q_store_neardedup_amortized_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
             ndaRoot, retention = "3650 days", pruneEvery = 10).count(): Unit
@@ -533,18 +550,17 @@ object ScaleBench {
         // segment-mode variant (pruneEvery = 0, r17 row — the band-store
         // twin of q_store_novelty_segmented_batch): probe batches append
         // one STAMPED segment; no republish ever after bootstrap
-        val ndsRoot = fresh(s"/tmp/graft_scale/store/$name/nds")
-        Streaming.nearDedupBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", ndsRoot, retention = "3650 days").count()
+        val ndsRoot = copyStore(ndSeed, s"/tmp/graft_scale/store/$name/nds")
         timed(name, "q_store_neardedup_segmented_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.nearDedupBatchStep(probe(i), "doc_id", "text", "ts",
             ndsRoot, retention = "3650 days", pruneEvery = 0).count(): Unit
         }))
         // novelty shingle store: minNovelty 0 admits the whole seed
-        val nvRoot = fresh(s"/tmp/graft_scale/store/$name/nv")
+        val nvSeed = fresh(s"/tmp/graft_scale/store/$name/nv_seed")
         Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", nvRoot, minNovelty = 0.0,
+          "doc_id", "text", "ts", nvSeed, minNovelty = 0.0,
           retention = "3650 days").count()
+        val nvRoot = copyStore(nvSeed, s"/tmp/graft_scale/store/$name/nv")
         val nvRows = graft.lake.VersionedTable.readCurrent(spark, nvRoot).count()
         println(s"""{"size":"$name","query":"q_store_novelty_rows","rows":$nvRows}""")
         timed(name, "q_store_novelty_batch")(Seq(0L, 1L).map(i => () => {
@@ -555,10 +571,7 @@ object ScaleBench {
         // probe batches append O(batch) deltas instead of rewriting the
         // store — the row quantifies how much of the eager per-batch
         // cost was the republish (the O(store) scan for scoring remains)
-        val nvaRoot = fresh(s"/tmp/graft_scale/store/$name/nva")
-        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", nvaRoot, minNovelty = 0.0,
-          retention = "3650 days").count()
+        val nvaRoot = copyStore(nvSeed, s"/tmp/graft_scale/store/$name/nva")
         timed(name, "q_store_novelty_amortized_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
             nvaRoot, minNovelty = 0.5, retention = "3650 days",
@@ -568,10 +581,7 @@ object ScaleBench {
         // append one STAMPED segment and vacuum expired ones — the
         // expected reading equals the amortized row (same probe, same
         // O(batch) write) with the scheduled fold gone entirely
-        val nvsRoot = fresh(s"/tmp/graft_scale/store/$name/nvs")
-        Streaming.noveltyGateBatchStep(c.where(col("doc_id") < seedN),
-          "doc_id", "text", "ts", nvsRoot, minNovelty = 0.0,
-          retention = "3650 days").count()
+        val nvsRoot = copyStore(nvSeed, s"/tmp/graft_scale/store/$name/nvs")
         timed(name, "q_store_novelty_segmented_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.noveltyGateBatchStep(probe(i), "doc_id", "text", "ts",
             nvsRoot, minNovelty = 0.5, retention = "3650 days",
@@ -608,11 +618,12 @@ object ScaleBench {
         // (15000-token space), so the axis is batches folded — the
         // fold walks corpus prefix slices so every batch carries fresh
         // documents, and the row must be flat once the vocab saturates
-        val drRoot = fresh(s"/tmp/graft_scale/store/$name/drift")
+        val drSeed = fresh(s"/tmp/graft_scale/store/$name/drift_seed")
         for (i <- 0 until folds)
           Streaming.driftMonitorBatchStep(
             c.where(col("doc_id") >= i * probeN &&
-              col("doc_id") < (i + 1) * probeN), "text", drRoot).collect()
+              col("doc_id") < (i + 1) * probeN), "text", drSeed).collect()
+        val drRoot = copyStore(drSeed, s"/tmp/graft_scale/store/$name/drift")
         val drRows = graft.lake.VersionedTable.readCurrent(spark, drRoot).count()
         println(s"""{"size":"$name","query":"q_store_drift_rows","rows":$drRows}""")
         timed(name, "q_store_drift_batch")(Seq(0L, 1L).map(i => () => {
@@ -624,11 +635,7 @@ object ScaleBench {
         // rewriting the vocabulary histogram; the JSD alignment READ
         // stays vocabulary-sized in both modes, so this row isolates
         // the write term the amortization removes
-        val draRoot = fresh(s"/tmp/graft_scale/store/$name/drifta")
-        for (i <- 0 until folds)
-          Streaming.driftMonitorBatchStep(
-            c.where(col("doc_id") >= i * probeN &&
-              col("doc_id") < (i + 1) * probeN), "text", draRoot).collect()
+        val draRoot = copyStore(drSeed, s"/tmp/graft_scale/store/$name/drifta")
         timed(name, "q_store_drift_amortized_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.driftMonitorBatchStep(probe(i), "text", draRoot,
             pruneEvery = 10).collect(): Unit
@@ -652,7 +659,7 @@ object ScaleBench {
         val cent = e.orderBy("vec_id").limit(16)
           .select(col("vec_id").cast("long").as("b"),
             transform(col("embedding"), x => x.cast("double")).as("cv"))
-        val sdRoot = fresh(s"/tmp/graft_scale/store/$name/semdedup")
+        val sdSeed = fresh(s"/tmp/graft_scale/store/$name/semdedup_seed")
         // seed in 20k chunks: one batch's in-batch pair work is
         // quadratic per bucket, so a single 200k seed batch would time
         // the fixture, not the probe
@@ -663,9 +670,10 @@ object ScaleBench {
           Streaming.semanticDedupBatchStep(
             e.where(col("vec_id") >= off && col("vec_id") < hi),
             "vec_id", "embedding", "ts", cent, "b", "cv",
-            threshold = 0.9999, sdRoot, retention = "3650 days").count()
+            threshold = 0.9999, sdSeed, retention = "3650 days").count()
           off = hi
         }
+        val sdRoot = copyStore(sdSeed, s"/tmp/graft_scale/store/$name/semdedup")
         val sdRows = graft.lake.VersionedTable.readCurrent(spark, sdRoot).count()
         println(s"""{"size":"$name","query":"q_store_semdedup_rows","rows":$sdRows}""")
         timed(name, "q_store_semdedup_batch")(Seq(0L, 1L).map(i => () => {
@@ -680,16 +688,7 @@ object ScaleBench {
         // semdedup twin of q_store_novelty_amortized_batch): probe
         // batches append O(batch) survivor deltas instead of rewriting
         // the d-double vector store; the bucketed probe join remains
-        val sdaRoot = fresh(s"/tmp/graft_scale/store/$name/semdedupa")
-        off = 0L
-        while (off < seedN) {
-          val hi = math.min(off + chunk, seedN)
-          Streaming.semanticDedupBatchStep(
-            e.where(col("vec_id") >= off && col("vec_id") < hi),
-            "vec_id", "embedding", "ts", cent, "b", "cv",
-            threshold = 0.9999, sdaRoot, retention = "3650 days").count()
-          off = hi
-        }
+        val sdaRoot = copyStore(sdSeed, s"/tmp/graft_scale/store/$name/semdedupa")
         timed(name, "q_store_semdedup_amortized_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.semanticDedupBatchStep(
             e.where(col("vec_id") >= 200000L + i * probeN &&
@@ -701,16 +700,7 @@ object ScaleBench {
         // segment-mode variant (pruneEvery = 0, r17 row — the vector-
         // store twin): probe batches append one STAMPED survivor
         // segment; the quantizer is unchanged, so no republish fires
-        val sdsRoot = fresh(s"/tmp/graft_scale/store/$name/semdedups")
-        off = 0L
-        while (off < seedN) {
-          val hi = math.min(off + chunk, seedN)
-          Streaming.semanticDedupBatchStep(
-            e.where(col("vec_id") >= off && col("vec_id") < hi),
-            "vec_id", "embedding", "ts", cent, "b", "cv",
-            threshold = 0.9999, sdsRoot, retention = "3650 days").count()
-          off = hi
-        }
+        val sdsRoot = copyStore(sdSeed, s"/tmp/graft_scale/store/$name/semdedups")
         timed(name, "q_store_semdedup_segmented_batch")(Seq(0L, 1L).map(i => () => {
           Streaming.semanticDedupBatchStep(
             e.where(col("vec_id") >= 200000L + i * probeN &&
