@@ -239,6 +239,35 @@ object StreamQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The BOUNDED segment-mode twin (maxSegments = 1, r17): four mod-4
+    // batches; batch 3's tail folds the first two stamped segments
+    // into ONE (the in-step L1 merge), so batch 4's decisions read
+    // base ∪ MERGED segment. Hash-matching a pure 4-tier SQL replay —
+    // which knows nothing about segments or merges — proves the merge
+    // is decision-invisible; the StreamingSpec bounded test pins the
+    // complementary direction (that the merge actually fires and
+    // bounds the backlog).
+    "q_s_novelty_segmented_bounded_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"novsegbstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.noveltyGateBatchStep(b, "doc_id", "text", "ts",
+          store, minNovelty = 0.5, retention = "10 days", shingleN = 5,
+          family = graft.textops.HashFamily.Md5Portable, pruneEvery = 0,
+          maxSegments = 1)
+      step(docs.where(col("doc_id") % 4 === 0))
+      step(docs.where(col("doc_id") % 4 === 1))
+      step(docs.where(col("doc_id") % 4 === 2))
+      step(docs.where(col("doc_id") % 4 === 3))
+        .select("doc_id", "novelty")
+        .orderBy("doc_id")
+    }),
+
     // The incremental NEAR-dedup BATCH STEP (MinHash-LSH band state),
     // hash-checked: evens admit into an empty store (minus in-batch
     // smaller-id band collisions), odds then drop on any band
@@ -516,6 +545,59 @@ object StreamQueries extends QueryPack {
         |UNION ALL SELECT doc_id, novelty FROM shless
         |ORDER BY doc_id""".stripMargin
 
+  /** Four-tier (mod-4) form of [[noveltyOverlaySql]] for the BOUNDED
+    * segment-mode twin: tier 1 bootstraps, tiers 2-3 gate and extend
+    * the reference, tier 4 is the output — on the Spark side tier 4
+    * reads base ∪ one L1-MERGED segment (the maxSegments fold landed
+    * in tier 3's tail), which this SQL proves decision-invisible.
+    */
+  private lazy val noveltyOverlay4Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    word || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS s FROM (
+        |  SELECT doc_id, word,
+        |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+        |    LEAD(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3,
+        |    LEAD(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS l4 FROM tok)
+        |  WHERE l4 IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh),
+        |ref1 AS (SELECT DISTINCT hs FROM h WHERE doc_id % 4 = 0),
+        |sc2 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref1 r ON h.hs = r.hs
+        |  WHERE h.doc_id % 4 = 1 GROUP BY h.doc_id),
+        |adm2 AS (SELECT doc_id FROM sc2
+        |  WHERE FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 >= 0.5
+        |  UNION ALL SELECT d.doc_id FROM documents d
+        |  WHERE d.doc_id % 4 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM h)),
+        |ref2 AS (SELECT hs FROM ref1
+        |  UNION SELECT h.hs FROM h JOIN adm2 a2 ON h.doc_id = a2.doc_id),
+        |sc3 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref2 r ON h.hs = r.hs
+        |  WHERE h.doc_id % 4 = 2 GROUP BY h.doc_id),
+        |adm3 AS (SELECT doc_id FROM sc3
+        |  WHERE FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 >= 0.5
+        |  UNION ALL SELECT d.doc_id FROM documents d
+        |  WHERE d.doc_id % 4 = 2 AND d.doc_id NOT IN (SELECT doc_id FROM h)),
+        |ref3 AS (SELECT hs FROM ref2
+        |  UNION SELECT h.hs FROM h JOIN adm3 a3 ON h.doc_id = a3.doc_id),
+        |sc4 AS (SELECT h.doc_id, COUNT(DISTINCT h.hs) AS n,
+        |    COUNT(DISTINCT CASE WHEN r.hs IS NOT NULL THEN h.hs END) AS seen
+        |  FROM h LEFT JOIN ref3 r ON h.hs = r.hs
+        |  WHERE h.doc_id % 4 = 3 GROUP BY h.doc_id),
+        |gated AS (SELECT doc_id, FLOOR((CAST(n - seen AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS novelty
+        |  FROM sc4),
+        |shless AS (SELECT d.doc_id, CAST(NULL AS DOUBLE) AS novelty
+        |  FROM documents d
+        |  WHERE d.doc_id % 4 = 3 AND d.doc_id NOT IN (SELECT doc_id FROM h))
+        |SELECT doc_id, novelty FROM gated WHERE novelty >= 0.5
+        |UNION ALL SELECT doc_id, novelty FROM shless
+        |ORDER BY doc_id""".stripMargin
+
   private lazy val semdedupOverlaySql: String =
     """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -767,6 +849,7 @@ object StreamQueries extends QueryPack {
     // delta), tier 3 gates against the two-tier union.
     "q_s_novelty_amortized_step" -> noveltyOverlaySql,
     "q_s_novelty_segmented_step" -> noveltyOverlaySql,
+    "q_s_novelty_segmented_bounded_step" -> noveltyOverlay4Sql,
 
     // Mirrors the novelty-gate fold: reference = admitted evens'
     // distinct shingle hashes (everything admits into an empty store),
