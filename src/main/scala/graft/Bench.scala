@@ -34,10 +34,22 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (n, _) => args.exists(n.contains) }
+    // SPARK_GRAFT_REPEAT=N (filtered runs only — the full surface stays
+    // single-shot): time each picked query N times and record the MIN,
+    // printing every rep. The quiet-A/B tool for a single noisy cell
+    // (SCALING.md protocol): 10 reps of a 0.3 s query cost 3 s and
+    // separate scheduling noise from plan cost without 10 JVM launches.
+    val reps = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption)
+      .filter(_ > 1).filter(_ => args.nonEmpty).getOrElse(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (reps > 1)
+        println(s"""{"metric":"repeat","query":"$name","reps":[${times.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",")}]}""")
+      name -> times.min
     }
     // The driver parses JSON from a bounded tail of the build output. At
     // 87 queries a single line with the full per-query map overflows that
@@ -65,14 +77,27 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    val ratios = results.flatMap { case (n, v) =>
-      committed.get(n).filter(_ > 0).map(v / _) }.sorted
+    // the committed map's floors are per scale factor: comparing a run
+    // at a different SPARK_GRAFT_SF_DIR against them would emit a
+    // confidently wrong median — on mismatch, compare nothing and say so
+    val committedSf: Option[String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_QUERIES.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      } catch { case _: Throwable => None }
+    val sfMismatch = committedSf.exists(_ != sfDir)
+    val ratios =
+      if (sfMismatch) Seq.empty[Double]
+      else results.flatMap { case (n, v) =>
+        committed.get(n).filter(_ > 0).map(v / _) }.sorted
     val medianRatio =
       if (ratios.isEmpty) -1.0
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val calib = s""""calibration":{"median_ratio_vs_quiet_map":${fmt(medianRatio)},""" +
-      s""""entries_compared":${ratios.size},""" +
+      s""""entries_compared":${ratios.size},"sf_mismatch":$sfMismatch,""" +
       s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())}}"""
     // Early queries_part lines can scroll out of the driver's bounded tail
     // capture, so the complete map is also written to a file — the one

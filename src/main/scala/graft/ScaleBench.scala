@@ -744,11 +744,15 @@ object ScaleBench {
         Streaming.noveltyGateBatchStep(c.where(col("doc_id") < 2000L),
           "doc_id", "text", "ts", root, minNovelty = 0.0,
           retention = "3650 days").count()
+        // maxSegments = 0 THROUGHOUT the sweep: the axis is the
+        // unbounded backlog itself — the r18 bounded default would
+        // fold it mid-build (and the tripwire warning firing here is
+        // the expected demo of exactly that)
         for (i <- 0 until segs)
           Streaming.noveltyGateBatchStep(
             c.where(col("doc_id") === 2000L + i), "doc_id", "text", "ts",
             root, minNovelty = 0.0, retention = "3650 days",
-            pruneEvery = 0).count()
+            pruneEvery = 0, maxSegments = 0).count()
         isolate(spark)
         val times = Seq(0L, 1L).map { i =>
           val t0 = System.nanoTime()
@@ -756,7 +760,7 @@ object ScaleBench {
             c.where(col("doc_id") >= 200000L + i * probeN &&
               col("doc_id") < 200000L + (i + 1) * probeN),
             "doc_id", "text", "ts", root, minNovelty = 0.5,
-            retention = "3650 days", pruneEvery = 0).count()
+            retention = "3650 days", pruneEvery = 0, maxSegments = 0).count()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"""{"segments":$segs,"query":"q_segsweep_probe","sec":${times.min}%.3f}""")
@@ -773,7 +777,7 @@ object ScaleBench {
             c.where(col("doc_id") >= 200000L + i * probeN &&
               col("doc_id") < 200000L + (i + 1) * probeN),
             "doc_id", "text", "ts", root, minNovelty = 0.5,
-            retention = "3650 days", pruneEvery = 0).count()
+            retention = "3650 days", pruneEvery = 0, maxSegments = 0).count()
           (System.nanoTime() - t0b) / 1e9
         }
         println(f"""{"segments":$segs,"query":"q_segsweep_probe_compacted","sec":${times2.min}%.3f}""")

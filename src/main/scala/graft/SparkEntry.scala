@@ -56,18 +56,71 @@ object SparkEntry {
     * the definition itself). Purely a DuckDB execution hint: the
     * planner computes the CTE once instead of inlining a copy per
     * reference.
+    *
+    * Rewrite discipline (r18, was an ADVICE trap): definition sites
+    * are located POSITIONALLY — word-boundary `name AS (` matches
+    * outside any named-`WINDOW` clause span (the spans are parsed out
+    * with a balanced-paren scan first, so a multi-window clause's
+    * `, w2 AS (` or a CTE sharing a window's name can never be
+    * hinted), and the hint is inserted at those exact offsets rather
+    * than via substring replace (which also rewrote CTEs whose name
+    * is a suffix of another, e.g. `h` inside `ch`). A final require
+    * proves the rewrite was insertion-only: stripping the inserted
+    * token must reproduce the input byte-for-byte.
     */
-  private def materializeMultiRefCtes(sql: String): String = {
-    // negative lookbehind: a named `WINDOW w AS (...)` clause is not a
-    // CTE definition — hinting it would be a syntax error
-    val names = """(?<!WINDOW )(\w+) AS \(""".r.findAllMatchIn(sql)
-      .map(_.group(1)).toSeq.distinct
-    names.foldLeft(sql) { (acc, n) =>
-      val refs = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-        .findAllMatchIn(sql).size - 1
-      if (refs >= 2) acc.replace(s"$n AS (", s"$n AS MATERIALIZED (")
-      else acc
+  private[graft] def materializeMultiRefCtes(sql: String): String = {
+    // 1. mask named-WINDOW clause spans: WINDOW w AS (...) [, w2 AS (...)]*
+    //    (balanced-paren scan, quote-aware — parens inside '...' don't count)
+    def closeParen(from: Int): Int = {
+      var i = from; var depth = 0; var inStr = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      sql.length - 1
     }
+    val defSite = """\b(\w+)\s+AS\s*\(""".r
+    val windowSpans = """\bWINDOW\s+""".r.findAllMatchIn(sql).map { w =>
+      // consume `name AS (...)` entries separated by commas
+      var end = w.end
+      var more = true
+      while (more) {
+        defSite.findPrefixMatchOf(sql.substring(end)) match {
+          case Some(m) =>
+            end = closeParen(end + m.end - 1) + 1
+            val comma = """\s*,\s*""".r.findPrefixMatchOf(sql.substring(end))
+            more = comma.isDefined &&
+              defSite.findPrefixMatchOf(
+                sql.substring(end + comma.get.end)).isDefined
+            if (more) end += comma.get.end
+          case None => more = false
+        }
+      }
+      (w.start, end)
+    }.toSeq
+    def masked(pos: Int): Boolean =
+      windowSpans.exists { case (s, e) => pos >= s && pos < e }
+    // 2. CTE definition sites = word-boundary matches outside those spans
+    val defs = defSite.findAllMatchIn(sql).filterNot(m => masked(m.start)).toSeq
+    // 3. hint the definitions whose name has >= 2 further references
+    val insertAt = defs.filter { m =>
+      val refs = ("\\b" + java.util.regex.Pattern.quote(m.group(1)) + "\\b").r
+        .findAllMatchIn(sql).size - 1
+      refs >= 2
+    }.map(m => m.end - 1) // offset of the definition's `(`
+    val out = insertAt.sorted.reverse
+      .foldLeft(sql)((acc, i) => acc.substring(0, i) + "MATERIALIZED " + acc.substring(i))
+    // 4. insertion-only proof: the hint must be the ONLY difference
+    require(out.replace("MATERIALIZED ", "") == sql.replace("MATERIALIZED ", ""),
+      "materializeMultiRefCtes produced a non-insertion rewrite")
+    out
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

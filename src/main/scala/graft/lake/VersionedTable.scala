@@ -977,7 +977,10 @@ object VersionedTable {
       .flatMap(d => readStamp(fs, rootP, d).map(d -> _))
     if (stamped.size <= maxSegments) return Seq.empty
     val fold = stamped.take(stamped.size - maxSegments + 1)
-    val mergedRows = spark.read.parquet(
+    // mergeSchema: deltas are documented to allow widened schemas, and a
+    // plain multi-path read takes its schema from an arbitrary file —
+    // a constituent's extra columns would silently vanish from the merge
+    val mergedRows = spark.read.option("mergeSchema", "true").parquet(
       fold.map { case (d, _) => new Path(rootP, d).toString }: _*)
     val mergedStamp = fold.map(_._2).max
     writeDelta(mergedRows, root, Some(mergedStamp))

@@ -59,6 +59,21 @@ object Streaming {
     */
   val ProbeBroadcastMaxVecRows: Long = 250000L
 
+  /** Default L1-merge bound for segment mode (r18): every public
+    * segment-capable step/writer folds the oldest stamped segments once
+    * the pending backlog exceeds this ([[graft.lake.VersionedTable
+    * .compactSegments]]). 64 keeps the measured O(segments) metadata
+    * term flat (the SEGSWEEP sweep is flat to ~100 segments) while
+    * making the fold rare — at 1-minute batches it fires about once an
+    * hour and rewrites at most ~64 batch-sized segments, never the
+    * base. A caller can pass `maxSegments = 0` for explicitly-unbounded
+    * mode (e.g. a bulk backfill that republishes at the end), which
+    * warns loudly once the backlog passes this bound — unbounded was
+    * previously the silent default, on exactly the deployments
+    * (long retention / short batches) that hit the O(segments) term.
+    */
+  val DefaultMaxSegments: Int = 64
+
   /** The store-vs-batch collision probe shared by
     * [[noveltyGateBatchStep]], [[nearDedupBatchCompute]] and
     * [[semanticDedupBatchCompute]]: an inner equi-join of the store
@@ -394,7 +409,7 @@ object Streaming {
                          pruneEvery: Int = 1,
                          probeBroadcastMaxRows: Long =
                            ProbeBroadcastMaxRows,
-                         maxSegments: Int = 0): DataFrame = {
+                         maxSegments: Int = DefaultMaxSegments): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -548,7 +563,9 @@ object Streaming {
     * carries). `maxSegments = 0` leaves the backlog unbounded — the
     * SEGSWEEP-measured O(segments) metadata term is gentle locally,
     * but a 7-day-retention / 1-minute-batch deployment (~10k live
-    * segments) should set a bound.
+    * segments) hits it, so since r18 unbounded mode is explicit-only
+    * (the public defaults are [[DefaultMaxSegments]]) and warns loudly
+    * ([[warnUnboundedBacklog]]) once the backlog passes that bound.
     */
   private def segmentAppendAndMaintain(spark: SparkSession,
                                        storePath: String, delta: DataFrame,
@@ -560,6 +577,30 @@ object Streaming {
       graft.lake.VersionedTable.vacuumExpiredDeltas(spark, storePath, h))
     if (maxSegments > 0)
       graft.lake.VersionedTable.compactSegments(spark, storePath, maxSegments)
+    else warnUnboundedBacklog(spark, storePath)
+  }
+
+  /** The explicit-unbounded segment-mode tripwire: when a caller opted
+    * out of L1 merges (`maxSegments = 0`) and the pending backlog has
+    * grown past `threshold`, say so on stderr once per step — the
+    * per-batch metadata pass and the merged read's file list are
+    * growing O(segments) on this store, which is exactly the silent
+    * degradation the bounded default exists to prevent. One extra
+    * directory listing per unbounded step; the bounded path never
+    * pays it (compactSegments does its own).
+    */
+  private[graft] def warnUnboundedBacklog(spark: SparkSession,
+                                          storePath: String,
+                                          threshold: Int =
+                                            DefaultMaxSegments): Unit = {
+    val pending =
+      graft.lake.VersionedTable.pendingDeltas(spark, storePath).size
+    if (pending > threshold)
+      Console.err.println(
+        s"WARN graft.stream: segment-mode store $storePath has $pending " +
+          s"pending segments with maxSegments = 0 (unbounded) — the " +
+          s"per-batch metadata pass grows O(segments); set maxSegments " +
+          s"(default $DefaultMaxSegments) to bound it with in-step L1 merges")
   }
 
   /** One micro-batch step of VOCABULARY-DRIFT MONITORING — the
@@ -870,7 +911,7 @@ object Streaming {
                            pruneEvery: Int = 1,
                            probeBroadcastMaxRows: Long =
                              ProbeBroadcastMaxRows,
-                           maxSegments: Int = 0): DataFrame = {
+                           maxSegments: Int = DefaultMaxSegments): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -1026,7 +1067,7 @@ object Streaming {
                         family: graft.textops.HashFamily =
                           graft.textops.HashFamily.Xx64,
                         probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows,
-                        maxSegments: Int = 0)
+                        maxSegments: Int = DefaultMaxSegments)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1083,7 +1124,7 @@ object Streaming {
                       family: graft.textops.HashFamily =
                         graft.textops.HashFamily.Xx64,
                       probeBroadcastMaxRows: Long = ProbeBroadcastMaxRows,
-                      maxSegments: Int = 0)
+                      maxSegments: Int = DefaultMaxSegments)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -1372,7 +1413,7 @@ object Streaming {
                              pruneEvery: Int = 1,
                              probeBroadcastMaxRows: Long =
                                ProbeBroadcastMaxVecRows,
-                             maxSegments: Int = 0): DataFrame = {
+                             maxSegments: Int = DefaultMaxSegments): DataFrame = {
     require(pruneEvery >= 0,
       s"pruneEvery must be >= 0 (0 = segment mode), got $pruneEvery")
     val spark = batch.sparkSession
@@ -1588,7 +1629,7 @@ object Streaming {
                           compactEvery: Int = 10, pruneEvery: Int = 1,
                           probeBroadcastMaxRows: Long =
                             ProbeBroadcastMaxVecRows,
-                          maxSegments: Int = 0)
+                          maxSegments: Int = DefaultMaxSegments)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>

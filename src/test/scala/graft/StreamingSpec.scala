@@ -432,6 +432,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows(unb) === rows(bnd))
   }
 
+  test("explicit-unbounded segment mode warns loudly once the backlog passes the bound") {
+    import graft.lake.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_wub")
+      .toString + "/store"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    (1 to 3).foreach { i =>
+      VersionedTable.appendDeltaStamped(
+        Seq((i.toLong, s"seg$i")).toDF("k", "v"), root,
+        Some(ts(f"2024-01-01 10:0$i:00")))
+    }
+    def captured(threshold: Int): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Streaming.warnUnboundedBacklog(spark, root, threshold)
+      }
+      buf.toString("UTF-8")
+    }
+    // under the bound: silent (bounded-default deployments never pay
+    // more than the one listing this helper shares with the step)
+    assert(captured(threshold = 5).isEmpty)
+    // past it: loud, self-describing, actionable
+    val w = captured(threshold = 2)
+    assert(w.contains("maxSegments = 0"))
+    assert(w.contains("3 pending segments"))
+    assert(w.contains(root))
+    // the r18 contract this guards: unbounded is explicit-only — the
+    // public steps/writers default to a bounded backlog
+    assert(Streaming.DefaultMaxSegments === 64)
+  }
+
   test("amortized novelty republish physically vacuums subsumed deltas past the reader horizon") {
     import graft.stream.Streaming
     import graft.lake.VersionedTable

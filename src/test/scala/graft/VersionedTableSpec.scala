@@ -849,6 +849,72 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.compactSegments(spark, root, maxSegments = 3).isEmpty)
   }
 
+  test("compactSegments crash window: merged committed but constituents not yet dropped — readers absorb, the next compact converges") {
+    // the documented crash discipline: the merged segment COMMITS
+    // (marker) before the constituents drop, so a crash between the two
+    // leaves duplicate rows across layers. Build exactly that state:
+    // segments A,B,C live, PLUS a committed merged twin of A∪B stamped
+    // max(A,B) — byte-for-byte what a crash at VersionedTable.scala's
+    // drop loop leaves behind.
+    val root = tmpRoot("segcrash")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    val stamps = (1 to 3).map(i => ts(f"2024-01-01 10:0$i:00"))
+    (1 to 3).foreach { i =>
+      VersionedTable.appendDeltaStamped(
+        Seq((i.toLong, s"seg$i")).toDF("k", "v"), root, Some(stamps(i - 1)))
+    }
+    VersionedTable.appendDeltaStamped( // the crashed merge's survivor
+      Seq((1L, "seg1"), (2L, "seg2")).toDF("k", "v"), root, Some(stamps(1)))
+    val expected = Set((0L, "base"), (1L, "seg1"), (2L, "seg2"), (3L, "seg3"))
+    def mergedRead(): Set[(Long, String)] = {
+      val pending = VersionedTable.pendingDeltas(spark, root)
+      VersionedTable.readCurrent(spark, root)
+        .unionByName(spark.read.parquet(pending.map(d => s"$root/$d"): _*))
+        .distinct() // the row-set overlay fold every reader applies
+        .as[(Long, String)].collect().toSet
+    }
+    // 1. the crash state is correct to read: duplicates absorb
+    assert(VersionedTable.pendingDeltas(spark, root).size === 4)
+    assert(mergedRead() === expected)
+    // 2. the next compact converges rather than compounding: fold to one
+    val folded = VersionedTable.compactSegments(spark, root, maxSegments = 1)
+    assert(folded.size === 4)
+    val pending = VersionedTable.pendingDeltas(spark, root)
+    assert(pending.size === 1)
+    assert(mergedRead() === expected)
+    // physical convergence too: the fold dedups nothing itself (it is a
+    // re-package), so the one segment holds A∪B∪C plus the twin's A∪B
+    assert(spark.read.parquet(s"$root/${pending.head}").count() === 5)
+    // 3. idempotent from here
+    assert(VersionedTable.compactSegments(spark, root, maxSegments = 1).isEmpty)
+    assert(mergedRead() === expected)
+  }
+
+  test("compactSegments merges widened segment schemas instead of dropping late columns") {
+    val root = tmpRoot("segwiden")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.publish(Seq((0L, "base")).toDF("k", "v"), root)
+    VersionedTable.appendDeltaStamped(
+      Seq((1L, "old")).toDF("k", "v"), root, Some(ts("2024-01-01 10:01:00")))
+    VersionedTable.appendDeltaStamped( // widened: a new `score` column
+      Seq((2L, "new", 0.5)).toDF("k", "v", "score"), root,
+      Some(ts("2024-01-01 10:02:00")))
+    val dTail = VersionedTable.appendDeltaStamped(
+      Seq((3L, "tail")).toDF("k", "v"), root, Some(ts("2024-01-01 10:03:00")))
+    // fold the two oldest (one narrow, one wide) into a single segment
+    assert(VersionedTable.compactSegments(spark, root, maxSegments = 2).size === 2)
+    val pending = VersionedTable.pendingDeltas(spark, root)
+    assert(pending.size === 2) // merged + tail
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/${pending.filterNot(_ == dTail).head}")
+    assert(merged.columns.toSet === Set("k", "v", "score"),
+      "the widened column must survive the fold")
+    val byKey = merged.select("k", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byKey === Map(1L -> None, 2L -> Some(0.5)))
+  }
+
   test("a legacy plain-parquet dataset at a sink path fails loudly, not silently reset") {
     val root = tmpRoot("legacy")
     Seq((1L, "old-state")).toDF("k", "v").write.parquet(root)

@@ -46,8 +46,13 @@ def main(sf_dir, out_dir):
     # result reused. The twins are the gate's most expensive queries
     # (multi-batch store folds), so this halves their replay cost
     # with zero semantic surface: same engine, same SQL, same result.
+    # cache maps sql -> (elapsed_of_the_one_real_execution, arrow result);
+    # cache hits record that SAME elapsed (marked shared below) so the
+    # "slowest" report doesn't attribute a twin's full replay cost to
+    # whichever name sorts first and ~0s to the others
     sql_cache = {}
     timings = {}
+    shared = set()
     n_pass = n_fail = n_noracle = 0
     for name in names:
         files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
@@ -68,12 +73,15 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            t0 = time.time()
             if oracle[name] in sql_cache:
-                exp = sql_cache[oracle[name]]
+                elapsed, exp = sql_cache[oracle[name]]
+                shared.add(name)
             else:
-                exp = sql_cache[oracle[name]] = con.execute(oracle[name]).arrow()
-            timings[name] = time.time() - t0
+                t0 = time.time()
+                exp = con.execute(oracle[name]).arrow()
+                elapsed = time.time() - t0
+                sql_cache[oracle[name]] = (elapsed, exp)
+            timings[name] = elapsed
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -100,8 +108,11 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
     slow = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-    print(f"\noracle replay {sum(timings.values()):.1f}s; slowest: "
-          + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
+    # wall cost counts each distinct SQL once (shared twins execute once)
+    wall = sum(e for e, _ in sql_cache.values())
+    print(f"\noracle replay {wall:.1f}s; slowest: "
+          + ", ".join(f"{n}={s:.1f}s" + (" (shared)" if n in shared else "")
+                      for n, s in slow))
     print(f"{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     return 1 if n_fail else 0
 
