@@ -18,10 +18,24 @@ seed only from >= 2 quiet runs per protocol; the tool warns on 1).
 The report prints each run's median per-entry ratio vs the committed
 map first — a median far above ~1.3 means a loaded box; don't --apply
 such runs.
+
+Floor staleness (r18): BENCH_FLOOR_AGE.json records, per entry, the
+last fold session whose min came within REPRO_RATIO (1.3x) of the
+committed floor. A floor nothing has approached for several sessions
+is HISTORICAL — quote it with that caveat, or re-measure on a quiet
+box. Every --apply increments the session counter and stamps the
+entries the given runs reproduced; the report always prints the
+stale-floor summary. `--stamp` updates the age file WITHOUT folding
+(for loaded runs that still reproduce most floors).
 """
 import json
+import os
 import statistics
 import sys
+
+REPRO_RATIO = 1.3
+STALE_AFTER = 3  # sessions without a reproduction => listed as stale
+AGE_FILE = "BENCH_FLOOR_AGE.json"
 
 
 def parse(path):
@@ -36,13 +50,16 @@ def parse(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--apply"]
+    args = [a for a in sys.argv[1:] if a not in ("--apply", "--stamp")]
     apply = "--apply" in sys.argv
+    stamp = apply or "--stamp" in sys.argv
     if not args:
         sys.exit(__doc__)
     runs = [(a, parse(a)) for a in args]
     mp = json.load(open("BENCH_QUERIES.json"))
     committed = mp["queries"]
+    age = (json.load(open(AGE_FILE)) if os.path.exists(AGE_FILE)
+           else {"session": 0, "last_reproduced": {}})
     for name, run in runs:
         ratios = [run[k] / committed[k]
                   for k in run if k in committed and committed[k] > 0]
@@ -62,6 +79,24 @@ def main():
     print("folds:", json.dumps(
         {k: [round(a, 3), round(b, 3)] for k, (a, b) in folds.items()},
         sort_keys=True))
+    # floor staleness: which committed floors did these runs reproduce
+    # (min within REPRO_RATIO), and which have gone unreproduced for
+    # STALE_AFTER+ stamped sessions
+    reproduced = sorted(
+        k for k, v in merged.items()
+        if k in committed and committed[k] > 0
+        and v <= REPRO_RATIO * committed[k])
+    last = age["last_reproduced"]
+    stale = sorted(
+        (age["session"] - last.get(k, 0), k) for k in committed
+        if age["session"] - last.get(k, 0) >= STALE_AFTER)
+    print(f"floors reproduced by these runs (<= {REPRO_RATIO}x): "
+          f"{len(reproduced)}/{len(committed)}")
+    if stale:
+        worst = ", ".join(f"{k} ({n} sessions)" for n, k in
+                          sorted(stale, reverse=True)[:8])
+        print(f"STALE floors (no reproduction in >= {STALE_AFTER} stamped "
+              f"sessions): {len(stale)} — worst: {worst}")
     if apply:
         committed.update(seeds)
         for k, (_, v) in folds.items():
@@ -72,6 +107,15 @@ def main():
         print(f"applied: map now {mp['value']} s over {len(committed)}")
     elif seeds or folds:
         print("(report only — rerun with --apply to fold)")
+    if stamp:
+        age["session"] += 1
+        for k in reproduced:
+            last[k] = age["session"]
+        for k in list(seeds) + list(folds):  # a fold IS a reproduction
+            last[k] = age["session"]
+        json.dump(age, open(AGE_FILE, "w"), indent=0, sort_keys=True)
+        print(f"stamped session {age['session']}: "
+              f"{len(reproduced)} floors reproduced -> {AGE_FILE}")
 
 
 if __name__ == "__main__":
