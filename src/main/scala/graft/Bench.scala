@@ -60,7 +60,11 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def toJson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    results.grouped(12).zipWithIndex.foreach { case (part, i) =>
+    // repeat runs emit NO queries_part lines: a warm min-of-N is
+    // systematically below a protocol single-shot measurement, and the
+    // part lines are exactly what tools/foldbench.py parses — printing
+    // them would let a repeat log silently fold biased-low floors
+    if (reps == 1) results.grouped(12).zipWithIndex.foreach { case (part, i) =>
       println(s"""{"metric":"queries_part","part":${i + 1},"queries":${toJson(part)}}""")
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -69,24 +73,19 @@ object Bench {
     // quiet min-of-N map — the same statistic tools/foldbench.py
     // computes); the map is a flat {"queries":{name:sec,...}} so a
     // regex pair-scan suffices, filtered to names this run produced
+    val committedTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_QUERIES.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
     val committed: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_QUERIES.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"([^"]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      """"([^"]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r.findAllMatchIn(committedTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     // the committed map's floors are per scale factor: comparing a run
     // at a different SPARK_GRAFT_SF_DIR against them would emit a
     // confidently wrong median — on mismatch, compare nothing and say so
     val committedSf: Option[String] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_QUERIES.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      } catch { case _: Throwable => None }
+      """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(committedTxt).map(_.group(1))
     val sfMismatch = committedSf.exists(_ != sfDir)
     val ratios =
       if (sfMismatch) Seq.empty[Double]

@@ -86,7 +86,12 @@ object SparkEntry {
       }
       sql.length - 1
     }
-    val defSite = """\b(\w+)\s+AS\s*\(""".r
+    // `\s+\(` (not `\s*`): a zero-space `name AS(` site is SKIPPED, not
+    // hinted — inserting at its `(` would glue `ASMATERIALIZED (`, which
+    // the insertion-only check below cannot catch (stripping the token
+    // reproduces the input either way). A skipped hint is merely a
+    // missed optimization; a glued one is invalid SQL.
+    val defSite = """\b(\w+)\s+AS\s+\(""".r
     val windowSpans = """\bWINDOW\s+""".r.findAllMatchIn(sql).map { w =>
       // consume `name AS (...)` entries separated by commas
       var end = w.end

@@ -58,6 +58,13 @@ class OracleRewriteSpec extends AnyFunSuite {
     assert(!out.substring(out.indexOf("WINDOW")).contains("MATERIALIZED"))
   }
 
+  test("a zero-space `name AS(` definition is skipped, never glued into ASMATERIALIZED") {
+    val sql = "WITH a AS(SELECT 1 AS x) SELECT * FROM a JOIN a USING (x)"
+    val out = rw(sql)
+    assert(out === sql, "no hint is the safe outcome for a zero-space site")
+    assert(!out.contains("ASMATERIALIZED"))
+  }
+
   test("quoted parens inside a window clause do not derail the span scan") {
     val sql = "WITH a AS (SELECT 1 AS x) " +
       "SELECT first_value(concat(x, '(lit)')) OVER w AS s " +

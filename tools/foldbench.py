@@ -39,14 +39,18 @@ AGE_FILE = "BENCH_FLOOR_AGE.json"
 
 
 def parse(path):
+    """Returns (per-query seconds, scale-factor dir or None)."""
     if path.endswith(".json"):
-        return json.load(open(path))["queries"]
-    qs = {}
+        d = json.load(open(path))
+        return d["queries"], d.get("sf")
+    qs, sf = {}, None
     for line in open(path):
         line = line.strip()
         if line.startswith('{"metric":"queries_part"'):
             qs.update(json.loads(line)["queries"])
-    return qs
+        elif line.startswith('{"metric":"total"'):
+            sf = json.loads(line).get("sf", sf)
+    return qs, sf
 
 
 def main():
@@ -55,9 +59,23 @@ def main():
     stamp = apply or "--stamp" in sys.argv
     if not args:
         sys.exit(__doc__)
-    runs = [(a, parse(a)) for a in args]
+    parsed = [(a, *parse(a)) for a in args]
     mp = json.load(open("BENCH_QUERIES.json"))
     committed = mp["queries"]
+    # the floors are PER SCALE FACTOR: folding or stamping a run taken
+    # at a different SPARK_GRAFT_SF_DIR would mass-corrupt the map
+    # (every sf0.01 time undercuts its sf0.1 floor), so a known
+    # mismatch is a hard error, an unknown sf only a warning
+    map_sf = mp.get("sf")
+    for a, _, sf in parsed:
+        if sf and map_sf and sf != map_sf:
+            sys.exit(f"ERROR: {a} was measured at sf '{sf}' but the "
+                     f"committed map is for '{map_sf}' — refusing to "
+                     f"compare, fold, or stamp across scale factors")
+        if not sf:
+            print(f"WARNING: {a} carries no sf stamp — "
+                  f"verify it was taken at {map_sf} before --apply")
+    runs = [(a, q) for a, q, _ in parsed]
     age = (json.load(open(AGE_FILE)) if os.path.exists(AGE_FILE)
            else {"session": 0, "last_reproduced": {}})
     for name, run in runs:
@@ -88,13 +106,12 @@ def main():
         and v <= REPRO_RATIO * committed[k])
     last = age["last_reproduced"]
     stale = sorted(
-        (age["session"] - last.get(k, 0), k) for k in committed
-        if age["session"] - last.get(k, 0) >= STALE_AFTER)
+        ((age["session"] - last.get(k, 0), k) for k in committed
+         if age["session"] - last.get(k, 0) >= STALE_AFTER), reverse=True)
     print(f"floors reproduced by these runs (<= {REPRO_RATIO}x): "
           f"{len(reproduced)}/{len(committed)}")
     if stale:
-        worst = ", ".join(f"{k} ({n} sessions)" for n, k in
-                          sorted(stale, reverse=True)[:8])
+        worst = ", ".join(f"{k} ({n} sessions)" for n, k in stale[:8])
         print(f"STALE floors (no reproduction in >= {STALE_AFTER} stamped "
               f"sessions): {len(stale)} — worst: {worst}")
     if apply:
@@ -107,7 +124,15 @@ def main():
         print(f"applied: map now {mp['value']} s over {len(committed)}")
     elif seeds or folds:
         print("(report only — rerun with --apply to fold)")
-    if stamp:
+    # a stamp session must COVER the map: stamping from a partial or
+    # filtered log would age every unmeasured floor toward STALE,
+    # turning coverage gaps into a false "historical floor" signal
+    covered = sum(1 for k in merged if k in committed)
+    if stamp and covered < 0.9 * len(committed):
+        print(f"NOT stamping: these runs cover only {covered}/"
+              f"{len(committed)} committed entries (< 90%) — staleness "
+              f"sessions must be full-surface runs")
+    elif stamp:
         age["session"] += 1
         for k in reproduced:
             last[k] = age["session"]
