@@ -162,6 +162,36 @@ object StreamQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // The BOUNDED segment-mode semdedup twin (maxSegments = 1, r18):
+    // four mod-4 batches through the vector store; batch 3's tail
+    // L1-merges the first two stamped segments, so batch 4's exact-
+    // cosine probe reads base ∪ MERGED segment — with this entry the
+    // L1 merge is hash-proven decision-invisible on ALL THREE
+    // retention-horizon stores (shingle, band, vector), not just one.
+    "q_s_semdedup_segmented_bounded_step" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.orderBy("vec_id").limit(4)
+        .select(col("vec_id").cast("long").as("b"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val withTs = emb.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"semsegbstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.semanticDedupBatchStep(b, "vec_id", "embedding", "ts",
+          cent, "b", "cv", threshold = 0.35, store, retention = "10 days",
+          pruneEvery = 0, maxSegments = 1)
+      step(withTs.where(col("vec_id") % 4 === 0))
+      step(withTs.where(col("vec_id") % 4 === 1))
+      step(withTs.where(col("vec_id") % 4 === 2))
+      step(withTs.where(col("vec_id") % 4 === 3))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Incremental novelty gate, two-batch fold: evens admit into an
     // empty store (everything is novel), odds score against the
     // admitted evens' shingles and gate at novelty ≥ 0.5 — near-dup
@@ -340,6 +370,34 @@ object StreamQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The BOUNDED segment-mode near-dedup twin (maxSegments = 1, r18):
+    // four mod-4 batches; batch 3's tail L1-merges the first two
+    // stamped band segments into one, so batch 4's collision probe
+    // reads base ∪ MERGED segment. Hash-matching the segment-blind
+    // 4-tier replay proves the BAND store's merge decision-invisible —
+    // q_s_novelty_segmented_bounded_step's proof extended to the
+    // second of the three retention-horizon stores.
+    "q_s_neardedup_segmented_bounded_step" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_streamq/" +
+        s"nndsegbstep${dir.replaceAll("[^A-Za-z0-9]", "_")}/store"
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(storeP, true)
+      def step(b: org.apache.spark.sql.DataFrame) =
+        Streaming.nearDedupBatchStep(b, "doc_id", "text", "ts", store,
+          retention = "10 days",
+          family = graft.textops.HashFamily.Md5Portable, pruneEvery = 0,
+          maxSegments = 1)
+      step(docs.where(col("doc_id") % 4 === 0))
+      step(docs.where(col("doc_id") % 4 === 1))
+      step(docs.where(col("doc_id") % 4 === 2))
+      step(docs.where(col("doc_id") % 4 === 3))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming drift monitor, two-batch fold: the English slice
     // seeds the reference distribution, the German batch then reports
     // its JSD against it — the same divergence q_t_jsd computes in
@@ -508,6 +566,42 @@ object StreamQueries extends QueryPack {
         |    WHERE c.db = d.doc_id AND c.da % 3 = 2 AND c.da < d.doc_id)
         |ORDER BY doc_id""".stripMargin
 
+  /** Four-tier (mod-4) form of [[nearDedupOverlaySql]] for the BOUNDED
+    * segment-mode twin: on the Spark side tier 4's collision probe
+    * reads base ∪ one L1-MERGED band segment (the maxSegments = 1 fold
+    * landed in tier 3's tail); this SQL knows only the decision
+    * algebra, so the hash match proves the band-store merge invisible.
+    */
+  private lazy val nearDedupOverlay4Sql: String =
+    s"""WITH ${graft.textops.TextQueries.minhashCandCtes},
+        |coll AS MATERIALIZED (SELECT doc_a AS da, doc_b AS db FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |surv1 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 4 = 0 AND c.da < d.doc_id)),
+        |surv2 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 4 = 1 AND c.da < d.doc_id)),
+        |surv3 AS MATERIALIZED (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 2
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv2 s2 ON c.da = s2.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 4 = 2 AND c.da < d.doc_id))
+        |SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 3
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv1 s1 ON c.da = s1.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv2 s2 ON c.da = s2.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c JOIN surv3 s3 ON c.da = s3.doc_id
+        |    WHERE c.db = d.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM coll c
+        |    WHERE c.db = d.doc_id AND c.da % 4 = 3 AND c.da < d.doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   private lazy val noveltyOverlaySql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
         |tok AS (SELECT doc_id, UNNEST(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
@@ -636,6 +730,63 @@ object StreamQueries extends QueryPack {
         |SELECT vec_id FROM t3All
         |WHERE vec_id NOT IN (SELECT vec_id FROM t3VsStore)
         |  AND vec_id NOT IN (SELECT vec_id FROM t3VsBatch)
+        |ORDER BY vec_id""".stripMargin
+
+  /** Four-tier (mod-4) form of [[semdedupOverlaySql]] for the BOUNDED
+    * segment-mode twin — tier 4's probe on the Spark side reads
+    * base ∪ one L1-MERGED vector segment; this segment-blind replay
+    * hash-proves the vector-store merge decision-invisible, closing
+    * the three-store set (shingle, band, vector).
+    */
+  private lazy val semdedupOverlay4Sql: String =
+    """WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, c0.bucket,
+        |    FLOOR((list_cosine_similarity(e.v, c0.cv)) * 1000000 + 0.5) / 1000000 AS sim FROM e CROSS JOIN c0),
+        |a AS (SELECT vec_id, MAX(struct_pack(sim := sim, bucket := bucket)) AS m,
+        |    ANY_VALUE(v) AS v FROM s GROUP BY vec_id),
+        |asg AS (SELECT vec_id, m.bucket AS bucket, v FROM a),
+        |t1Losers AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+        |    AND FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t1Surv AS (SELECT vec_id, bucket, v FROM asg
+        |  WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT vec_id FROM t1Losers)),
+        |t2All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 4 = 1),
+        |t2VsStore AS (SELECT DISTINCT b.vec_id FROM t2All b JOIN t1Surv s2
+        |  ON b.bucket = s2.bucket
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t2VsBatch AS (SELECT DISTINCT b2.vec_id FROM t2All b1 JOIN t2All b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t2Surv AS (SELECT vec_id, bucket, v FROM t2All
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM t2VsStore)
+        |    AND vec_id NOT IN (SELECT vec_id FROM t2VsBatch)),
+        |store2 AS (SELECT bucket, v FROM t1Surv UNION ALL SELECT bucket, v FROM t2Surv),
+        |t3All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 4 = 2),
+        |t3VsStore AS (SELECT DISTINCT b.vec_id FROM t3All b JOIN store2 s3
+        |  ON b.bucket = s3.bucket
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s3.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t3VsBatch AS (SELECT DISTINCT b2.vec_id FROM t3All b1 JOIN t3All b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t3Surv AS (SELECT vec_id, bucket, v FROM t3All
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM t3VsStore)
+        |    AND vec_id NOT IN (SELECT vec_id FROM t3VsBatch)),
+        |store3 AS (SELECT bucket, v FROM store2 UNION ALL SELECT bucket, v FROM t3Surv),
+        |t4All AS (SELECT vec_id, bucket, v FROM asg WHERE vec_id % 4 = 3),
+        |t4VsStore AS (SELECT DISTINCT b.vec_id FROM t4All b JOIN store3 s4
+        |  ON b.bucket = s4.bucket
+        |  WHERE FLOOR((list_cosine_similarity(b.v, s4.v)) * 1000000 + 0.5) / 1000000 >= 0.35),
+        |t4VsBatch AS (SELECT DISTINCT b2.vec_id FROM t4All b1 JOIN t4All b2
+        |  ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        |  WHERE FLOOR((list_cosine_similarity(b1.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.35)
+        |SELECT vec_id FROM t4All
+        |WHERE vec_id NOT IN (SELECT vec_id FROM t4VsStore)
+        |  AND vec_id NOT IN (SELECT vec_id FROM t4VsBatch)
         |ORDER BY vec_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
@@ -841,6 +992,7 @@ object StreamQueries extends QueryPack {
     // exactly what makes the delta overlay's invisibility checkable.
     "q_s_neardedup_amortized_step" -> nearDedupOverlaySql,
     "q_s_neardedup_segmented_step" -> nearDedupOverlaySql,
+    "q_s_neardedup_segmented_bounded_step" -> nearDedupOverlay4Sql,
 
     // Mirrors the three-batch amortized novelty fold (mod-3 splits):
     // reference tier 1 = all tier-1 shingles (empty store admits
@@ -892,6 +1044,7 @@ object StreamQueries extends QueryPack {
     // hash check proves invisible.
     "q_s_semdedup_amortized_step" -> semdedupOverlaySql,
     "q_s_semdedup_segmented_step" -> semdedupOverlaySql,
+    "q_s_semdedup_segmented_bounded_step" -> semdedupOverlay4Sql,
 
     // Mirrors the two-batch fold: bucket assignment is the
     // q_t_semantic_dedup argmax convention; batch-1 survivors (even

@@ -79,7 +79,7 @@ class OracleRewriteSpec extends AnyFunSuite {
     // insertion-only require over every whitelisted query
     val whitelist = Set(
       "q_s_neardedup_step", "q_s_neardedup_amortized_step",
-      "q_s_neardedup_segmented_step",
+      "q_s_neardedup_segmented_step", "q_s_neardedup_segmented_bounded_step",
       "q_t_minhash_lsh", "q_t_edit_verify", "q_t_simhash",
       "q_t_dedup_clusters", "q_t_cluster_split", "q_t_curate_best",
       "q_t_curriculum", "q_t_repsub")
