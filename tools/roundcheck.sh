@@ -3,10 +3,10 @@
 #   1. unit specs (incl. PartitionInvarianceSpec's 12-family
 #      bit-identical check at two awkward execution configs)
 #   2. sf0.01 oracle pack: Verify dump + DuckDB compare (the driver's
-#      own gate; full pack — 197 queries as of r17)
+#      own gate; full pack — 199 queries as of r18)
 #   3. the same pack at 7 cores / 7 shuffle partitions — the full-pack
 #      partitioning-invariance proof (awkward prime vs the usual 32)
-# Green = "N pass, 0 fail" twice (N = full pack, 197 as of r17) and a
+# Green = "N pass, 0 fail" twice (N = full pack, 199 as of r18) and a
 # green sbt test. Timing is NOT
 # checked here — bench runs need a quiet box and the min-of-N protocol
 # (SCALING.md "Benchmark protocol").
